@@ -1,0 +1,292 @@
+"""Run configuration: the ini-file dialect of the reference.
+
+Parses the same whitespace-separated keyword files as the reference's ``User``
+class (ASOC_aux.py:79-554): one keyword + arguments per line, ``#`` comments,
+keyword matching by prefix. Unknown keywords are retained in ``self.keys`` so
+feature code can probe them (the reference's ``'CLT' in USER.KEYS`` pattern).
+
+Only semantics differ where the reference's GPU bookkeeping is meaningless on
+TPU (device/platform/local/global are accepted and ignored).
+"""
+
+import os
+from math import pi
+
+import numpy as np
+
+from .constants import um2f
+
+
+class RunConfig:
+    def __init__(self, ini_path=None, text=None):
+        # --- model & files
+        self.file_cloud = ""
+        self.file_optical = []          # dust files (1 per dust population)
+        self.file_scafunc = []          # dsc files
+        self.file_abundance = []
+        self.file_background = ""
+        self.file_hpbg = ""
+        self.file_pointsource = []
+        self.file_absorbed = "absorbed.data"
+        self.file_emitted = "emitted.data"
+        self.file_temperature = ""
+        self.file_intensity = ""
+        self.file_diffuse = ""
+        self.file_constant_load = ""
+        self.file_constant_save = ""
+        self.file_savetau = ""
+        self.file_polred = ""
+        self.file_external_mask = ""
+        self.b_files = []
+        self.prefix = "soc"
+        # --- geometry / scaling
+        self.gl = 0.0                   # root cell size [pc]
+        self.kdensity = 1.0
+        self.distance = 0.0
+        self.max_levels = 999
+        self.map_dx = 1.0
+        self.npix = (10, 10)
+        self.mapcentre = (-1e12, 0.0, 0.0)
+        self.intobs = (-1e12, 0.0, 0.0)
+        self.obs_theta = []             # radians
+        self.obs_phi = []
+        self.level_threshold = 0
+        self.y_shear = 0.0
+        self.mirror = ""
+        # --- packets
+        self.bgpac = 0
+        self.pspac = 0
+        self.clpac = 0
+        self.dfpac = 0
+        self.roipac = 0
+        self.ps_method = 0
+        self.no_ps = 0
+        self.ps_pos = np.zeros((0, 3), np.float32)
+        self.ps_scale = []
+        self.scale_background = 1.0
+        self.do_split = 0
+        # --- simulation control
+        self.iterations = 1
+        self.seed = pi / 4.0
+        self.nosolve = False
+        self.noabsorbed = False
+        self.nomap = False
+        self.load_temperature = False
+        self.sim_f = (1.0e8, 1.0e17)
+        self.remit_f = (0.0, 1e30)
+        self.map_freq = (1.0e6, 1.0e18)
+        self.single_map_freq = []
+        self.savetau_freq = []
+        self.with_ali = 0
+        self.with_reference = 0
+        self.ffs = 1
+        self.step_weight = (-1, 0.0, 0.0)
+        self.dir_weight = (-1, 0.0, 0.0)
+        self.use_emweight = 0
+        self.emweight_skip = 3
+        self.emweight_lim = (0.0, 1e10, 0.0)
+        self.dsc_bins = 0
+        self.k_diffuse = 1.0
+        self.cr_heating = 0.0
+        self.interpolate = 0
+        self.map_interpolation = 0
+        self.fast_map = -1
+        self.polmap = 0
+        self.polstat = 0
+        self.p0 = 0.2
+        self.fits = 0
+        self.verbose = 0
+        self.batch = 30
+        self.device = ""                # accepted, ignored on TPU
+        self.keys = {}                  # every keyword kept verbatim
+        # filled in by the pipeline after reading the model:
+        self.nfreq = 0
+        self.freq = None
+
+        if text is None and ini_path is not None:
+            with open(ini_path) as fp:
+                text = fp.read()
+        if text is not None:
+            self._parse(text)
+
+    # -- parsing ---------------------------------------------------------
+    def _parse(self, text):
+        for raw in text.splitlines():
+            line = raw.split("#")[0].strip()
+            if not line:
+                continue
+            s = line.split()
+            key, args = s[0], s[1:]
+            self.keys.setdefault(key, []).append(args)
+            self._apply(key, args)
+
+    def _apply(self, key, a):
+        def f(i=0):
+            return float(a[i])
+
+        def n(i=0):
+            return int(round(float(a[i])))
+
+        if key.startswith("gridlen"):
+            self.gl = f()
+        elif key.startswith("cloud"):
+            self.file_cloud = a[0]
+        elif key.startswith("optic"):
+            self.file_optical.append(a[0])
+        elif key.startswith("dsc"):
+            self.file_scafunc.append(a[0])
+            if len(a) > 1:
+                self.dsc_bins = int(a[1])
+        elif key.startswith("abunda"):
+            self.file_abundance.append(a[0])
+        elif key.startswith("backg"):
+            self.file_background = a[0]
+            if len(a) > 1:
+                self.scale_background = f(1)
+        elif key.startswith("hpbg"):
+            self.file_hpbg = a[0]
+            if len(a) > 1:
+                self.scale_background = f(1)
+        elif key.startswith("pointsou"):
+            # pointsource  x y z  file [scale]
+            pos = np.asarray([f(0), f(1), f(2)], np.float32)
+            self.ps_pos = np.vstack([self.ps_pos, pos[None]])
+            self.file_pointsource.append(a[3] if len(a) > 3 else "")
+            self.ps_scale.append(f(4) if len(a) > 4 else 1.0)
+            self.no_ps += 1
+        elif key.startswith("diffus"):
+            self.file_diffuse = a[0]
+            if len(a) > 1:
+                self.k_diffuse = f(1)
+        elif key.startswith("absorb"):
+            if a:
+                self.file_absorbed = a[0]
+        elif key.startswith("emit"):
+            if a:
+                self.file_emitted = a[0]
+        elif key.startswith("tempera"):
+            self.file_temperature = a[0]
+        elif key.startswith("cload"):
+            self.file_constant_load = a[0]
+        elif key.startswith("csave"):
+            self.file_constant_save = a[0]
+        elif key.startswith("savetau"):
+            if len(a) >= 2:
+                self.file_savetau = a[0]
+                self.savetau_freq.append(um2f(f(1)) if f(1) > 0 else -um2f(-f(1)))
+        elif key.startswith("prefix"):
+            self.prefix = a[0]
+        elif key.startswith("density"):
+            self.kdensity = f()
+        elif key.startswith("distance"):
+            self.distance = f()
+        elif key.startswith("levels"):
+            self.max_levels = n()
+        elif key.startswith("mapping"):
+            self.npix = (n(0), n(1))
+            if len(a) > 2:
+                self.map_dx = f(2)
+        elif key.startswith("mapcent"):
+            self.mapcentre = (f(0), f(1), f(2))
+        elif key.startswith("perspec"):
+            self.intobs = (f(0), f(1), f(2))
+        elif key.startswith("direct"):
+            # observer directions: theta phi [theta phi ...] in degrees
+            vals = [float(x) for x in a]
+            for i in range(0, len(vals) - 1, 2):
+                self.obs_theta.append(vals[i] * pi / 180.0)
+                self.obs_phi.append(vals[i + 1] * pi / 180.0)
+        elif key.startswith("bgpac"):
+            self.bgpac = n()
+        elif key.startswith("pspac"):
+            self.pspac = n()
+        elif key.startswith("psmetho"):
+            self.ps_method = n()
+        elif key.startswith("cellpac"):
+            self.clpac = n()
+        elif key.startswith("diffpac"):
+            self.dfpac = n()
+        elif key.startswith("roipac"):
+            self.roipac = n()
+        elif key.startswith("iterations"):
+            self.iterations = n()
+        elif key.startswith("seed"):
+            self.seed = float(np.clip(f(), -1.0, 1.0))
+        elif key.startswith("nosolve"):
+            self.nosolve = True
+        elif key.startswith("noabs"):
+            self.noabsorbed = True
+        elif key.startswith("nomap"):
+            self.nomap = True
+        elif key.startswith("loadtemp"):
+            self.load_temperature = True
+        elif key.startswith("forcedfirst") or key.startswith("ffs"):
+            self.ffs = n()
+        elif key.startswith("ali"):
+            self.with_ali = n()
+        elif key.startswith("reference"):
+            self.with_reference = n()
+        elif key.startswith("emwei"):
+            self.use_emweight = n(0)
+            if len(a) > 2:
+                self.emweight_lim = (f(1), f(2), f(3) if len(a) > 3 else 0.0)
+        elif key.startswith("stepwei"):
+            self.step_weight = (n(0), f(1) if len(a) > 1 else 0.0,
+                                f(2) if len(a) > 2 else 0.0)
+        elif key.startswith("simum"):
+            self.sim_f = (um2f(f(1)), um2f(f(0)))
+        elif key.startswith("remit"):
+            self.remit_f = (um2f(f(1)), um2f(f(0)))
+        elif key.startswith("wavelen"):
+            freqs = sorted(um2f(float(x)) for x in a)
+            self.single_map_freq = list(freqs)
+        elif key.startswith("threshold"):
+            self.level_threshold = n()
+        elif key.startswith("yshear"):
+            self.y_shear = f()
+        elif key.startswith("mirror"):
+            self.mirror = a[0] if a else ""
+        elif key.startswith("device"):
+            self.device = a[0] if a else ""
+        elif key.startswith("batch"):
+            self.batch = n()
+        elif key.startswith("verbose"):
+            self.verbose = n()
+        elif key.startswith("polmap"):
+            self.polmap = max(1, n() if a else 1)
+        elif key.startswith("polstat"):
+            self.polstat = n()
+        elif key.startswith("polred"):
+            self.file_polred = a[0]
+        elif key.startswith("p0"):
+            self.p0 = f()
+        elif key.startswith("Bfiles") or key.startswith("bfiles"):
+            self.b_files = list(a[:3])
+        elif key.startswith("mapint"):
+            self.map_interpolation = n()
+        elif key.startswith("FITS") or key.startswith("fits"):
+            self.fits = n() if a else 1
+        elif key.startswith("interpol"):
+            self.interpolate = f()
+        elif key.startswith("CR_HEATING"):
+            self.cr_heating = f()
+        # everything else: retained in self.keys only
+
+    # -- helpers ---------------------------------------------------------
+    def has_key(self, key):
+        return key in self.keys
+
+    def validate(self):
+        if not self.file_cloud:
+            raise ValueError("ini: missing 'cloud' keyword")
+        if not self.file_optical:
+            raise ValueError("ini: missing 'optical' keyword")
+        if self.gl <= 0:
+            raise ValueError("ini: missing/invalid 'gridlength'")
+        for path in [self.file_cloud] + self.file_optical + self.file_scafunc:
+            if path and not os.path.exists(path):
+                raise FileNotFoundError(path)
+        if not self.obs_theta:
+            self.obs_theta = [0.5 * pi]
+            self.obs_phi = [0.0]
+        return self

@@ -1,0 +1,205 @@
+"""Jittable octree traversal: the geometric core of the transport engine.
+
+TPU-native re-design of the reference's per-work-item traversal routines
+(kernel_ASOC_aux.c: IndexG:131, Index:198, GetStep:282). Differences from the
+OpenCL original:
+
+* All functions are *vectorized over a lane axis* (N packets/rays at once);
+  data-dependent while-loops become statically unrolled masked loops over the
+  (small, static) number of hierarchy levels, so the whole step fuses into one
+  XLA computation with gathers instead of divergent control flow.
+* The hierarchy metadata (nx, ny, nz, levels) is Python-static, so jit
+  specializes per model exactly like the reference's -D macro recompilation.
+* Cell coordinates: a cell is identified by (level, ind) with ``ind`` local to
+  the level; position is in level-local units (root: [0,NX]x[0,NY]x[0,NZ];
+  deeper: octet coordinates in [0,2]^3). Parent cells store bit-cast child
+  links in the density array; PEPS over-stepping keeps positions strictly
+  inside the entered cell (float32 epsilon discipline of the reference).
+"""
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..constants import PEPS
+
+INVALID = jnp.int32(-1)
+
+
+def _decode_link(dens_val):
+    """Negated bit-cast float32 link -> int32 first-child (level-local) index."""
+    return lax.bitcast_convert_type(-dens_val, jnp.int32)
+
+
+def _suboct(pos):
+    """Octet sub-cell id 0..7 from octet coordinates in [0,2]^3."""
+    ix = jnp.floor(pos[..., 0]).astype(jnp.int32)
+    iy = jnp.floor(pos[..., 1]).astype(jnp.int32)
+    iz = jnp.floor(pos[..., 2]).astype(jnp.int32)
+    return (4 * jnp.clip(iz, 0, 1) + 2 * jnp.clip(iy, 0, 1)
+            + jnp.clip(ix, 0, 1))
+
+
+def _root_index(pos, nx, ny, nz):
+    ix = jnp.floor(pos[..., 0]).astype(jnp.int32)
+    iy = jnp.floor(pos[..., 1]).astype(jnp.int32)
+    iz = jnp.floor(pos[..., 2]).astype(jnp.int32)
+    return iz * (nx * ny) + iy * nx + ix
+
+
+def _outside_root(pos, nx, ny, nz):
+    return ((pos[..., 0] <= 0.0) | (pos[..., 0] >= nx)
+            | (pos[..., 1] <= 0.0) | (pos[..., 1] >= ny)
+            | (pos[..., 2] <= 0.0) | (pos[..., 2] >= nz))
+
+
+def _descend(grid, pos, level, ind, active):
+    """Shared down-traversal: walk from a (possibly refined) cell to its leaf.
+
+    pos is local to ``level``; cells whose density value is a link get their
+    position rescaled into the child octet. Unrolled (levels-1) times.
+    """
+    for _ in range(grid.levels - 1):
+        gidx = grid.off[level] + ind
+        dval = grid.dens[jnp.clip(gidx, 0, grid.cells - 1)]
+        go = active & (ind >= 0) & (dval <= 0.0)
+        child = _decode_link(dval)
+        new_pos = 2.0 * jnp.mod(pos, 1.0)
+        new_ind = child + _suboct(new_pos)
+        pos = jnp.where(go[..., None], new_pos, pos)
+        ind = jnp.where(go, new_ind, ind)
+        level = jnp.where(go, level + 1, level)
+    return pos, level, ind
+
+
+def index_global(grid, pos):
+    """Global root-grid position -> (pos_local, level, ind). IndexG analog."""
+    outside = _outside_root(pos, grid.nx, grid.ny, grid.nz)
+    ind = jnp.where(outside, INVALID, _root_index(pos, grid.nx, grid.ny, grid.nz))
+    level = jnp.zeros_like(ind)
+    pos, level, ind = _descend(grid, pos, level, ind, ~outside)
+    return pos, level, ind
+
+
+def index_update(grid, pos, level, ind, active):
+    """Neighbor lookup after a boundary step. Index() analog.
+
+    (level, ind) identify the cell the ray *was* in; pos has been moved just
+    across its boundary (still in that level's local coordinates). Walk up the
+    hierarchy until pos falls inside the current octet/root, then descend to
+    the leaf. Returns (pos, level, ind) with ind == -1 for exited rays.
+    """
+    if grid.levels == 1:
+        outside = _outside_root(pos, grid.nx, grid.ny, grid.nz)
+        new_ind = jnp.where(outside, INVALID,
+                            _root_index(pos, grid.nx, grid.ny, grid.nz))
+        ind = jnp.where(active, new_ind, ind)
+        return pos, level, ind
+
+    # --- root-level lanes: direct handling
+    at_root = active & (level == 0)
+    outside0 = _outside_root(pos, grid.nx, grid.ny, grid.nz)
+    root_ind = _root_index(pos, grid.nx, grid.ny, grid.nz)
+    ind = jnp.where(at_root, jnp.where(outside0, INVALID, root_ind), ind)
+    # lanes done: exited, or landed in a root leaf (descend handles non-leaf)
+    settled = at_root
+
+    # --- up-walk for lanes at level > 0 (unrolled; masked)
+    up = active & (level > 0)
+    for _ in range(grid.levels - 1):
+        gidx = grid.off[level] + ind
+        parent = grid.par[jnp.clip(gidx, 0, grid.cells - 1)]
+        plevel = level - 1
+        # case A: parent is at root
+        posA = 0.5 * pos
+        posA = posA.at[..., 0].add((parent % grid.nx).astype(pos.dtype))
+        posA = posA.at[..., 1].add(((parent // grid.nx) % grid.ny).astype(pos.dtype))
+        posA = posA.at[..., 2].add((parent // (grid.nx * grid.ny)).astype(pos.dtype))
+        outsideA = _outside_root(posA, grid.nx, grid.ny, grid.nz)
+        indA = jnp.where(outsideA, INVALID,
+                         _root_index(posA, grid.nx, grid.ny, grid.nz))
+        # case B: parent is inside an octet at plevel > 0
+        sid = parent % 8
+        posB = 0.5 * pos
+        posB = posB.at[..., 0].add((sid % 2).astype(pos.dtype))
+        posB = posB.at[..., 1].add(((sid // 2) % 2).astype(pos.dtype))
+        posB = posB.at[..., 2].add((sid // 4).astype(pos.dtype))
+        insideB = ((posB[..., 0] >= 0.0) & (posB[..., 0] <= 2.0)
+                   & (posB[..., 1] >= 0.0) & (posB[..., 1] <= 2.0)
+                   & (posB[..., 2] >= 0.0) & (posB[..., 2] <= 2.0))
+        indB = parent - sid + _suboct(posB)
+
+        rootcase = up & (plevel == 0)
+        octcase = up & (plevel > 0)
+        pos = jnp.where(rootcase[..., None], posA,
+                        jnp.where(octcase[..., None], posB, pos))
+        ind = jnp.where(rootcase, indA,
+                        jnp.where(octcase,
+                                  jnp.where(insideB, indB, parent), ind))
+        level = jnp.where(up, plevel, level)
+        # settle: root lanes always settle; octet lanes settle if inside octet
+        nowdone = rootcase | (octcase & insideB)
+        settled = settled | nowdone
+        up = up & ~nowdone & (level > 0)
+
+    # --- descend to leaf for all lanes still pointing at refined cells
+    pos, level, ind = _descend(grid, pos, level, ind, active & (ind >= 0))
+    return pos, level, ind
+
+
+def boundary_step(pos, dir):
+    """Distance (level-local units) to the next cell boundary, PEPS over-step.
+
+    GetStep's step computation (kernel_ASOC_aux.c:282-300): per axis the step
+    to the next integer plane plus PEPS; returns (ds_local, new_pos).
+    """
+    frac = jnp.mod(pos, 1.0)
+    step_pos = (1.0 + PEPS - frac) / dir
+    step_neg = (-PEPS - frac) / dir
+    per_axis = jnp.where(dir > 0.0, step_pos, step_neg)
+    ds = jnp.min(per_axis, axis=-1)
+    new_pos = pos + ds[..., None] * dir
+    return ds, new_pos
+
+
+def march_path_lengths(grid, pos0, dir, max_steps=10000):
+    """March rays from global positions to exit; return total path per ray.
+
+    Pure-traversal loop with no physics: the "speed-of-light" upper bound for
+    packet stepping (BASELINE.md target) and the geometric test harness.
+    Vectorized over rays; single fused lax.while_loop.
+    """
+    import jax
+
+    pos, level, ind = index_global(grid, pos0)
+
+    def cond(state):
+        _, _, ind, _, it = state
+        return (it < max_steps) & jnp.any(ind >= 0)
+
+    def body(state):
+        pos, level, ind, total, it = state
+        active = ind >= 0
+        ds, npos, nlevel, nind = get_step(grid, pos, dir, level, ind, active)
+        total = total + jnp.where(active, ds, 0.0)
+        pos = jnp.where(active[..., None], npos, pos)
+        level = jnp.where(active, nlevel, level)
+        ind = jnp.where(active, nind, ind)
+        return pos, level, ind, total, it + 1
+
+    total = jnp.zeros(pos.shape[:-1], jnp.float32)
+    state = (pos, level, ind, total, jnp.int32(0))
+    _, _, _, total, _ = jax.lax.while_loop(cond, body, state)
+    return total
+
+
+def get_step(grid, pos, dir, level, ind, active):
+    """Full GetStep: advance to next cell, update (level, ind).
+
+    Returns (ds_gl, pos, level, ind) where ds_gl is the step in root-grid
+    (GL) units: ds_local * 2**-level.
+    """
+    ds_local, new_pos = boundary_step(pos, dir)
+    ds_gl = ds_local * jnp.exp2(-level.astype(ds_local.dtype))
+    pos = jnp.where(active[..., None], new_pos, pos)
+    pos, level, ind = index_update(grid, pos, level, ind, active)
+    return ds_gl, pos, level, ind

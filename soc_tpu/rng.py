@@ -1,0 +1,70 @@
+"""Counter-based RNG for the transport kernels.
+
+The reference uses the skip-ahead MWC64X generator to give every OpenCL work
+item an independent stream (mwc64x_rng.cl, kernel_ASOC.c:71-77). The TPU-native
+equivalent is a counter-based generator: every photon packet owns the stream
+``(seed, packet_id)`` and advances a private 32-bit draw counter. Streams are
+therefore reproducible and *device-count invariant* -- resharding packets over
+a different mesh never changes the random numbers a given packet consumes.
+
+We implement Threefry-2x32 (the same primitive underlying ``jax.random``) as
+plain 32-bit vector arithmetic so it can run inside ``lax.while_loop`` bodies
+and Pallas kernels without threading JAX PRNG keys through the loop carry.
+"""
+
+import jax.numpy as jnp
+
+_ROTATIONS = ((13, 15, 26, 6), (17, 29, 16, 24))
+_PARITY = jnp.uint32(0x1BD11BDA)
+
+
+def _rotl(x, d):
+    return (x << d) | (x >> (32 - d))
+
+
+def threefry2x32(k0, k1, c0, c1):
+    """Threefry-2x32, 20 rounds. All args uint32 arrays; returns (x0, x1)."""
+    k0 = jnp.asarray(k0, jnp.uint32)
+    k1 = jnp.asarray(k1, jnp.uint32)
+    x0 = jnp.asarray(c0, jnp.uint32)
+    x1 = jnp.asarray(c1, jnp.uint32)
+    ks2 = k0 ^ k1 ^ _PARITY
+    keys = (k0, k1, ks2)
+
+    x0 = x0 + k0
+    x1 = x1 + k1
+    for r in range(5):
+        rots = _ROTATIONS[r % 2]
+        for d in rots:
+            x0 = x0 + x1
+            x1 = _rotl(x1, jnp.uint32(d))
+            x1 = x1 ^ x0
+        # key injection every 4 rounds
+        x0 = x0 + keys[(r + 1) % 3]
+        x1 = x1 + keys[(r + 2) % 3] + jnp.uint32(r + 1)
+    return x0, x1
+
+
+def _bits_to_unit(bits):
+    # uint32 -> float32 uniform in (0, 1): match the reference's
+    # u = bits / 2^32-1 mapping but guard the exact 0 that would break log(u).
+    u = bits.astype(jnp.float32) * jnp.float32(1.0 / 4294967296.0)
+    return jnp.maximum(u, jnp.float32(1e-12))
+
+
+def uniform2(seed, stream, counter):
+    """Two independent uniform(0,1) float32 draws for (seed, stream, counter).
+
+    seed    : uint32 scalar or array -- global run seed
+    stream  : uint32 array -- per-packet stream id
+    counter : uint32 array -- per-packet draw counter (caller increments)
+    """
+    b0, b1 = threefry2x32(seed, stream, counter, jnp.zeros_like(counter))
+    return _bits_to_unit(b0), _bits_to_unit(b1)
+
+
+def uniform4(seed, stream, counter):
+    """Four uniform(0,1) float32 draws (two threefry evaluations)."""
+    b0, b1 = threefry2x32(seed, stream, counter, jnp.zeros_like(counter))
+    b2, b3 = threefry2x32(seed, stream, counter, jnp.ones_like(counter))
+    return _bits_to_unit(b0), _bits_to_unit(b1), _bits_to_unit(b2), _bits_to_unit(b3)
