@@ -22,7 +22,10 @@ from jax import lax
 
 from ..constants import PEPS
 
-INVALID = jnp.int32(-1)
+# plain numpy scalar: must not touch the backend at import time
+import numpy as np
+
+INVALID = np.int32(-1)
 
 
 def _decode_link(dens_val):

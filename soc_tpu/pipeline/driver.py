@@ -1,0 +1,297 @@
+"""End-to-end emission radiative-transfer pipeline (the ASOC.py equivalent).
+
+Phases (call stack mirrors SURVEY.md section 3.1, but as in-process function
+calls over device arrays instead of kernel launches + host staging):
+  1. constant sources: background + point sources, all frequencies batched
+     into mixed-frequency packet chunks -> CTABS (+ per-frequency FABSORBED)
+  2. iterations: dust re-emission packets (when cellpackets > 0), equilibrium
+     temperature solve, thermal emission
+  3. maps: frequency-fused orthographic LOS integration -> map_dir_XX.bin
+
+Outputs keep the reference's binary formats so downstream tooling
+(plot_results.py etc.) works unchanged.
+"""
+
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import RunConfig
+from ..constants import FACTOR, PARSEC, PLANCK
+from ..grid import Grid
+from ..io.cloud import read_cloud, write_cell_field
+from ..io.dust import read_simple_dust, read_scattering_function
+from ..io.fields import (read_background_intensity,
+                         write_cell_frequency_array, write_map_file)
+from ..solve import equilibrium
+from ..transport.medium import medium_from_optics
+from ..transport.propagate import transport_run
+from ..render import mapping as render_mapping
+from ..utils.cache import enable_compile_cache
+
+DEFAULT_LANES = 1 << 17
+
+
+@dataclass
+class RunResult:
+    grid: Grid = None
+    freq: np.ndarray = None
+    ctabs: np.ndarray = None            # integrated constant-source heating
+    absorbed: np.ndarray = None         # [CELLS, NFREQ] (file scaling applied)
+    temperature: np.ndarray = None      # [CELLS]
+    emitted: np.ndarray = None          # [CELLS, NFREQ]
+    maps: dict = field(default_factory=dict)       # idir -> [NF, NY, NX]
+    tau_maps: dict = field(default_factory=dict)
+    escaped: np.ndarray = None          # [NFREQ] photons that left the volume
+    injected: np.ndarray = None         # [NFREQ] photons injected
+    timings: dict = field(default_factory=dict)
+
+
+def _pool_lanes(nlanes, per_freq):
+    """Lane-pool size: at most the per-frequency budget, power-of-two,
+    >= 1024 (static per run, so one compile covers all frequencies)."""
+    n = min(nlanes, max(1024, per_freq))
+    return 1 << (n - 1).bit_length() if n & (n - 1) else n
+
+
+def _run_over_freqs(grid, medium, kind, make_params, per_freq, tabs, intf,
+                    seed, nlanes, per_freq_tally, id_base=0):
+    """Run one transport pass per frequency (uniform-frequency fast path:
+    scalar cross sections, [BINS] CSC row -- all frequencies share one
+    compiled executable)."""
+    import sys
+    progress = os.environ.get("SOC_TPU_PROGRESS", "0") != "0"
+    nfreq = medium.nfreq
+    esc_list, abs_list = [], []
+    t_loop = time.time()
+    for ifreq in range(nfreq):
+        if progress:
+            print("  [%s] freq %d/%d  t=%.1fs" %
+                  (kind, ifreq + 1, nfreq, time.time() - t_loop),
+                  file=sys.stderr, flush=True)
+        physics = dict(kabs=medium.abs_gl[ifreq], ksca=medium.sca_gl[ifreq],
+                       csc=medium.csc[ifreq], tw=medium.tw[ifreq])
+        params = make_params(ifreq)
+        params["ifreq"] = jnp.int32(ifreq)
+        params["per_freq"] = jnp.int32(per_freq)
+        params["id_offset"] = jnp.int32(id_base + ifreq * per_freq)
+        tabs, intf, esc, absd = transport_run(
+            grid, physics, params, jnp.int32(per_freq), tabs, intf, seed,
+            source_kind=kind, nlanes=_pool_lanes(nlanes, per_freq),
+            per_freq_tally=per_freq_tally)
+        esc_list.append(esc)
+        abs_list.append(absd)
+    escaped = np.asarray([float(e) for e in esc_list])
+    absorbed = np.asarray([float(a) for a in abs_list])
+    return tabs, intf, escaped, absorbed
+
+
+def simulate_background(grid, medium, cfg, ibg, tabs, intf, seed,
+                        lanes=DEFAULT_LANES, per_freq_tally=False):
+    """Phase-1 isotropic background over all frequencies.
+
+    Packet budget: the reference sends 8*AREA*BATCH packets per frequency
+    (ASOC.py:1060-1063); we keep that exact normalization so tallies match.
+    Returns (tabs, intf, escaped[NF], injected[NF]).
+    """
+    area = int(grid.area)
+    batch = max(1, int(round(cfg.bgpac / (8.0 * area))))
+    per_freq = 8 * area * batch                 # packets per frequency
+    wbg = np.pi / (PLANCK * 8.0 * batch)
+    bg_photons = (np.asarray(ibg, np.float64) * wbg
+                  / np.asarray(cfg.freq, np.float64)).astype(np.float32)
+
+    def make_params(ifreq):
+        return dict(photons=jnp.float32(bg_photons[ifreq]))
+
+    tabs, intf, escaped, absorbed = _run_over_freqs(
+        grid, medium, "bg", make_params, per_freq, tabs, intf, seed,
+        lanes, per_freq_tally)
+    injected = np.float64(per_freq) * np.asarray(bg_photons, np.float64)
+    return tabs, intf, escaped, injected
+
+
+def simulate_point_sources(grid, medium, cfg, lps, tabs, intf, seed,
+                           lanes=DEFAULT_LANES, per_freq_tally=False):
+    """Phase-1 point sources (internal positions)."""
+    if cfg.no_ps < 1 or cfg.pspac < 1:
+        return tabs, intf, np.zeros(medium.nfreq), 0.0
+    pspac = max(1, cfg.pspac)
+    wps = 1.0 / (PLANCK * pspac * (cfg.gl * PARSEC) ** 2)
+    freq = np.asarray(cfg.freq, np.float64)
+    ps_photons = (np.asarray(lps, np.float64) * wps
+                  / freq[None, :]).astype(np.float32)    # [NO_PS, NFREQ]
+    ps_pos = jnp.asarray(np.asarray(cfg.ps_pos, np.float32))
+    per_freq = pspac * cfg.no_ps
+
+    def make_params(ifreq):
+        return dict(ps_pos=ps_pos,
+                    photons=jnp.asarray(ps_photons[:, ifreq]))
+
+    tabs, intf, escaped, absorbed = _run_over_freqs(
+        grid, medium, "ps", make_params, per_freq, tabs, intf, seed,
+        lanes, per_freq_tally, id_base=1 << 28)
+    injected = np.sum(np.asarray(ps_photons, np.float64), axis=0) * pspac
+    return tabs, intf, escaped, injected
+
+
+def simulate_cell_emission(grid, medium, cfg, emitted, tabs, intf, seed,
+                           lanes=DEFAULT_LANES, per_freq_tally=False):
+    """Phase-2 dust re-emission (SimRAM_CL equivalent).
+
+    emitted : [CELLS, NFREQ] photons/Hz/H per cell. Packets per cell =
+    max(1, CLPAC//CELLS); photon weight = EMIT[cell]/packets_per_cell.
+    """
+    per_cell = max(1, int(cfg.clpac) // grid.cells)
+    per_freq = per_cell * grid.cells
+    emitted = jnp.asarray(emitted)
+
+    def make_params(ifreq):
+        return dict(emit=emitted[:, ifreq] / np.float32(per_cell),
+                    per_cell=jnp.int32(per_cell))
+
+    tabs, intf, escaped, absorbed = _run_over_freqs(
+        grid, medium, "cell", make_params, per_freq, tabs, intf, seed,
+        lanes, per_freq_tally, id_base=1 << 29)
+    return tabs, intf, escaped
+
+
+def run(ini_path=None, cfg=None, lanes=DEFAULT_LANES, write_files=True,
+        workdir=None):
+    """Full pipeline; returns RunResult. workdir defaults to the ini dir."""
+    enable_compile_cache()
+    t_start = time.time()
+    if cfg is None:
+        cfg = RunConfig(ini_path)
+    if workdir is None:
+        workdir = os.path.dirname(os.path.abspath(ini_path)) if ini_path else "."
+    orig = os.getcwd()
+    os.chdir(workdir)
+    try:
+        return _run_inner(cfg, lanes, write_files, t_start)
+    finally:
+        os.chdir(orig)
+
+
+def _run_inner(cfg, lanes, write_files, t_start):
+    cfg.validate()
+    res = RunResult()
+    timings = res.timings
+
+    # ---- model input
+    t0 = time.time()
+    grid = read_cloud(cfg.file_cloud, cfg.kdensity)
+    optics = [read_simple_dust(f, cfg.gl) for f in cfg.file_optical]
+    freq = optics[0].freq
+    cfg.freq = freq
+    cfg.nfreq = len(freq)
+    nfreq = len(freq)
+    bins = cfg.dsc_bins if cfg.dsc_bins > 0 else 2500
+    dsc, csc = read_scattering_function(cfg.file_scafunc[0], nfreq, bins)
+    medium = medium_from_optics(optics, dsc, csc, freq)
+    res.grid, res.freq = grid, freq
+    seed = np.uint32(max(0.0, cfg.seed) * 2**31) + np.uint32(12345)
+    timings["input"] = time.time() - t0
+
+    # ---- phase 1: constant sources
+    t0 = time.time()
+    per_freq_tally = not cfg.noabsorbed
+    tabs = jnp.zeros(grid.cells, jnp.float32)
+    intf = jnp.zeros((grid.cells, nfreq) if per_freq_tally else (1, 1),
+                     jnp.float32)
+    injected = np.zeros(nfreq)
+    escaped = np.zeros(nfreq)
+    if cfg.bgpac > 0 and cfg.file_background:
+        ibg = read_background_intensity(cfg.file_background, nfreq)
+        ibg = ibg * cfg.scale_background
+        tabs, intf, esc, inj = simulate_background(
+            grid, medium, cfg, ibg, tabs, intf, seed, lanes, per_freq_tally)
+        escaped += np.asarray(esc)
+        injected += inj
+    if cfg.no_ps > 0 and cfg.pspac > 0:
+        lps = np.zeros((cfg.no_ps, nfreq), np.float32)
+        for i, f in enumerate(cfg.file_pointsource):
+            lps[i] = np.fromfile(f, np.float32, nfreq) * cfg.ps_scale[i]
+        tabs, intf, esc, inj = simulate_point_sources(
+            grid, medium, cfg, lps, tabs, intf, seed, lanes, per_freq_tally)
+        escaped += np.asarray(esc)
+        injected += inj
+    ctabs = tabs
+    res.ctabs = np.asarray(ctabs)
+    res.escaped = escaped
+    res.injected = injected
+    timings["constant_sources"] = time.time() - t0
+
+    # ---- phase 2: iterations (T solve + emission, optional self-heating)
+    t0 = time.time()
+    gl_cm = cfg.gl * PARSEC
+    temperature = None
+    emitted = None
+    if not cfg.nosolve:
+        table = equilibrium.build_temperature_table(freq, optics[0].abs_gl,
+                                                    cfg.gl)
+        emit_total = ctabs
+        for iteration in range(max(1, cfg.iterations)):
+            if cfg.clpac > 0 and emitted is not None:
+                tabs_it = jnp.zeros(grid.cells, jnp.float32)
+                tabs_it, intf, _ = simulate_cell_emission(
+                    grid, medium, cfg, emitted, tabs_it, intf,
+                    seed + 7 * iteration, lanes, per_freq_tally)
+                emit_total = tabs_it + ctabs
+            temperature = equilibrium.solve_temperature(
+                grid, table, emit_total, gl_cm)
+            emitted = equilibrium.emission(freq, optics[0].abs_gl,
+                                           temperature, gl_cm)
+            if cfg.clpac <= 0:
+                break   # nothing changes between iterations without CLPAC
+        res.temperature = np.asarray(temperature)
+        res.emitted = np.asarray(emitted)
+    timings["solve"] = time.time() - t0
+
+    # ---- absorbed-file output (reference end-of-run scaling)
+    if per_freq_tally:
+        lev = np.asarray(equilibrium.cell_levels(grid))
+        dens = np.asarray(grid.dens)
+        fabs = np.asarray(intf)
+        coeff = (8.0 ** lev) * (FACTOR / gl_cm)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            fabs = fabs * (coeff / np.maximum(dens, 1e-35))[:, None]
+        fabs[dens <= 0.0] = -1.0e20          # parent cells marked
+        res.absorbed = fabs
+        if write_files and cfg.file_absorbed:
+            write_cell_frequency_array(cfg.file_absorbed, fabs)
+
+    if write_files and temperature is not None and cfg.file_temperature:
+        write_cell_field(cfg.file_temperature, grid, res.temperature)
+    if write_files and emitted is not None and cfg.file_emitted:
+        write_cell_frequency_array(cfg.file_emitted, res.emitted)
+
+    # ---- phase 3: maps
+    t0 = time.time()
+    if not cfg.nomap and emitted is not None:
+        centre = cfg.mapcentre
+        if centre[0] < -1e7:
+            centre = (0.5 * grid.nx, 0.5 * grid.ny, 0.5 * grid.nz)
+        kk = render_mapping.map_scale_kk(cfg.gl)
+        emit_map = jnp.asarray(
+            (np.asarray(res.emitted, np.float64)
+             * (kk * freq)[None, :]).astype(np.float32))
+        ext_gl = jnp.asarray(np.asarray(medium.abs_gl) +
+                             np.asarray(medium.sca_gl))
+        for idir in range(len(cfg.obs_theta)):
+            odir, ra, de = render_mapping.observer_basis(
+                cfg.obs_theta[idir], cfg.obs_phi[idir])
+            phot, tau, colden = render_mapping.render_ortho(
+                grid, emit_map, ext_gl, jnp.asarray(odir), jnp.asarray(ra),
+                jnp.asarray(de), centre, cfg.map_dx, tuple(cfg.npix))
+            res.maps[idir] = np.asarray(phot)
+            res.tau_maps[idir] = np.asarray(tau)
+            if write_files:
+                write_map_file("map_dir_%02d.bin" % idir, res.maps[idir])
+    timings["maps"] = time.time() - t0
+    timings["total"] = time.time() - t_start
+    return res

@@ -1,0 +1,135 @@
+"""Map rendering: LOS integration of dust emission onto observer maps.
+
+Reimplements the reference Mapping kernel (kernel_ASOC_map.c:496-888) with a
+TPU-native twist: instead of one kernel launch per frequency (reference loops
+IFREQ and re-stages EMIT, ASOC.py:3100-3130), every ray integrates *all
+frequencies at once* -- the per-step work becomes a [PIXELS, NFREQ] vector
+update, which is exactly the lane-parallel shape the VPU wants, and the
+geometry (the serial part) is amortized over the whole spectrum.
+
+Radiative transfer along the ray (stepping *away* from the observer):
+  I += exp(-tau) * (1 - exp(-dtau))/dtau * ds * emit * dens,  tau += dtau
+with the reference's Taylor fallback for dtau < 1e-3.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..constants import EPS, FACTOR, PARSEC, PLANCK
+from ..ops import traverse
+
+
+def observer_basis(theta, phi):
+    """(theta, phi) -> (ODIR, RA, DE) orthonormal triad.
+
+    Same convention as the reference (ASOC_aux.py:1129-1183): the observer
+    lies in direction ODIR; RA increases to the right in the map, DE up.
+    """
+    b = 0.5 * np.pi - theta          # latitude
+    a = phi
+    rot = np.asarray([
+        [np.cos(a) * np.cos(b), -np.sin(a), -np.cos(a) * np.sin(b)],
+        [np.sin(a) * np.cos(b), np.cos(a), -np.sin(a) * np.sin(b)],
+        [np.sin(b), 0.0, np.cos(b)]])
+    odir = rot @ np.asarray([1.0, 0.0, 0.0])
+    ra = rot @ np.asarray([0.0, 1.0, 0.0])
+    de = rot @ np.asarray([0.0, 0.0, 1.0])
+    odir = np.where(np.abs(odir) < 1e-5, 1e-5, odir)
+    return (odir.astype(np.float32), ra.astype(np.float32),
+            de.astype(np.float32))
+
+
+def map_scale_kk(gl_pc):
+    """Jy/sr conversion applied to EMITTED before LOS integration
+    (ASOC.py:3000-3001): KK = (1e23/FACTOR) * PLANCK/(4 pi) * GL * PARSEC."""
+    return (1.0e23 / FACTOR) * PLANCK / (4.0 * np.pi) * gl_pc * PARSEC
+
+
+def _front_surface(pos, odir, nx, ny, nz):
+    """Clamp ray start positions to the model's front surface
+    (kernel_ASOC_map.c:570-640, NX<200 branch)."""
+    # step away from the observer until inside the volume
+    bound = jnp.where(odir >= 0.0,
+                      jnp.asarray([nx, ny, nz], jnp.float32),
+                      jnp.zeros(3, jnp.float32))
+    s = (bound - pos) / (-odir) + EPS                  # [P, 3]
+    trial = pos[:, None, :] - s[..., None] * odir      # [P, 3axis, 3]
+    ok = ((trial[..., 0] >= 0) & (trial[..., 0] <= nx)
+          & (trial[..., 1] >= 0) & (trial[..., 1] <= ny)
+          & (trial[..., 2] >= 0) & (trial[..., 2] <= nz))
+    s = jnp.where(ok, s, 1e10)
+    smin = jnp.min(s, axis=-1)
+    return pos - smin[:, None] * odir
+
+
+@partial(jax.jit, static_argnames=("npix", "max_steps"))
+def render_ortho(grid, emit_map, ext_gl, odir, ra, de, centre, map_dx,
+                 npix, max_steps=100000):
+    """Orthographic multi-frequency map.
+
+    emit_map : [CELLS, NF] emission pre-scaled by KK*freq (Jy/sr units out)
+    ext_gl   : [NF] extinction (abs+sca) / unit density / GL
+    Returns (photons [NF, NY, NX], tau [NF, NY, NX], colden [NY, NX]).
+    colden is in GL units (caller multiplies by GL*PARSEC).
+    """
+    nxp, nyp = npix
+    nf = emit_map.shape[1]
+    i = jnp.arange(nxp, dtype=jnp.float32)
+    j = jnp.arange(nyp, dtype=jnp.float32)
+    ii, jj = jnp.meshgrid(i, j, indexing="xy")          # [NY, NX]
+    ii = ii.reshape(-1)
+    jj = jj.reshape(-1)
+    centre = jnp.asarray(centre, jnp.float32)
+    pos = (centre[None, :]
+           + ((ii - 0.5 * (nxp - 1)) * map_dx)[:, None] * ra[None, :]
+           + ((jj - 0.5 * (nyp - 1)) * map_dx)[:, None] * de[None, :])
+    pos = pos + (grid.nx + grid.ny + grid.nz) * odir[None, :]
+    pos = _front_surface(pos, odir, grid.nx, grid.ny, grid.nz)
+
+    step_dir = -odir
+    step_dir = jnp.where(jnp.abs(step_dir) < 1e-5, 1e-5, step_dir)
+    step_dir = jnp.broadcast_to(step_dir, pos.shape)
+
+    pos, level, ind = traverse.index_global(grid, pos)
+    npixels = pos.shape[0]
+    tau = jnp.zeros((npixels, nf), jnp.float32)
+    phot = jnp.zeros((npixels, nf), jnp.float32)
+    colden = jnp.zeros(npixels, jnp.float32)
+
+    def cond(state):
+        it, pos, level, ind, tau, phot, colden = state
+        return (it < max_steps) & jnp.any(ind >= 0)
+
+    def body(state):
+        it, pos, level, ind, tau, phot, colden = state
+        active = ind >= 0
+        gidx = jnp.clip(grid.off[jnp.clip(level, 0, grid.levels - 1)]
+                        + jnp.maximum(ind, 0), 0, grid.cells - 1)
+        dens = grid.dens[gidx]
+        ds, npos, nlevel, nind = traverse.get_step(
+            grid, pos, step_dir, level, ind, active)
+        # failed-step recovery
+        failed = active & (nlevel == level) & (nind == ind)
+        npos = jnp.where(failed[:, None], npos + 1e-4 * step_dir, npos)
+
+        w = jnp.where(active, ds, 0.0)
+        dtau = (w * dens)[:, None] * ext_gl[None, :]
+        emit = emit_map[gidx, :]                       # [P, NF]
+        attw = jnp.where(dtau < 1.0e-3,
+                         1.0 - 0.5 * dtau,
+                         (1.0 - jnp.exp(-dtau)) / jnp.maximum(dtau, 1e-30))
+        phot = phot + jnp.exp(-tau) * attw * (w * dens)[:, None] * emit
+        tau = tau + dtau
+        colden = colden + w * dens
+        return it + 1, npos, nlevel, nind, tau, phot, colden
+
+    state = (jnp.int32(0), pos, level, ind, tau, phot, colden)
+    _, _, _, _, tau, phot, colden = lax.while_loop(cond, body, state)
+    phot = phot.T.reshape(nf, nyp, nxp)
+    tau = tau.T.reshape(nf, nyp, nxp)
+    colden = colden.reshape(nyp, nxp)
+    return phot, tau, colden

@@ -1,0 +1,164 @@
+"""Stochastically-heated grain emission: the A2E solve, TPU-native.
+
+The reference's DoSolve kernel (kernel_A2E.c:2-104) builds, per cell and per
+grain size, a lower-triangular heating-rate matrix from sparse integration
+weights, folds it, and runs a forward substitution for the steady-state
+energy-bin populations. Here the same math is recast into MXU-shaped ops:
+
+  1. heating matrix  A[b, u, l] = sum_f W[u, l, f] * (ABS[b, f] * AF[f])
+     -- one dense [batch, NFREQ] x [NFREQ, NE*NE] matmul (W densified once
+     per size at load; NE*NE*NFREQ floats ~ 12 MB)
+  2. fold            B[b, j, l] = sum_{u=j}^{NE-2} A[b, u, l]  (j <= NE-2)
+                     B[b, NE-1, l] = A[b, NE-1, l]
+     -- a reversed cumulative sum (kernel_A2E.c:72-77 semantics: the bottom
+     row is never folded into the others)
+  3. forward substitution with progressive overflow rescale
+     (kernel_A2E.c:80-89) -- lax.fori_loop over NE rows, vectorized over the
+     cell batch
+  4. emission        EMIT[b, f] = sum_i EA'[f, i] * X[b, i]
+     -- one [batch, NE] x [NE, NFREQ] matmul; EA' has bins below Ibeg zeroed
+
+Throughput target: >> the reference's ~7e3 cells/s (A2E.py:88-92).
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .solver_file import densify_weights
+
+
+def prepare_size_arrays(solver, isize):
+    """Host-side per-size preprocessing -> device arrays for solve_batch."""
+    sd = solver.sizes[isize]
+    ne, nfreq = solver.ne, solver.nfreq
+    w = densify_weights(sd, ne, nfreq)              # [NE, NE, NFREQ]
+    # absorption fraction of this size (A2E.py:346-349)
+    af = (np.asarray(solver.sk_abs[isize], np.float64)
+          / np.asarray(solver.k_abs, np.float64))
+    af = af / (solver.s_frac[isize] * solver.grain_density)
+    af = np.clip(np.nan_to_num(af, nan=1e-32), 1e-32, 1e100).astype(np.float32)
+    # fold AF into the weight matrix (same per-frequency product)
+    w = w * af[None, None, :]
+    # emission array with Ibeg masking folded in (kernel_A2E.c:96-100)
+    ea = np.asarray(sd.ea, np.float32).copy()       # [NFREQ, NE]
+    for f in range(nfreq):
+        ea[f, : sd.ibeg[f]] = 0.0
+    return (jnp.asarray(w.reshape(ne * ne, nfreq)),
+            jnp.asarray(sd.tdown),
+            jnp.asarray(ea))
+
+
+@partial(jax.jit, static_argnames=("ne",))
+def solve_batch(w_flat, tdown, ea, absorbed, ne):
+    """Steady-state emission for a batch of cells, one grain size.
+
+    w_flat   : [NE*NE, NFREQ] dense heating weights (AF included)
+    tdown    : [NE] cooling rates
+    ea       : [NFREQ, NE] emission array (Ibeg-masked)
+    absorbed : [batch, NFREQ] absorbed photons per cell
+    Returns EMIT [batch, NFREQ].
+    """
+    batch, nfreq = absorbed.shape
+    # 1. heating matrices
+    a = jnp.maximum(
+        jnp.dot(absorbed, w_flat.T,
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST), 0.0)
+    a = a.reshape(batch, ne, ne)                    # [b, u, l]
+
+    # 2. fold: reversed cumsum over u, excluding the bottom row for j<=NE-2
+    s = jnp.cumsum(a[:, ::-1, :], axis=1)[:, ::-1, :]   # s[j] = sum_{u>=j} a
+    b_mat = s - a[:, ne - 1: ne, :]                     # exclude bottom row
+    b_mat = b_mat.at[:, ne - 1, :].set(a[:, ne - 1, :])
+
+    # 3. forward substitution with overflow rescale
+    tri_mask = (jax.lax.broadcasted_iota(jnp.int32, (ne, ne), 1)
+                < jax.lax.broadcasted_iota(jnp.int32, (ne, ne), 0))
+    b_mat = b_mat * tri_mask[None, :, :]            # keep i < j only
+    x = jnp.zeros((batch, ne), jnp.float32).at[:, 0].set(1.0e-20)
+
+    def row_step(j, x):
+        s_j = jnp.einsum("bi,bi->b", b_mat[:, j, :], x,
+                         precision=lax.Precision.HIGHEST)
+        x_j = jnp.maximum(s_j / (tdown[j] + 1.0e-30), 0.0)
+        scale = jnp.where(x_j > 1.0e20, 1.0e-20, 1.0)
+        x = x * scale[:, None]
+        return x.at[:, j].set(x_j * scale)
+
+    x = lax.fori_loop(1, ne, row_step, x)
+
+    # 4. normalize + emission
+    x = x / jnp.sum(x, axis=1, keepdims=True)
+    emit = jnp.dot(x, ea.T, preferred_element_type=jnp.float32,
+                   precision=lax.Precision.HIGHEST)
+    return emit
+
+
+def solve_equilibrium_size(solver, isize, absorbed, gl=None, nip=5000):
+    """Large grains above the stochastic cutoff: equilibrium treatment
+    (A2E.py NSTOCH split; kernel_A2E.c:110-154 EqTemperature).
+
+    absorbed : [cells, NFREQ]; returns EMIT [cells, NFREQ] for this size
+    (already scaled by S_FRAC*GRAIN_DENSITY like the stochastic path).
+    """
+    from ..constants import FACTOR, H_K, PLANCK, planck_intensity
+    freq = np.asarray(solver.freq, np.float64)
+    # per-grain cross section
+    kabs = (np.asarray(solver.sk_abs[isize], np.float64)
+            / (solver.grain_density * solver.s_frac[isize]))
+    af = (np.asarray(solver.sk_abs[isize], np.float64)
+          / np.asarray(solver.k_abs, np.float64))
+    af = np.clip(af / (solver.s_frac[isize] * solver.grain_density),
+                 1e-32, 1e100)
+    # E(T) lookup  (A2E.py equilibrium branch math)
+    tgrid = np.logspace(np.log10(1.0), np.log10(2500.0), nip)
+    # Eout(T) = FACTOR * 4 pi integral kabs B_nu(T) dnu  (trapezoid)
+    bnu = planck_intensity(freq[None, :], tgrid[:, None])        # 1e20-scaled
+    integ = kabs[None, :] * bnu * 1e-20
+    eout = FACTOR * 4.0 * np.pi * np.trapezoid(integ, freq, axis=1)
+
+    absf = np.asarray(absorbed, np.float64) * af[None, :]
+    # Ein = trapezoid of  ABS * h nu  (photons -> energy)
+    ein = np.trapezoid(absf * (PLANCK * freq)[None, :], freq, axis=1)
+    t = np.interp(ein, eout, tgrid)
+    # emission per grain, scaled back up by S_FRAC*GRAIN_DENSITY
+    coeff = 2.79639459e-20 * FACTOR * solver.grain_density * \
+        solver.s_frac[isize]
+    x = np.clip(H_K * freq[None, :] / np.maximum(t[:, None], 1e-3), 1e-10, 500)
+    emit = coeff * kabs[None, :] * freq[None, :] ** 2 / np.expm1(x)
+    return emit.astype(np.float32)
+
+
+def solve_emission(solver, absorbed, nstoch=999, batch=16384, clip_last=True):
+    """Full A2E solve: sum emission over all grain sizes.
+
+    absorbed : [CELLS, NFREQ] (the absorbed.data payload)
+    nstoch   : sizes >= nstoch are treated at equilibrium (A2E.py NSTOCH)
+    Returns EMITTED [CELLS, NFREQ] float32.
+    """
+    cells, nfreq = absorbed.shape
+    absorbed = np.asarray(absorbed, np.float32).copy()
+    if clip_last and nfreq >= 2:
+        # guard against spurious weight on the topmost channel (A2E.py:184)
+        absorbed[:, -1] = np.clip(absorbed[:, -1], 0.0,
+                                  0.2 * absorbed[:, -2])
+    emitted = np.zeros((cells, nfreq), np.float32)
+    for isize in range(solver.nsize):
+        if isize < nstoch:
+            w_flat, tdown, ea = prepare_size_arrays(solver, isize)
+            for i0 in range(0, cells, batch):
+                i1 = min(i0 + batch, cells)
+                n = i1 - i0
+                chunk = absorbed[i0:i1]
+                if n < batch:   # pad to keep a single compiled shape
+                    chunk = np.pad(chunk, ((0, batch - n), (0, 0)))
+                emit = solve_batch(w_flat, tdown, ea, jnp.asarray(chunk),
+                                   solver.ne)
+                emitted[i0:i1] += np.asarray(emit[:n])
+        else:
+            emitted += solve_equilibrium_size(solver, isize, absorbed)
+    return emitted

@@ -1,0 +1,252 @@
+"""Photon-packet propagation: the hot loop of the framework.
+
+TPU-native redesign of the reference's per-work-item propagation loops
+(SimRAM_PB/CL, kernel_ASOC.c:557-806). One fused ``lax.while_loop`` steps a
+fixed-shape pool of packet lanes; every iteration advances each live packet by
+one *event* (cell-boundary crossing or scattering) and immediately **refills
+lanes that died** with fresh packets from the remaining budget via an
+exclusive prefix-sum over dead lanes. This keeps lane occupancy near 100% for
+the entire run -- the TPU answer to the reference's GPU oversubscription -- and
+makes the random stream of every packet a pure function of its global id
+(device-count and batch-size invariant).
+
+Tallies are XLA scatter-adds; dead lanes scatter to an out-of-bounds index
+with mode='drop' so they never serialize against cell 0.
+
+Physics per step (kernel_ASOC.c semantics):
+  * step to the next cell boundary; tau_abs = ds*n*k_abs, tau_sca = ds*n*k_sca
+  * if the scattering free path ends inside the step: move there, deposit the
+    partial absorption, draw a new direction from the inverse-CDF table and a
+    new free path; kill after MAX_SCATTERINGS
+  * else deposit delta = photons*(1-exp(-tau_abs)) (Taylor below TAULIM),
+    attenuate, accumulate tau, cross into the next cell
+  * failed steps are recovered by a PEPS nudge (kernel_ASOC.c:640-672)
+"""
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..constants import (ADHOC, DEPS, MAX_SCATTERINGS, PEPS, PHOTON_LIMIT,
+                         TAULIM)
+from ..ops import traverse
+from .. import rng as socrng
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class PacketBatch:
+    """SoA packet state; all arrays share the lane axis [N]."""
+
+    pos: jax.Array        # [N, 3] level-local coordinates
+    dir: jax.Array        # [N, 3] unit direction
+    level: jax.Array      # [N] int32 hierarchy level
+    ind: jax.Array        # [N] int32 level-local cell index, -1 = dead
+    photons: jax.Array    # [N] float32 photon weight
+    ifreq: jax.Array      # [N] int32 frequency channel
+    stream: jax.Array     # [N] uint32 RNG stream id (global packet id)
+    counter: jax.Array    # [N] uint32 RNG draw counter
+    scatterings: jax.Array  # [N] int32
+
+    @property
+    def lanes(self):
+        return self.pos.shape[0]
+
+
+def _deflect(dir, cos_theta, phi):
+    """Rotate unit vectors by theta around a uniform azimuth (distributionally
+    equivalent to the reference's Deflect, kernel_ASOC_aux.c:499)."""
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    ax = jnp.abs(dir[..., 0])
+    helper = jnp.where((ax < 0.9)[..., None],
+                       jnp.asarray([1.0, 0.0, 0.0], dir.dtype),
+                       jnp.asarray([0.0, 1.0, 0.0], dir.dtype))
+    t1 = jnp.cross(dir, helper)
+    t1 = t1 / jnp.linalg.norm(t1, axis=-1, keepdims=True)
+    t2 = jnp.cross(dir, t1)
+    new = (cos_theta[..., None] * dir
+           + (sin_theta * jnp.cos(phi))[..., None] * t1
+           + (sin_theta * jnp.sin(phi))[..., None] * t2)
+    new = jnp.where(jnp.abs(new) < DEPS, DEPS, new)
+    return new / jnp.linalg.norm(new, axis=-1, keepdims=True)
+
+
+def _csc_lookup(csc_table, ifreq, u_bin, bins):
+    """cos(theta) from the cumulative-scattering inverse-CDF table.
+
+    csc_table is either [BINS] (uniform-frequency fast path: 1-D gather) or
+    [NFREQ, BINS] (mixed-frequency pool)."""
+    bin_idx = jnp.clip((u_bin * bins).astype(jnp.int32), 0, bins - 1)
+    if csc_table.ndim == 1:
+        return csc_table[bin_idx]
+    return csc_table[ifreq, bin_idx]
+
+
+@partial(jax.jit, static_argnames=("source_kind", "nlanes", "max_iters",
+                                   "per_freq_tally"),
+         donate_argnums=(4, 5))
+def transport_run(grid, physics, source_params, total_packets, tabs, intf,
+                  seed, source_kind="bg", nlanes=1 << 17,
+                  max_iters=1 << 30, per_freq_tally=False):
+    """Drain ``total_packets`` packets through the grid with lane refill.
+
+    physics : dict with
+        'kabs', 'ksca' : scalar () or [NFREQ] cross sections / density / GL
+        'csc'          : [BINS] or [NFREQ, BINS] inverse-CDF table
+        'tw'           : scalar or [NFREQ] frequency integration weight
+    source_params : pytree for the generator (see transport.sources);
+        must contain 'id_offset' and either 'ifreq' (uniform-frequency mode,
+        enables the scalar-cross-section fast path) or 'per_freq'
+    tabs : [CELLS] integrated tally (donated)
+    intf : [CELLS, NFREQ] or [1, 1] per-frequency tally (donated)
+
+    Returns (tabs, intf, escaped_scalar, absorbed_scalar): the scalars are
+    photon-count balances for conservation accounting.
+    """
+    from .sources import GENERATORS
+    gen = GENERATORS[source_kind]
+    csc = physics["csc"]
+    bins = csc.shape[-1]
+    kabs_t = physics["kabs"]
+    ksca_t = physics["ksca"]
+    tw_t = physics["tw"]
+    uniform_freq = (jnp.ndim(kabs_t) == 0)
+    seed = jnp.uint32(seed)
+    cells = grid.cells
+
+    def draw_birth_fp(stream):
+        # birth free path: counter slot 0, third word
+        b0, _ = socrng.threefry2x32(seed, stream, jnp.full_like(stream, 2),
+                                    jnp.zeros_like(stream))
+        u = jnp.maximum(b0.astype(jnp.float32) * (1.0 / 4294967296.0), 1e-12)
+        return -jnp.log(u)
+
+    def make_dead(n):
+        z3 = jnp.zeros((n, 3), jnp.float32)
+        zi = jnp.full(n, -1, jnp.int32)
+        return PacketBatch(
+            pos=z3, dir=z3 + (1.0 / np.sqrt(3.0)),
+            level=jnp.zeros(n, jnp.int32), ind=zi,
+            photons=jnp.zeros(n, jnp.float32),
+            ifreq=jnp.zeros(n, jnp.int32),
+            stream=jnp.zeros(n, jnp.uint32),
+            counter=jnp.zeros(n, jnp.uint32),
+            scatterings=jnp.zeros(n, jnp.int32))
+
+    def cond(state):
+        it, b, fp, tau, next_id, tabs, intf, esc, absd = state
+        return (it < max_iters) & (jnp.any(b.ind >= 0)
+                                   | (next_id < total_packets))
+
+    def body(state):
+        it, b, free_path, tau, next_id, tabs, intf, esc, absd = state
+
+        # ---- refill dead lanes from the remaining packet budget
+        dead = b.ind < 0
+        deadi = dead.astype(jnp.int32)
+        rank = jnp.cumsum(deadi) - deadi              # exclusive prefix sum
+        new_id = next_id + rank
+        can = dead & (new_id < total_packets)
+        ids_local = jnp.where(can, new_id, 0)
+        nb = gen(grid, ids_local, seed, source_params)
+        canl = can[..., None]
+        b = PacketBatch(
+            pos=jnp.where(canl, nb.pos, b.pos),
+            dir=jnp.where(canl, nb.dir, b.dir),
+            level=jnp.where(can, nb.level, b.level),
+            ind=jnp.where(can, nb.ind, b.ind),
+            photons=jnp.where(can, nb.photons, b.photons),
+            ifreq=jnp.where(can, nb.ifreq, b.ifreq),
+            stream=jnp.where(can, nb.stream, b.stream),
+            counter=jnp.where(can, nb.counter, b.counter),
+            scatterings=jnp.where(can, 0, b.scatterings))
+        free_path = jnp.where(can, draw_birth_fp(nb.stream), free_path)
+        tau = jnp.where(can, 0.0, tau)
+        next_id = next_id + jnp.sum(can.astype(jnp.int32))
+
+        alive = b.ind >= 0
+        gidx = jnp.clip(grid.off[jnp.clip(b.level, 0, grid.levels - 1)]
+                        + jnp.maximum(b.ind, 0), 0, cells - 1)
+        dens = grid.dens[gidx]
+        if uniform_freq:
+            kabs, ksca, tw = kabs_t, ksca_t, tw_t
+        else:
+            kabs = kabs_t[b.ifreq]
+            ksca = ksca_t[b.ifreq]
+            tw = tw_t[b.ifreq]
+
+        # ---- geometric step to next boundary
+        ds_local, pos_boundary = traverse.boundary_step(b.pos, b.dir)
+        ds_gl = ds_local * jnp.exp2(-b.level.astype(jnp.float32))
+        tau_abs_full = ds_gl * dens * kabs
+        dtau_sca = ds_gl * dens * ksca
+
+        scatter_now = alive & (free_path < tau + dtau_sca)
+
+        # ---- scattering point inside this cell
+        dx_gl = (free_path - tau) / jnp.maximum(ksca * dens, 1e-30)
+        tau_abs_part = dx_gl * dens * kabs
+        dx_local = jnp.maximum(
+            0.0, dx_gl * jnp.exp2(b.level.astype(jnp.float32)) - 2.0 * PEPS)
+        pos_scatter = b.pos + dx_local[..., None] * b.dir
+
+        # ---- absorption deposit (shared scatter-add; dead lanes dropped OOB)
+        tau_abs = jnp.where(scatter_now, tau_abs_part, tau_abs_full)
+        att = jnp.exp(-tau_abs)
+        delta = jnp.where(tau_abs > TAULIM,
+                          b.photons * (1.0 - att),
+                          b.photons * tau_abs * (1.0 - 0.5 * tau_abs))
+        didx = jnp.where(alive, gidx, cells)          # OOB => dropped
+        tabs = tabs.at[didx].add(delta * tw * ADHOC, mode="drop")
+        if per_freq_tally:
+            intf = intf.at[didx, b.ifreq].add(delta, mode="drop")
+        absd = absd + jnp.sum(jnp.where(alive, delta, 0.0))
+        photons = jnp.where(alive, b.photons * att, b.photons)
+
+        # ---- RNG draws for this iteration (consumed by scatter lanes)
+        u_bin, u_phi, u_fp, _ = socrng.uniform4(seed, b.stream, b.counter)
+        cos_theta = _csc_lookup(csc, b.ifreq, u_bin, bins)
+        new_dir = _deflect(b.dir, cos_theta, (2.0 * jnp.pi) * u_phi)
+
+        # ---- crossing branch: move into next cell
+        posx = jnp.where(alive[..., None], pos_boundary, b.pos)
+        cross = alive & ~scatter_now
+        npos, nlevel, nind = traverse.index_update(
+            grid, posx, b.level, b.ind, cross)
+        failed = cross & (nlevel == b.level) & (nind == b.ind)
+        npos = jnp.where(failed[..., None], npos + PEPS * b.dir, npos)
+
+        # ---- merge
+        pos = jnp.where(scatter_now[..., None], pos_scatter, npos)
+        level = jnp.where(scatter_now, b.level, nlevel)
+        ind = jnp.where(scatter_now, b.ind, nind)
+        dir = jnp.where(scatter_now[..., None], new_dir, b.dir)
+        scat = b.scatterings + scatter_now.astype(jnp.int32)
+        overscattered = scatter_now & (scat > MAX_SCATTERINGS)
+        exhausted = alive & (photons < PHOTON_LIMIT)
+        exited = cross & (nind < 0)
+        esc = esc + jnp.sum(
+            jnp.where((exited | overscattered) & alive, photons, 0.0))
+        ind = jnp.where(overscattered | exhausted, jnp.int32(-1), ind)
+
+        free_path = jnp.where(scatter_now, -jnp.log(u_fp), free_path)
+        tau = jnp.where(scatter_now, 0.0,
+                        jnp.where(cross, tau + dtau_sca, tau))
+
+        nb = PacketBatch(pos=pos, dir=dir, level=level, ind=ind,
+                         photons=photons, ifreq=b.ifreq, stream=b.stream,
+                         counter=b.counter + jnp.uint32(1),
+                         scatterings=scat)
+        return (it + 1, nb, free_path, tau, next_id, tabs, intf, esc, absd)
+
+    b0 = make_dead(nlanes)
+    state = (jnp.int32(0), b0, jnp.zeros(nlanes, jnp.float32),
+             jnp.zeros(nlanes, jnp.float32), jnp.int32(0), tabs, intf,
+             jnp.float32(0.0), jnp.float32(0.0))
+    state = lax.while_loop(cond, body, state)
+    _, _, _, _, _, tabs, intf, esc, absd = state
+    return tabs, intf, esc, absd

@@ -1,0 +1,196 @@
+"""Packet source generation.
+
+Generators are pure functions ``gen(grid, ids_local, seed, params) ->
+PacketBatch`` mapping *local* packet ids (0..total-1 within the current
+transport run) to initial packet states. The RNG stream id is
+``ids_local + params['id_offset']`` so streams stay globally unique across
+frequencies and phases, and identical regardless of lane chunking or device
+sharding.
+
+Source weights follow the reference normalizations:
+  * isotropic background (SimRAM_PB SOURCE==1, kernel_ASOC.c:109-130,440-466):
+    packets are stratified over the 2(NX NY + NX NZ + NY NZ) boundary
+    elements (element = id % AREA), enter with cosine-law directions, and
+    carry photons = I_bg(f) * pi / (PLANCK * f * packets_per_element)
+    (ASOC.py:1060-1063 WBG).
+  * point source (SOURCE==0): isotropic from PSPOS, photons =
+    L(f) / (PLANCK * f * PSPAC * (GL*PARSEC)^2) (ASOC.py:1041 WPS).
+  * cell emission (SimRAM_CL, kernel_ASOC.c:1363-1390): uniform position
+    inside each emitting cell, isotropic direction, photons =
+    EMIT[cell] / packets_per_cell.
+
+RNG counter layout per packet: threefry counter 0 (words 0,1) and counter 1
+(words 0,1) are burned by source generation; counter 2 word 0 is the birth
+free path (drawn in transport_run); propagation consumes counters 3,4,...
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..constants import PEPS
+from ..ops import traverse
+from .propagate import PacketBatch
+from .. import rng as socrng
+
+BIRTH_COUNTER = 3   # first counter slot used by the propagation loop
+
+
+def _uniforms(seed, stream):
+    u1, u2, u3, u4 = socrng.uniform4(seed, stream, jnp.zeros_like(stream))
+    u5, u6 = socrng.uniform2(seed, stream, jnp.ones_like(stream))
+    return u1, u2, u3, u4, u5, u6
+
+
+def _isotropic_dir(u1, u2):
+    cos_theta = 2.0 * u1 - 1.0
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta**2))
+    phi = 2.0 * jnp.pi * u2
+    d = jnp.stack([sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi),
+                   cos_theta], -1)
+    return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+
+def _ifreq_of(ids_local, params):
+    if params.get("ifreq", None) is not None:
+        return jnp.full(ids_local.shape, params["ifreq"], jnp.int32)
+    return (ids_local // params["per_freq"]).astype(jnp.int32)
+
+
+def _photons_of(ifreq, params):
+    ph = params["photons"]
+    if jnp.ndim(ph) == 0:
+        return jnp.full(ifreq.shape, ph, jnp.float32)
+    return ph[ifreq]
+
+
+def _finish(grid, pos_global, dir, photons, ifreq, stream):
+    pos, level, ind = traverse.index_global(grid, pos_global)
+    return PacketBatch(
+        pos=pos, dir=dir.astype(jnp.float32), level=level, ind=ind,
+        photons=photons.astype(jnp.float32), ifreq=ifreq.astype(jnp.int32),
+        stream=stream, counter=jnp.full_like(stream, BIRTH_COUNTER),
+        scatterings=jnp.zeros_like(ind),
+    )
+
+
+def gen_background(grid, ids_local, seed, params):
+    """Isotropic-background packets; params: photons (scalar or [NFREQ]),
+    ifreq (scalar or None), per_freq, id_offset."""
+    nx, ny, nz = grid.nx, grid.ny, grid.nz
+    a_yz, a_xz, a_xy = ny * nz, nx * nz, nx * ny
+    area = 2 * (a_yz + a_xz + a_xy)
+    stream = (ids_local + params["id_offset"]).astype(jnp.uint32)
+    elem = (ids_local % area).astype(jnp.int32)
+    ifreq = _ifreq_of(ids_local, params)
+
+    u1, u2, u3, u4, _, _ = _uniforms(jnp.uint32(seed), stream)
+
+    # decompose element id into (side, tangential coords), kernel order
+    side = jnp.where(elem < a_yz, 0,
+            jnp.where(elem < 2 * a_yz, 1,
+             jnp.where(elem < 2 * a_yz + a_xz, 2,
+              jnp.where(elem < 2 * (a_yz + a_xz), 3,
+               jnp.where(elem < 2 * (a_yz + a_xz) + a_xy, 4, 5)))))
+    r = elem - jnp.asarray([0, a_yz, 2 * a_yz, 2 * a_yz + a_xz,
+                            2 * (a_yz + a_xz),
+                            2 * (a_yz + a_xz) + a_xy])[side]
+    nmod = jnp.asarray([ny, ny, nx, nx, nx, nx])[side]
+    t0 = (r % nmod).astype(jnp.float32)
+    t1 = (r // nmod).astype(jnp.float32)
+
+    lane = jnp.arange(stream.shape[0])
+    fx = jnp.stack([jnp.full_like(t0, PEPS), jnp.full_like(t0, nx - PEPS),
+                    t0 + u1, t0 + u1, t0 + u1, t0 + u1], -1)
+    fy = jnp.stack([t0 + u1, t0 + u1, jnp.full_like(t0, PEPS),
+                    jnp.full_like(t0, ny - PEPS), t1 + u2, t1 + u2], -1)
+    fz = jnp.stack([t1 + u2, t1 + u2, t1 + u2, t1 + u2,
+                    jnp.full_like(t0, PEPS), jnp.full_like(t0, nz - PEPS)], -1)
+    pos = jnp.stack([
+        jnp.clip(fx[lane, side], PEPS, nx - PEPS),
+        jnp.clip(fy[lane, side], PEPS, ny - PEPS),
+        jnp.clip(fz[lane, side], PEPS, nz - PEPS)], -1)
+
+    # cosine-law direction about the inward normal
+    cos_theta = jnp.sqrt(u3)
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - u3))
+    phi = 2.0 * jnp.pi * u4
+    v1 = sin_theta * jnp.cos(phi)
+    v2 = sin_theta * jnp.sin(phi)
+    dx = jnp.stack([cos_theta, -cos_theta, v1, v1, v1, v1], -1)[lane, side]
+    dy = jnp.stack([v1, v1, cos_theta, -cos_theta, v2, v2], -1)[lane, side]
+    dz = jnp.stack([v2, v2, v2, v2, cos_theta, -cos_theta], -1)[lane, side]
+    dir = jnp.stack([dx, dy, dz], -1)
+    dir = jnp.where(jnp.abs(dir) < 1e-5, 1e-5, dir)
+    dir = dir / jnp.linalg.norm(dir, axis=-1, keepdims=True)
+
+    return _finish(grid, pos, dir, _photons_of(ifreq, params), ifreq, stream)
+
+
+def gen_point_source(grid, ids_local, seed, params):
+    """Point-source packets; params: ps_pos [S,3], photons (scalar/[S]/[S,NF]),
+    ifreq, per_freq, id_offset. Packets cycle sources: src = id % S."""
+    stream = (ids_local + params["id_offset"]).astype(jnp.uint32)
+    ps_pos = params["ps_pos"]
+    no_ps = ps_pos.shape[0]
+    isrc = (ids_local % no_ps).astype(jnp.int32)
+    ifreq = _ifreq_of(ids_local, params)
+    u1, u2, _, _, _, _ = _uniforms(jnp.uint32(seed), stream)
+    dir = _isotropic_dir(u1, u2)
+    pos = ps_pos[isrc]
+    ph = params["photons"]
+    if jnp.ndim(ph) == 2:
+        photons = ph[isrc, ifreq]
+    elif jnp.ndim(ph) == 1:
+        photons = ph[isrc]
+    else:
+        photons = jnp.full(ifreq.shape, ph, jnp.float32)
+    return _finish(grid, pos, dir, photons, ifreq, stream)
+
+
+def gen_cell(grid, ids_local, seed, params):
+    """Re-emission packets; params: emit [CELLS] (photons already divided by
+    packets-per-cell), per_cell, ifreq, per_freq, id_offset."""
+    stream = (ids_local + params["id_offset"]).astype(jnp.uint32)
+    ifreq = _ifreq_of(ids_local, params)
+    within = ids_local % params["per_freq"]
+    cell_gidx = (within // params["per_cell"]).astype(jnp.int32)
+    cell_gidx = jnp.clip(cell_gidx, 0, grid.cells - 1)
+    u1, u2, u3, u4, u5, _ = _uniforms(jnp.uint32(seed), stream)
+
+    # locate (level, local index) of each global cell id
+    lev = jnp.zeros_like(cell_gidx)
+    for l in range(1, grid.levels):
+        lev = jnp.where(cell_gidx >= grid.off[l], l, lev)
+    loc = cell_gidx - grid.off[lev]
+
+    if grid.levels == 1:
+        x0 = (loc % grid.nx).astype(jnp.float32)
+        y0 = ((loc // grid.nx) % grid.ny).astype(jnp.float32)
+        z0 = (loc // (grid.nx * grid.ny)).astype(jnp.float32)
+    else:
+        sid = loc % 8
+        rx = (loc % grid.nx).astype(jnp.float32)
+        ry = ((loc // grid.nx) % grid.ny).astype(jnp.float32)
+        rz = (loc // (grid.nx * grid.ny)).astype(jnp.float32)
+        x0 = jnp.where(lev == 0, rx, (sid % 2).astype(jnp.float32))
+        y0 = jnp.where(lev == 0, ry, ((sid // 2) % 2).astype(jnp.float32))
+        z0 = jnp.where(lev == 0, rz, (sid // 4).astype(jnp.float32))
+    pos = jnp.stack([x0 + u1, y0 + u2, z0 + u3], -1)
+    dir = _isotropic_dir(u4, u5)
+    photons = params["emit"][cell_gidx]
+
+    return PacketBatch(
+        pos=pos, dir=dir.astype(jnp.float32),
+        level=lev.astype(jnp.int32), ind=loc.astype(jnp.int32),
+        photons=photons.astype(jnp.float32), ifreq=ifreq,
+        stream=stream, counter=jnp.full_like(stream, BIRTH_COUNTER),
+        scatterings=jnp.zeros_like(loc.astype(jnp.int32)),
+    )
+
+
+GENERATORS = {
+    "bg": gen_background,
+    "ps": gen_point_source,
+    "cell": gen_cell,
+}

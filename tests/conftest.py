@@ -15,6 +15,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import numpy as np
 import pytest
 
+from soc_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
+
 
 @pytest.fixture
 def rng():

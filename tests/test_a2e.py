@@ -1,0 +1,148 @@
+"""A2E stochastic solver: vectorized TPU path vs direct loop reference."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from soc_tpu.solve.solver_file import (SolverData, SizeData, read_solver,
+                                       write_solver, densify_weights)
+from soc_tpu.solve import stochastic
+
+
+def random_solver(ne=16, nfreq=8, nsize=2, seed=0):
+    """Random but structurally valid solver data (sparse Iw bands)."""
+    rng = np.random.default_rng(seed)
+    freq = np.logspace(11, 14, nfreq).astype(np.float32)
+    sizes = []
+    sk_abs = rng.random((nsize, nfreq)).astype(np.float32) + 0.1
+    for s in range(nsize):
+        l1 = np.full((ne, ne), -1, np.int32)
+        l2 = np.full((ne, ne), -2, np.int32)
+        iw_list = []
+        for l in range(ne - 1):
+            for u in range(l + 1, ne):
+                if rng.random() < 0.3:
+                    continue          # empty band
+                a = int(rng.integers(0, nfreq - 1))
+                b = int(rng.integers(a, nfreq))
+                l1[l, u] = a
+                l2[l, u] = b
+                iw_list.append(rng.random(b - a + 1).astype(np.float32))
+        iw = np.concatenate(iw_list) if iw_list else np.zeros(0, np.float32)
+        tdown = (rng.random(ne) * 10 + 0.1).astype(np.float32)
+        tdown[0] = 0.0
+        ea = rng.random((nfreq, ne)).astype(np.float32)
+        ibeg = rng.integers(0, ne // 2, nfreq).astype(np.int32)
+        sizes.append(SizeData(iw, l1, l2, tdown, ea, ibeg))
+    s_frac = np.full(nsize, 1.0 / nsize, np.float32)
+    return SolverData(freq=freq, grain_density=1e-7,
+                      size_a=np.logspace(-7, -5, nsize).astype(np.float32),
+                      s_frac=s_frac, ne=ne, sk_abs=sk_abs, sizes=sizes)
+
+
+def dosolve_reference(solver, isize, absorbed_row):
+    """Direct float64 port of the per-cell DoSolve loops (kernel_A2E.c:2-104)
+    consuming the sparse stream in file order."""
+    sd = solver.sizes[isize]
+    ne, nfreq = solver.ne, solver.nfreq
+    af = solver.sk_abs[isize].astype(np.float64) / solver.k_abs
+    af = np.clip(af / (solver.s_frac[isize] * solver.grain_density),
+                 1e-32, 1e100)
+    absf = absorbed_row.astype(np.float64) * af
+    L = np.zeros((ne, ne))
+    idx = 0
+    for l in range(ne - 1):
+        for u in range(l + 1, ne):
+            a, b = sd.l1[l, u], sd.l2[l, u]
+            if b < a or a < 0:
+                continue
+            acc = 0.0
+            for i in range(a, b + 1):
+                acc += absf[i] * sd.iw[idx]
+                idx += 1
+            L[u, l] = max(acc, 0.0)
+    # fold
+    for j in range(ne - 3, 0, -1):
+        for i in range(j):
+            L[j, i] += L[j + 1, i]
+    # solve
+    x = np.zeros(ne)
+    x[0] = 1e-20
+    for j in range(1, ne):
+        s = np.dot(L[j, :j], x[:j])
+        x[j] = max(s / (sd.tdown[j] + 1e-30), 0.0)
+        if x[j] > 1e20:
+            x[: j + 1] *= 1e-20
+    x /= x.sum()
+    emit = np.zeros(nfreq)
+    for f in range(nfreq):
+        emit[f] = np.dot(sd.ea[f, sd.ibeg[f]:], x[sd.ibeg[f]:])
+    return emit
+
+
+def test_solver_file_roundtrip(tmp_path):
+    solver = random_solver()
+    path = tmp_path / "t.solver"
+    write_solver(path, solver)
+    s2 = read_solver(path)
+    assert s2.ne == solver.ne and s2.nsize == solver.nsize
+    np.testing.assert_array_equal(s2.sk_abs, solver.sk_abs)
+    for a, b in zip(s2.sizes, solver.sizes):
+        np.testing.assert_array_equal(a.iw, b.iw)
+        np.testing.assert_array_equal(a.l1, b.l1)
+        np.testing.assert_array_equal(a.tdown, b.tdown)
+        np.testing.assert_array_equal(a.ea, b.ea)
+        np.testing.assert_array_equal(a.ibeg, b.ibeg)
+
+
+def test_densify_consumes_full_stream():
+    solver = random_solver(ne=24, nfreq=10)
+    for sd in solver.sizes:
+        w = densify_weights(sd, solver.ne, solver.nfreq)
+        # every sparse weight lands in the dense tensor exactly once
+        assert np.isclose(w.sum(), sd.iw.sum(), rtol=1e-5)
+        # strictly lower-triangular in (u, l)
+        for u in range(solver.ne):
+            for l in range(u, solver.ne):
+                assert np.all(w[l, u] == 0) or l > u
+
+
+def test_solve_batch_matches_reference():
+    solver = random_solver(ne=16, nfreq=8, nsize=2, seed=3)
+    rng = np.random.default_rng(5)
+    absorbed = (rng.random((6, solver.nfreq)) * 10).astype(np.float32)
+    for isize in range(solver.nsize):
+        w_flat, tdown, ea = stochastic.prepare_size_arrays(solver, isize)
+        got = np.asarray(stochastic.solve_batch(
+            w_flat, tdown, ea, jnp.asarray(absorbed), solver.ne))
+        for c in range(absorbed.shape[0]):
+            expect = dosolve_reference(solver, isize, absorbed[c])
+            np.testing.assert_allclose(got[c], expect, rtol=2e-4,
+                                       atol=expect.max() * 1e-6)
+
+
+def test_solve_emission_sums_sizes():
+    solver = random_solver(ne=16, nfreq=8, nsize=2, seed=7)
+    rng = np.random.default_rng(2)
+    absorbed = (rng.random((40, solver.nfreq)) * 5).astype(np.float32)
+    emitted = stochastic.solve_emission(solver, absorbed, batch=16,
+                                        clip_last=False)
+    expect = np.zeros_like(emitted)
+    for c in range(40):
+        for isize in range(2):
+            expect[c] += dosolve_reference(solver, isize, absorbed[c])
+    np.testing.assert_allclose(emitted, expect, rtol=5e-4,
+                               atol=expect.max() * 1e-5)
+
+
+def test_overflow_rescale_stability():
+    """Huge dynamic range in the populations must not produce inf/nan."""
+    solver = random_solver(ne=32, nfreq=8, nsize=1, seed=11)
+    solver.sizes[0].tdown[:] = np.logspace(-20, 25, 32).astype(np.float32)
+    solver.sizes[0].tdown[0] = 0.0
+    absorbed = np.full((4, 8), 1e8, np.float32)
+    w_flat, tdown, ea = stochastic.prepare_size_arrays(solver, 0)
+    got = np.asarray(stochastic.solve_batch(
+        w_flat, tdown, ea, jnp.asarray(absorbed), solver.ne))
+    assert np.all(np.isfinite(got))
+    assert np.all(got >= 0)
