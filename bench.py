@@ -47,7 +47,9 @@ def main():
 
     workdir = os.environ.get("SOC_BENCH_DIR", "/tmp/soc_bench")
     ini = prepare_workdir(workdir)
-    lanes = int(os.environ.get("SOC_BENCH_LANES", 1 << 17))
+    # 16k lanes is the measured sweet spot on v5e: larger pools pay more per
+    # iteration (gather/scatter cost grows faster than occupancy gains)
+    lanes = int(os.environ.get("SOC_BENCH_LANES", 1 << 14))
 
     t0 = time.time()
     res = driver.run(ini, lanes=lanes)

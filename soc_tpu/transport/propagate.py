@@ -87,11 +87,13 @@ def _csc_lookup(csc_table, ifreq, u_bin, bins):
 
 
 @partial(jax.jit, static_argnames=("source_kind", "nlanes", "max_iters",
-                                   "per_freq_tally"),
+                                   "per_freq_tally", "refill_period",
+                                   "esc_bins"),
          donate_argnums=(4, 5))
 def transport_run(grid, physics, source_params, total_packets, tabs, intf,
                   seed, source_kind="bg", nlanes=1 << 17,
-                  max_iters=1 << 30, per_freq_tally=False):
+                  max_iters=1 << 30, per_freq_tally=False, refill_period=8,
+                  esc_bins=1):
     """Drain ``total_packets`` packets through the grid with lane refill.
 
     physics : dict with
@@ -104,8 +106,9 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
     tabs : [CELLS] integrated tally (donated)
     intf : [CELLS, NFREQ] or [1, 1] per-frequency tally (donated)
 
-    Returns (tabs, intf, escaped_scalar, absorbed_scalar): the scalars are
-    photon-count balances for conservation accounting.
+    Returns (tabs, intf, escaped[esc_bins], absorbed_scalar) -- photon-count
+    balances for conservation accounting (escaped is per-frequency when
+    esc_bins == NFREQ in mixed-frequency mode).
     """
     from .sources import GENERATORS
     gen = GENERATORS[source_kind]
@@ -138,15 +141,28 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
             scatterings=jnp.zeros(n, jnp.int32))
 
     def cond(state):
-        it, b, fp, tau, next_id, tabs, intf, esc, absd = state
+        it, b, fp, tau, next_id, tabs, intf, esc, esc_pending, absd = state
         return (it < max_iters) & (jnp.any(b.ind >= 0)
                                    | (next_id < total_packets))
 
     def body(state):
-        it, b, free_path, tau, next_id, tabs, intf, esc, absd = state
+        (it, b, free_path, tau, next_id, tabs, intf, esc, esc_pending,
+         absd) = state
+
+        # ---- flush per-lane escaped weight of dead lanes into the
+        # per-frequency bins (one-hot reduction: no scatter serialization)
+        dead = b.ind < 0
+        flush = jnp.where(dead, esc_pending, 0.0)
+        if esc_bins == 1:
+            esc = esc + jnp.sum(flush)[None]
+        else:
+            onehot = (b.ifreq[:, None]
+                      == jnp.arange(esc_bins, dtype=jnp.int32)[None, :])
+            esc = esc + jnp.einsum("n,nk->k", flush,
+                                   onehot.astype(jnp.float32))
+        esc_pending = jnp.where(dead, 0.0, esc_pending)
 
         # ---- refill dead lanes from the remaining packet budget
-        dead = b.ind < 0
         deadi = dead.astype(jnp.int32)
         rank = jnp.cumsum(deadi) - deadi              # exclusive prefix sum
         new_id = next_id + rank
@@ -168,6 +184,18 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
         tau = jnp.where(can, 0.0, tau)
         next_id = next_id + jnp.sum(can.astype(jnp.int32))
 
+        # ---- refill_period physics steps between refills (amortizes the
+        # generator cost; lanes that die mid-block idle until the next refill)
+        def phys(_, st):
+            return step(*st)
+
+        (b, free_path, tau, tabs, intf, esc_pending, absd) = lax.fori_loop(
+            0, refill_period, phys,
+            (b, free_path, tau, tabs, intf, esc_pending, absd))
+        return (it + 1, b, free_path, tau, next_id, tabs, intf, esc,
+                esc_pending, absd)
+
+    def step(b, free_path, tau, tabs, intf, esc_pending, absd):
         alive = b.ind >= 0
         gidx = jnp.clip(grid.off[jnp.clip(b.level, 0, grid.levels - 1)]
                         + jnp.maximum(b.ind, 0), 0, cells - 1)
@@ -229,8 +257,8 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
         overscattered = scatter_now & (scat > MAX_SCATTERINGS)
         exhausted = alive & (photons < PHOTON_LIMIT)
         exited = cross & (nind < 0)
-        esc = esc + jnp.sum(
-            jnp.where((exited | overscattered) & alive, photons, 0.0))
+        esc_pending = esc_pending + jnp.where(
+            (exited | overscattered) & alive, photons, 0.0)
         ind = jnp.where(overscattered | exhausted, jnp.int32(-1), ind)
 
         free_path = jnp.where(scatter_now, -jnp.log(u_fp), free_path)
@@ -241,12 +269,21 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
                          photons=photons, ifreq=b.ifreq, stream=b.stream,
                          counter=b.counter + jnp.uint32(1),
                          scatterings=scat)
-        return (it + 1, nb, free_path, tau, next_id, tabs, intf, esc, absd)
+        return nb, free_path, tau, tabs, intf, esc_pending, absd
 
     b0 = make_dead(nlanes)
     state = (jnp.int32(0), b0, jnp.zeros(nlanes, jnp.float32),
              jnp.zeros(nlanes, jnp.float32), jnp.int32(0), tabs, intf,
-             jnp.float32(0.0), jnp.float32(0.0))
+             jnp.zeros(esc_bins, jnp.float32),
+             jnp.zeros(nlanes, jnp.float32), jnp.float32(0.0))
     state = lax.while_loop(cond, body, state)
-    _, _, _, _, _, tabs, intf, esc, absd = state
+    _, b, _, _, _, tabs, intf, esc, esc_pending, absd = state
+    # final flush: lanes that died in the last block
+    if esc_bins == 1:
+        esc = esc + jnp.sum(esc_pending)[None]
+    else:
+        onehot = (b.ifreq[:, None]
+                  == jnp.arange(esc_bins, dtype=jnp.int32)[None, :])
+        esc = esc + jnp.einsum("n,nk->k", esc_pending,
+                               onehot.astype(jnp.float32))
     return tabs, intf, esc, absd

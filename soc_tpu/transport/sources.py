@@ -51,10 +51,10 @@ def _isotropic_dir(u1, u2):
     return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
 
 
-def _ifreq_of(ids_local, params):
+def _ifreq_of(gids, params):
     if params.get("ifreq", None) is not None:
-        return jnp.full(ids_local.shape, params["ifreq"], jnp.int32)
-    return (ids_local // params["per_freq"]).astype(jnp.int32)
+        return jnp.full(gids.shape, params["ifreq"], jnp.int32)
+    return (gids // params["per_freq"]).astype(jnp.int32)
 
 
 def _photons_of(ifreq, params):
@@ -76,40 +76,49 @@ def _finish(grid, pos_global, dir, photons, ifreq, stream):
 
 def gen_background(grid, ids_local, seed, params):
     """Isotropic-background packets; params: photons (scalar or [NFREQ]),
-    ifreq (scalar or None), per_freq, id_offset."""
+    ifreq (scalar or None), per_freq, id_offset.
+
+    Pure select-chain arithmetic (no table gathers): this generator runs
+    inside the refill step of the transport loop, so it must be cheap.
+    """
     nx, ny, nz = grid.nx, grid.ny, grid.nz
     a_yz, a_xz, a_xy = ny * nz, nx * nz, nx * ny
     area = 2 * (a_yz + a_xz + a_xy)
-    stream = (ids_local + params["id_offset"]).astype(jnp.uint32)
-    elem = (ids_local % area).astype(jnp.int32)
-    ifreq = _ifreq_of(ids_local, params)
+    gids = ids_local + params["id_offset"]   # global packet ids
+    stream = gids.astype(jnp.uint32)
+    elem = (gids % area).astype(jnp.int32)
+    ifreq = _ifreq_of(gids, params)
 
-    u1, u2, u3, u4, _, _ = _uniforms(jnp.uint32(seed), stream)
+    u1, u2, u3, u4 = socrng.uniform4(jnp.uint32(seed), stream,
+                                     jnp.zeros_like(stream))
 
-    # decompose element id into (side, tangential coords), kernel order
-    side = jnp.where(elem < a_yz, 0,
-            jnp.where(elem < 2 * a_yz, 1,
-             jnp.where(elem < 2 * a_yz + a_xz, 2,
-              jnp.where(elem < 2 * (a_yz + a_xz), 3,
-               jnp.where(elem < 2 * (a_yz + a_xz) + a_xy, 4, 5)))))
-    r = elem - jnp.asarray([0, a_yz, 2 * a_yz, 2 * a_yz + a_xz,
-                            2 * (a_yz + a_xz),
-                            2 * (a_yz + a_xz) + a_xy])[side]
-    nmod = jnp.asarray([ny, ny, nx, nx, nx, nx])[side]
+    # element id -> (axis, upper, tangential coords), kernel enumeration
+    # order: [-X, +X, -Y, +Y, -Z, +Z] with YZ/ XZ / XY tangential planes
+    in_x = elem < 2 * a_yz
+    in_y = ~in_x & (elem < 2 * (a_yz + a_xz))
+    base = jnp.where(in_x, 0,
+                     jnp.where(in_y, 2 * a_yz, 2 * (a_yz + a_xz)))
+    block = jnp.where(in_x, a_yz, jnp.where(in_y, a_xz, a_xy))
+    rel = elem - base
+    upper = rel >= block
+    r = rel - jnp.where(upper, block, 0)
+    nmod = jnp.where(in_x, ny, nx)
     t0 = (r % nmod).astype(jnp.float32)
     t1 = (r // nmod).astype(jnp.float32)
+    tang1 = t0 + u1
+    tang2 = t1 + u2
 
-    lane = jnp.arange(stream.shape[0])
-    fx = jnp.stack([jnp.full_like(t0, PEPS), jnp.full_like(t0, nx - PEPS),
-                    t0 + u1, t0 + u1, t0 + u1, t0 + u1], -1)
-    fy = jnp.stack([t0 + u1, t0 + u1, jnp.full_like(t0, PEPS),
-                    jnp.full_like(t0, ny - PEPS), t1 + u2, t1 + u2], -1)
-    fz = jnp.stack([t1 + u2, t1 + u2, t1 + u2, t1 + u2,
-                    jnp.full_like(t0, PEPS), jnp.full_like(t0, nz - PEPS)], -1)
-    pos = jnp.stack([
-        jnp.clip(fx[lane, side], PEPS, nx - PEPS),
-        jnp.clip(fy[lane, side], PEPS, ny - PEPS),
-        jnp.clip(fz[lane, side], PEPS, nz - PEPS)], -1)
+    ax0 = in_x
+    ax1 = in_y
+    ax2 = ~in_x & ~in_y
+    size_n = jnp.where(ax0, nx, jnp.where(ax1, ny, nz)).astype(jnp.float32)
+    nrm = jnp.where(upper, size_n - PEPS, PEPS)
+    px = jnp.where(ax0, nrm, tang1)
+    py = jnp.where(ax1, nrm, jnp.where(ax0, tang1, tang2))
+    pz = jnp.where(ax2, nrm, tang2)
+    pos = jnp.stack([jnp.clip(px, PEPS, nx - PEPS),
+                     jnp.clip(py, PEPS, ny - PEPS),
+                     jnp.clip(pz, PEPS, nz - PEPS)], -1)
 
     # cosine-law direction about the inward normal
     cos_theta = jnp.sqrt(u3)
@@ -117,9 +126,10 @@ def gen_background(grid, ids_local, seed, params):
     phi = 2.0 * jnp.pi * u4
     v1 = sin_theta * jnp.cos(phi)
     v2 = sin_theta * jnp.sin(phi)
-    dx = jnp.stack([cos_theta, -cos_theta, v1, v1, v1, v1], -1)[lane, side]
-    dy = jnp.stack([v1, v1, cos_theta, -cos_theta, v2, v2], -1)[lane, side]
-    dz = jnp.stack([v2, v2, v2, v2, cos_theta, -cos_theta], -1)[lane, side]
+    s = jnp.where(upper, -cos_theta, cos_theta)
+    dx = jnp.where(ax0, s, v1)
+    dy = jnp.where(ax1, s, jnp.where(ax0, v1, v2))
+    dz = jnp.where(ax2, s, v2)
     dir = jnp.stack([dx, dy, dz], -1)
     dir = jnp.where(jnp.abs(dir) < 1e-5, 1e-5, dir)
     dir = dir / jnp.linalg.norm(dir, axis=-1, keepdims=True)
@@ -130,11 +140,12 @@ def gen_background(grid, ids_local, seed, params):
 def gen_point_source(grid, ids_local, seed, params):
     """Point-source packets; params: ps_pos [S,3], photons (scalar/[S]/[S,NF]),
     ifreq, per_freq, id_offset. Packets cycle sources: src = id % S."""
-    stream = (ids_local + params["id_offset"]).astype(jnp.uint32)
+    gids = ids_local + params["id_offset"]
+    stream = gids.astype(jnp.uint32)
     ps_pos = params["ps_pos"]
     no_ps = ps_pos.shape[0]
-    isrc = (ids_local % no_ps).astype(jnp.int32)
-    ifreq = _ifreq_of(ids_local, params)
+    isrc = (gids % no_ps).astype(jnp.int32)
+    ifreq = _ifreq_of(gids, params)
     u1, u2, _, _, _, _ = _uniforms(jnp.uint32(seed), stream)
     dir = _isotropic_dir(u1, u2)
     pos = ps_pos[isrc]
@@ -151,9 +162,10 @@ def gen_point_source(grid, ids_local, seed, params):
 def gen_cell(grid, ids_local, seed, params):
     """Re-emission packets; params: emit [CELLS] (photons already divided by
     packets-per-cell), per_cell, ifreq, per_freq, id_offset."""
-    stream = (ids_local + params["id_offset"]).astype(jnp.uint32)
-    ifreq = _ifreq_of(ids_local, params)
-    within = ids_local % params["per_freq"]
+    gids = ids_local + params["id_offset"]
+    stream = gids.astype(jnp.uint32)
+    ifreq = _ifreq_of(gids, params)
+    within = gids % params["per_freq"]
     cell_gidx = (within // params["per_cell"]).astype(jnp.int32)
     cell_gidx = jnp.clip(cell_gidx, 0, grid.cells - 1)
     u1, u2, u3, u4, u5, _ = _uniforms(jnp.uint32(seed), stream)

@@ -6,7 +6,9 @@ set env vars before jax import.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the environment pre-sets JAX_PLATFORMS=axon (the TPU tunnel,
+# which is single-client); tests must never touch it
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
