@@ -43,9 +43,10 @@ SEED1 = 0.1393378751427912
 
 
 def planck_intensity(freq, T):
-    """Planck intensity B_nu(T) scaled by 1e20 (reference PlanckSafe).
+    """Planck intensity B_nu(T) = 2 h nu^3/c^2 / (exp(h nu/kT) - 1), cgs.
 
-    Returns 1e20 * 2 h nu^3 / c^2 / (exp(h nu / k T) - 1), in cgs * 1e20.
+    (The 1e-20 literal cancels H_CC20's 1e20: this is the TRUE intensity,
+    matching the reference's PlanckSafe, ASOC_aux.py:60-62.)
     Works with numpy arrays; exponent clipped for numerical safety.
     """
     freq = np.asarray(freq, np.float64)

@@ -82,7 +82,7 @@ def sharded_background_run(grid, medium, bg_photons, per_freq, seed, mesh,
             tabs, intf, esc, absd = transport_run(
                 grid, physics, params, jnp.int32(per_dev), tabs, intf, seed,
                 source_kind="bg", nlanes=nlanes, max_iters=max_iters)
-            esc_l.append(esc)
+            esc_l.append(esc[0])
         tabs = lax.psum(tabs, ("dp", "freq"))
         esc = lax.psum(jnp.stack(esc_l), "dp")
         return tabs, esc

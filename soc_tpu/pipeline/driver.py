@@ -85,7 +85,7 @@ def _run_over_freqs(grid, medium, kind, make_params, per_freq, tabs, intf,
             per_freq_tally=per_freq_tally)
         esc_list.append(esc)
         abs_list.append(absd)
-    escaped = np.asarray([float(e) for e in esc_list])
+    escaped = np.asarray([float(e[0]) for e in esc_list])
     absorbed = np.asarray([float(a) for a in abs_list])
     return tabs, intf, escaped, absorbed
 
@@ -224,6 +224,19 @@ def _run_inner(cfg, lanes, write_files, t_start):
     seed = np.uint32(max(0.0, cfg.seed) * 2**31) + np.uint32(12345)
     timings["input"] = time.time() - t0
 
+    # ---- map-only mode (reference: iterations 0 + existing emitted file;
+    # ASOC.py:744-769): skip simulation/solve, render maps from the file
+    if cfg.iterations < 1 and os.path.exists(cfg.file_emitted):
+        from ..io.fields import read_cell_frequency_array
+        res.emitted = read_cell_frequency_array(cfg.file_emitted)
+        res.ctabs = np.zeros(grid.cells, np.float32)
+        res.escaped = np.zeros(nfreq)
+        res.injected = np.zeros(nfreq)
+        _render_phase(cfg, grid, medium, res, freq, res.emitted,
+                      write_files, timings)
+        timings["total"] = time.time() - t_start
+        return res
+
     # ---- phase 1: constant sources
     t0 = time.time()
     per_freq_tally = not cfg.noabsorbed
@@ -297,7 +310,15 @@ def _run_inner(cfg, lanes, write_files, t_start):
     if write_files and emitted is not None and cfg.file_emitted:
         write_cell_frequency_array(cfg.file_emitted, res.emitted)
 
-    # ---- phase 3: maps
+    _render_phase(cfg, grid, medium, res, freq, res.emitted, write_files,
+                  timings)
+    timings["total"] = time.time() - t_start
+    return res
+
+
+def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
+                  timings):
+    """Phase 3: orthographic frequency-fused maps + polarization maps."""
     t0 = time.time()
     if not cfg.nomap and emitted is not None:
         centre = cfg.mapcentre
@@ -305,7 +326,7 @@ def _run_inner(cfg, lanes, write_files, t_start):
             centre = (0.5 * grid.nx, 0.5 * grid.ny, 0.5 * grid.nz)
         kk = render_mapping.map_scale_kk(cfg.gl)
         emit_map = jnp.asarray(
-            (np.asarray(res.emitted, np.float64)
+            (np.asarray(emitted, np.float64)
              * (kk * freq)[None, :]).astype(np.float32))
         ext_gl = jnp.asarray(np.asarray(medium.abs_gl) +
                              np.asarray(medium.sca_gl))
@@ -319,6 +340,44 @@ def _run_inner(cfg, lanes, write_files, t_start):
             res.tau_maps[idir] = np.asarray(tau)
             if write_files:
                 write_map_file("map_dir_%02d.bin" % idir, res.maps[idir])
+
+    # ---- polarization maps (I, Q, U, N), reference PolMapping
+    if cfg.polmap > 0 and emitted is not None and len(cfg.b_files) == 3:
+        from ..io.cloud import read_hierarchy
+        from ..render.polarization import render_pol
+        bvec = []
+        for bf in cfg.b_files:
+            _, _, _, _, vals = read_hierarchy(bf)
+            bvec.append(np.concatenate(vals))
+        bfield = jnp.asarray(np.stack(bvec, -1).astype(np.float32))
+        centre = cfg.mapcentre
+        if centre[0] < -1e7:
+            centre = (0.5 * grid.nx, 0.5 * grid.ny, 0.5 * grid.nz)
+        kk = render_mapping.map_scale_kk(cfg.gl)
+        emit_map = jnp.asarray((np.asarray(emitted, np.float64)
+                                * (kk * freq)[None, :]).astype(np.float32))
+        ext_gl = jnp.asarray(np.asarray(medium.abs_gl)
+                             + np.asarray(medium.sca_gl))
+        polred = len(cfg.file_polred) > 0
+        for idir in range(len(cfg.obs_theta)):
+            odir, ra, de = render_mapping.observer_basis(
+                cfg.obs_theta[idir], cfg.obs_phi[idir])
+            s_i, s_q, s_u, colden = render_pol(
+                grid, emit_map, ext_gl, bfield, cfg.p0, jnp.asarray(odir),
+                jnp.asarray(ra), jnp.asarray(de), centre, cfg.map_dx,
+                tuple(cfg.npix), polred=polred,
+                rho_weight=False)
+            res.maps[("pol", idir)] = (np.asarray(s_i), np.asarray(s_q),
+                                       np.asarray(s_u), np.asarray(colden))
+            if write_files:
+                # binary fallback of the reference's polmap FITS output:
+                # [4, NF, NY, NX] float32 = I, Q, U, N(broadcast)
+                nf = len(freq)
+                colden_cm = np.asarray(colden) * cfg.gl * PARSEC
+                stack = np.stack([np.asarray(s_i), np.asarray(s_q),
+                                  np.asarray(s_u),
+                                  np.broadcast_to(colden_cm[None],
+                                                  (nf,) + colden.shape)])
+                stack.astype(np.float32).tofile("polmap_dir_%02d.bin" % idir)
     timings["maps"] = time.time() - t0
-    timings["total"] = time.time() - t_start
-    return res
+

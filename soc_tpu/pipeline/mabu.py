@@ -1,0 +1,102 @@
+"""Multi-dust emission orchestration (the A2E_MABU.py workload).
+
+Splits total absorptions between dust populations in proportion to their
+(abundance-weighted) absorption cross sections, solves each population's
+emission -- stochastic A2E for gset dusts, equilibrium temperature for
+eqdust -- and sums the abundance-weighted emissions:
+
+    ABS_d[cell, f]  = ABS[cell, f] * R[f, d] / sum_d' ABU[cell, d'] R[f, d']
+                      (kernel_A2E_MABU_aux.c split_absorbed)
+    EMIT[cell, f]   = sum_d ABU[cell, d] * EMIT_d[cell, f]
+                      (A2E_MABU.py:1120-1145)
+
+In-process function calls over arrays instead of the reference's
+os.system + /dev/shm file chain.
+"""
+
+from dataclasses import dataclass, field as dfield
+
+import numpy as np
+
+from ..constants import FACTOR, H_K, PARSEC, PLANCK, planck_intensity
+from ..solve import stochastic
+from ..solve.solver_file import SolverData
+
+
+@dataclass
+class DustComponent:
+    """One dust population in a multi-dust run."""
+
+    name: str
+    kind: str                      # 'gset' (stochastic) or 'eqdust'
+    kabs: np.ndarray               # [NFREQ] cross section per H (relative
+    #                                 values are what matters for the split)
+    solver: SolverData = None      # for kind == 'gset'
+    nstoch: int = 999
+    # eqdust path:
+    freq: np.ndarray = None
+
+
+def split_absorbed(absorbed, rabs, abu, idust):
+    """Per-dust absorption share (per unit abundance of that dust)."""
+    den = np.einsum("cd,fd->cf", abu, rabs)
+    return absorbed * rabs[None, :, idust] / np.maximum(den, 1e-40)
+
+
+def solve_equilibrium_eqdust(kabs, freq, absorbed, ne=30000):
+    """SolveEquilibriumDust (A2E_MABU.py:436-560 + kernel_eqsolver.c):
+    per-cell T from the E<->T table, emission per unit density."""
+    freq = np.asarray(freq, np.float64)
+    kabs = np.asarray(kabs, np.float64)
+    tstep = 1600.0 / ne
+    tt = 1.0 + tstep * np.arange(ne)
+    bnu = planck_intensity(freq[None, :], tt[:, None])
+    tmp = kabs[None, :] * bnu
+    df = freq[2:] - freq[:-2]
+    res = (tmp[:, 0] * (freq[1] - freq[0]) + tmp[:, -1] * (freq[-1] - freq[-2])
+           + np.sum(tmp[:, 1:-1] * df[None, :], axis=1))
+    eout = 4.0 * np.pi * FACTOR * 0.5 * res
+    # per-cell Ein: trapezoid of ABS * h nu (kernel_eqsolver.c EqTemperature)
+    absorbed = np.asarray(absorbed, np.float64)
+    integ = absorbed * (PLANCK * freq)[None, :]
+    ein = 0.5 * np.sum((integ[:, 1:] + integ[:, :-1])
+                       * (freq[1:] - freq[:-1])[None, :], axis=1)
+    t = np.interp(ein, eout, tt)
+    x = np.clip(H_K * freq[None, :] / np.maximum(t[:, None], 1e-3),
+                1e-10, 500)
+    emit = (2.79639459e-20 * FACTOR) * kabs[None, :] * freq[None, :] ** 2 \
+        / np.expm1(x)
+    return emit.astype(np.float32), t.astype(np.float32)
+
+
+def solve_emission_multi(components, absorbed, abu=None):
+    """Full multi-dust solve.
+
+    components : list[DustComponent]
+    absorbed   : [CELLS, NFREQ] total absorptions (absorbed.data payload)
+    abu        : [CELLS, NDUST] abundances (default: all ones)
+    Returns EMITTED [CELLS, NFREQ] float32.
+    """
+    cells, nfreq = absorbed.shape
+    ndust = len(components)
+    if abu is None:
+        abu = np.ones((cells, ndust), np.float32)
+    # normalized relative cross sections (A2E_MABU.py:338-342)
+    rabs = np.zeros((nfreq, ndust))
+    for d, comp in enumerate(components):
+        rabs[:, d] = np.clip(comp.kabs, 1e-40, 1e30)
+    rabs /= (1e-40 + rabs.sum(axis=1))[:, None]
+    rabs = np.clip(rabs, 1e-30, 1.0)
+
+    emitted = np.zeros((cells, nfreq), np.float32)
+    for d, comp in enumerate(components):
+        absd = split_absorbed(absorbed, rabs, abu, d)
+        if comp.kind == "gset":
+            emit_d = stochastic.solve_emission(comp.solver, absd,
+                                               nstoch=comp.nstoch)
+        elif comp.kind == "eqdust":
+            emit_d, _ = solve_equilibrium_eqdust(comp.kabs, comp.freq, absd)
+        else:
+            raise ValueError(f"unknown dust kind {comp.kind!r}")
+        emitted += emit_d * abu[:, d][:, None]
+    return emitted

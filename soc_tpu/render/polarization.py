@@ -1,0 +1,117 @@
+"""Polarized emission maps: Stokes I, Q, U (+ column density).
+
+Reimplements the reference PolMapping kernel (kernel_ASOC_map.c:974-1160,
+Planck XX formalism): per LOS step, from the cell's magnetic field B,
+
+    Psi = pi/2 + atan2(B . (-RA), B . DE)      polarisation angle (IAU)
+    cos^2(gamma) = 1 - (B_hat . DIR)^2         inclination to plane of sky
+    I += S * (1 - p (cos^2 gamma - 2/3))
+    Q += p * S * cos(2 Psi) cos^2 gamma
+    U += p * S * sin(2 Psi) cos^2 gamma
+
+with S the usual attenuated emission contribution, p the polarisation
+reduction factor (constant p0, or encoded in |B| when polred > 0).
+
+Frequency-fused like render_ortho: the B geometry is computed once per step
+and broadcast over the [PIXELS, NFREQ] emission vectors.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops import traverse
+from .mapping import _front_surface
+
+
+@partial(jax.jit, static_argnames=("npix", "polred", "rho_weight",
+                                   "max_steps"))
+def render_pol(grid, emit_map, ext_gl, bfield, p0, odir, ra, de, centre,
+               map_dx, npix, polred=False, rho_weight=False,
+               max_steps=100000):
+    """Stokes maps for one observer direction.
+
+    emit_map : [CELLS, NF] emission pre-scaled by KK*freq
+    ext_gl   : [NF] extinction / unit density / GL
+    bfield   : [CELLS, 3] magnetic field vectors
+    Returns (I, Q, U) each [NF, NY, NX] plus colden [NY, NX] (in GL units).
+    """
+    nxp, nyp = npix
+    nf = emit_map.shape[1]
+    i = jnp.arange(nxp, dtype=jnp.float32)
+    j = jnp.arange(nyp, dtype=jnp.float32)
+    ii, jj = jnp.meshgrid(i, j, indexing="xy")
+    ii = ii.reshape(-1)
+    jj = jj.reshape(-1)
+    centre = jnp.asarray(centre, jnp.float32)
+    pos = (centre[None, :]
+           + ((ii - 0.5 * (nxp - 1)) * map_dx)[:, None] * ra[None, :]
+           + ((jj - 0.5 * (nyp - 1)) * map_dx)[:, None] * de[None, :])
+    pos = pos + (grid.nx + grid.ny + grid.nz) * odir[None, :]
+    pos = _front_surface(pos, odir, grid.nx, grid.ny, grid.nz)
+    step_dir = -odir
+    step_dir = jnp.where(jnp.abs(step_dir) < 1e-5, 1e-5, step_dir)
+    step_dir = jnp.broadcast_to(step_dir, pos.shape)
+
+    pos, level, ind = traverse.index_global(grid, pos)
+    npixels = pos.shape[0]
+    tau = jnp.zeros((npixels, nf), jnp.float32)
+    s_i = jnp.zeros((npixels, nf), jnp.float32)
+    s_q = jnp.zeros((npixels, nf), jnp.float32)
+    s_u = jnp.zeros((npixels, nf), jnp.float32)
+    colden = jnp.zeros(npixels, jnp.float32)
+
+    def cond(state):
+        it, pos, level, ind, tau, s_i, s_q, s_u, colden = state
+        return (it < max_steps) & jnp.any(ind >= 0)
+
+    def body(state):
+        it, pos, level, ind, tau, s_i, s_q, s_u, colden = state
+        active = ind >= 0
+        gidx = jnp.clip(grid.off[jnp.clip(level, 0, grid.levels - 1)]
+                        + jnp.maximum(ind, 0), 0, grid.cells - 1)
+        dens = grid.dens[gidx]
+        b = bfield[gidx]                                # [P, 3]
+        ds, npos, nlevel, nind = traverse.get_step(
+            grid, pos, step_dir, level, ind, active)
+        failed = active & (nlevel == level) & (nind == ind)
+        npos = jnp.where(failed[:, None], npos + 1e-4 * step_dir, npos)
+
+        # polarisation geometry
+        bnorm = jnp.linalg.norm(b, axis=-1)
+        if polred:
+            p = bnorm
+        else:
+            p = jnp.full_like(bnorm, p0)
+        bn = b / jnp.maximum(bnorm, 1e-30)[:, None]
+        psi = (0.5 * np.pi
+               + jnp.arctan2(jnp.sum(bn * (-ra)[None, :], axis=-1),
+                             jnp.sum(bn * de[None, :], axis=-1)))
+        bdotdir = jnp.sum(bn * odir[None, :], axis=-1)
+        cc = 0.99999 - 0.99998 * bdotdir * bdotdir     # cos^2(gamma)
+
+        w = jnp.where(active, ds, 0.0)
+        dtau = (w * dens)[:, None] * ext_gl[None, :]
+        if rho_weight:
+            sz = jnp.broadcast_to((w * dens)[:, None], dtau.shape)
+        else:
+            emit = emit_map[gidx, :]
+            attw = jnp.where(dtau < 1.0e-3, 1.0 - 0.5 * dtau,
+                             (1.0 - jnp.exp(-dtau))
+                             / jnp.maximum(dtau, 1e-30))
+            sz = jnp.exp(-tau) * attw * (w * dens)[:, None] * emit
+        s_i = s_i + sz * (1.0 - p[:, None] * (cc - 2.0 / 3.0)[:, None])
+        s_q = s_q + (p * jnp.cos(2.0 * psi) * cc)[:, None] * sz
+        s_u = s_u + (p * jnp.sin(2.0 * psi) * cc)[:, None] * sz
+        tau = tau + dtau
+        colden = colden + w * dens
+        return it + 1, npos, nlevel, nind, tau, s_i, s_q, s_u, colden
+
+    state = (jnp.int32(0), pos, level, ind, tau, s_i, s_q, s_u, colden)
+    _, _, _, _, tau, s_i, s_q, s_u, colden = lax.while_loop(cond, body, state)
+    shape = (nf, nyp, nxp)
+    return (s_i.T.reshape(shape), s_q.T.reshape(shape),
+            s_u.T.reshape(shape), colden.reshape(nyp, nxp))

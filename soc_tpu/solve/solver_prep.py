@@ -51,30 +51,41 @@ def prepare_tdown(freq, skabs_grain, e, t, ne):
     def c_abs(energy):
         return np.interp(energy / PLANCK, freq, skabs_grain)
 
+    def integrand(energy, kt):
+        x = np.minimum(energy / kt, 700.0)
+        return energy ** 3 * c_abs(energy) / np.expm1(x)
+
     for u in range(1, ne):
         eu = 0.5 * (e[u] + e[u + 1])
         el = 0.5 * (e[u - 1] + e[u])
         tu = np.interp(eu, e, t)
         kt = BOLTZMANN * tu
         total = 0.0
+        # leading segment [0, min(Ef[0], Eu)] (the reference folds this into
+        # its first trapezoid from (0,0); for Eu < Ef[0] its backward
+        # sub-stepping produced junk that DoSolve clipped away -- here the
+        # segment is integrated properly with C(E<Ef[0]) clamped to C[0])
+        top = min(ef[0], eu)
         ee0 = 0.0
         yy0 = 0.0
+        for ee1 in np.arange(1, SS + 1) * top / SS:
+            yy1 = integrand(ee1, kt)
+            total += 0.5 * (ee1 - ee0) * (yy1 + yy0)
+            ee0, yy0 = ee1, yy1
         i = 0
         # full frequency bins below Eu, SS substeps each
         while i < nfreq - 1 and ef[i + 1] < eu:
-            ee0 = ef[i]
-            yy0 = ee0 ** 3 * c_abs(ee0) / np.expm1(ee0 / kt)
             sub = ef[i] + (np.arange(1, SS + 1)) * (ef[i + 1] - ef[i]) / SS
             for ee1 in sub:
-                yy1 = ee1 ** 3 * c_abs(ee1) / np.expm1(ee1 / kt)
+                yy1 = integrand(ee1, kt)
                 total += 0.5 * (ee1 - ee0) * (yy1 + yy0)
                 ee0, yy0 = ee1, yy1
             i += 1
-        # last partial step [ef[i], Eu]
-        if i < nfreq - 1:
+        # last partial step [Ef[i], Eu]
+        if i < nfreq - 1 and eu > ef[i]:
             sub = ef[i] + (np.arange(1, SS + 1)) * (eu - ef[i]) / SS
             for ee1 in sub:
-                yy1 = ee1 ** 3 * c_abs(ee1) / np.expm1(ee1 / kt)
+                yy1 = integrand(ee1, kt)
                 total += 0.5 * (ee1 - ee0) * (yy1 + yy0)
                 ee0, yy0 = ee1, yy1
         tdown[u] = total * TDOWN_COEFF / (eu - el)

@@ -119,9 +119,9 @@ def solve_equilibrium_size(solver, isize, absorbed, gl=None, nip=5000):
     # E(T) lookup  (A2E.py equilibrium branch math)
     tgrid = np.logspace(np.log10(1.0), np.log10(2500.0), nip)
     # Eout(T) = FACTOR * 4 pi integral kabs B_nu(T) dnu  (trapezoid)
-    bnu = planck_intensity(freq[None, :], tgrid[:, None])        # 1e20-scaled
-    integ = kabs[None, :] * bnu * 1e-20
-    eout = FACTOR * 4.0 * np.pi * np.trapezoid(integ, freq, axis=1)
+    bnu = planck_intensity(freq[None, :], tgrid[:, None])
+    eout = FACTOR * 4.0 * np.pi * np.trapezoid(kabs[None, :] * bnu,
+                                               freq, axis=1)
 
     absf = np.asarray(absorbed, np.float64) * af[None, :]
     # Ein = trapezoid of  ABS * h nu  (photons -> energy)

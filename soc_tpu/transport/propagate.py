@@ -100,6 +100,8 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
         'kabs', 'ksca' : scalar () or [NFREQ] cross sections / density / GL
         'csc'          : [BINS] or [NFREQ, BINS] inverse-CDF table
         'tw'           : scalar or [NFREQ] frequency integration weight
+        optionally 'opt_abs'/'opt_sca' : [CELLS] per-cell cross sections
+        (variable-abundance WITH_ABU mode; uniform-frequency runs only)
     source_params : pytree for the generator (see transport.sources);
         must contain 'id_offset' and either 'ifreq' (uniform-frequency mode,
         enables the scalar-cross-section fast path) or 'per_freq'
@@ -200,7 +202,13 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
         gidx = jnp.clip(grid.off[jnp.clip(b.level, 0, grid.levels - 1)]
                         + jnp.maximum(b.ind, 0), 0, cells - 1)
         dens = grid.dens[gidx]
-        if uniform_freq:
+        if "opt_abs" in physics:
+            # WITH_ABU: per-cell abundance-weighted cross sections for the
+            # current frequency (reference OPT array, ASOC.py:1146-1175)
+            kabs = physics["opt_abs"][gidx]
+            ksca = physics["opt_sca"][gidx]
+            tw = tw_t
+        elif uniform_freq:
             kabs, ksca, tw = kabs_t, ksca_t, tw_t
         else:
             kabs = kabs_t[b.ifreq]

@@ -1,18 +1,15 @@
 """Test configuration: force an 8-device virtual CPU mesh.
 
-Multi-chip sharding is validated on virtual CPU devices (no TPU pod needed);
-set env vars before jax import.
+The container's sitecustomize imports jax and registers the axon TPU backend
+at interpreter start, so plain env vars are too late; instead the jax config
+is redirected here before any backend is instantiated. The axon tunnel is
+single-client -- tests must never touch it.
 """
 
-import os
+import jax
 
-# force CPU: the environment pre-sets JAX_PLATFORMS=axon (the TPU tunnel,
-# which is single-client); tests must never touch it
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

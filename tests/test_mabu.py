@@ -1,0 +1,66 @@
+"""Multi-dust orchestration: splitting + emission summation invariants."""
+
+import numpy as np
+import pytest
+
+from soc_tpu.constants import PLANCK
+from soc_tpu.pipeline import mabu
+from soc_tpu.solve import solver_prep
+
+import sys
+sys.path.insert(0, "tests")
+from test_solver_prep import synthetic_dust, isrf_absorptions  # noqa: E402
+
+
+def test_split_conserves_total():
+    """Sum over dusts of ABU_d * ABS_d == total ABS (constant abundance)."""
+    rng = np.random.default_rng(0)
+    cells, nfreq, nd = 50, 12, 3
+    absorbed = rng.random((cells, nfreq)).astype(np.float32)
+    rabs = rng.random((nfreq, nd)) + 0.01
+    rabs /= rabs.sum(1)[:, None]
+    abu = rng.random((cells, nd)).astype(np.float32) + 0.1
+    total = np.zeros_like(absorbed)
+    for d in range(nd):
+        total += mabu.split_absorbed(absorbed, rabs, abu, d) * abu[:, d:d+1]
+    np.testing.assert_allclose(total, absorbed, rtol=1e-5)
+
+
+def test_eqdust_energy_balance():
+    """Equilibrium eqdust solve: emitted energy == absorbed energy."""
+    freq = np.logspace(11.5, 15, 30)
+    kabs = 1e-21 * (freq / 1e12) ** 1.7
+    rng = np.random.default_rng(1)
+    absorbed = (1e3 * rng.random((20, 30)) * (freq / freq.max()) ** -1
+                ).astype(np.float32)
+    emit, t = mabu.solve_equilibrium_eqdust(kabs, freq, absorbed)
+    assert np.all(t > 1.0) and np.all(t < 1600.0)
+    for c in range(0, 20, 5):
+        e_in = np.trapezoid(absorbed[c] * PLANCK * freq, freq)
+        e_out = np.trapezoid(emit[c] * PLANCK * freq, freq)
+        assert abs(e_out - e_in) / e_in < 0.03, (c, e_out, e_in)
+
+
+def test_multi_dust_total_energy():
+    """gset + eqdust mixture conserves total energy through the split."""
+    dust = synthetic_dust()
+    freq = np.logspace(11.3, 15.2, 40)
+    sol = solver_prep.build_solver(dust, freq, ne=64)
+    comps = [
+        mabu.DustComponent(name="gs", kind="gset", kabs=sol.k_abs,
+                           solver=sol),
+        mabu.DustComponent(name="eq", kind="eqdust",
+                           kabs=2.0 * sol.k_abs, freq=freq),
+    ]
+    absorbed = np.tile(isrf_absorptions(dust, freq), (6, 1))
+    emitted = mabu.solve_emission_multi(comps, absorbed)
+    e_in = np.trapezoid(absorbed[0] * PLANCK * freq, freq)
+    e_out = np.trapezoid(emitted[0] * PLANCK * freq, freq)
+    assert abs(e_out - e_in) / e_in < 0.1, (e_out, e_in)
+    # abundance-weighted variant: zero abundance of one dust routes all
+    # energy through the other
+    abu = np.zeros((6, 2), np.float32)
+    abu[:, 0] = 1.0
+    emitted_g = mabu.solve_emission_multi(comps, absorbed, abu)
+    e_out_g = np.trapezoid(emitted_g[0] * PLANCK * freq, freq)
+    assert abs(e_out_g - e_in) / e_in < 0.1

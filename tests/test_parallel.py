@@ -51,7 +51,7 @@ def test_sharded_background_matches_single_device():
         tabs, intf, e, _ = transport_run(
             grid, physics, params, jnp.int32(per_freq), tabs, intf, 7,
             source_kind="bg", nlanes=2048)
-        esc[f] = float(e)
+        esc[f] = float(e[0])
 
     np.testing.assert_allclose(np.asarray(tabs_sh), np.asarray(tabs),
                                rtol=5e-4, atol=1e-5)

@@ -1,0 +1,78 @@
+"""Polarization maps: Stokes geometry invariants."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from soc_tpu.grid import uniform_grid
+from soc_tpu.render.polarization import render_pol
+from soc_tpu.render.mapping import observer_basis
+
+
+def make_setup(nx=8, b_vector=(0.0, 1.0, 0.0)):
+    grid = uniform_grid(nx, nx, nx, density=1.0)
+    emit = jnp.ones((grid.cells, 1), jnp.float32)
+    ext = jnp.asarray([1e-4], jnp.float32)
+    b = jnp.broadcast_to(jnp.asarray(b_vector, jnp.float32),
+                         (grid.cells, 3))
+    odir, ra, de = observer_basis(0.0, 0.0)   # observer at +Z, LOS = -Z
+    centre = (nx / 2, nx / 2, nx / 2)
+    return grid, emit, ext, b, (jnp.asarray(odir), jnp.asarray(ra),
+                                jnp.asarray(de)), centre
+
+
+def run(bvec, p0=0.2, nx=8):
+    grid, emit, ext, b, (odir, ra, de), centre = make_setup(nx, bvec)
+    i, q, u, colden = render_pol(grid, emit, ext, b, p0, odir, ra, de,
+                                 centre, 1.0, (nx, nx))
+    c = nx // 2
+    return (float(i[0, c, c]), float(q[0, c, c]), float(u[0, c, c]),
+            np.asarray(colden))
+
+
+def test_colden():
+    _, _, _, colden = run((0.0, 1.0, 0.0))
+    np.testing.assert_allclose(colden, 8.0, rtol=1e-3)
+
+
+def test_b_along_los_unpolarized():
+    """B parallel to the LOS (+Z): cos^2 gamma ~ 0 -> Q = U ~ 0 and
+    I enhanced by p0*2/3."""
+    i, q, u, _ = run((0.0, 0.0, 1.0))
+    assert abs(q) < 2e-5 * i and abs(u) < 2e-5 * i
+    i0, q0, u0, _ = run((0.0, 0.0, 1.0), p0=0.0)
+    np.testing.assert_allclose(i / i0, 1.0 + 0.2 * (2.0 / 3.0), rtol=1e-3)
+
+
+def test_b_in_plane_max_polarization():
+    """B in the plane of the sky: cos^2 gamma ~ 1, polarized fraction and
+    angle follow the projected field orientation."""
+    # observer at +Z: DE = +Y(ish)? use the basis directly
+    grid, emit, ext, b, (odir, ra, de), centre = make_setup(8, (0, 1, 0))
+    # b along the DE axis: Psi = pi/2 => Q = -p*sz, U = 0
+    bvec = np.asarray(de)
+    i, q, u, _ = run(tuple(bvec))
+    p_frac = np.hypot(q, u) / i
+    assert p_frac > 0.15                       # p0=0.2 reduced by I-term
+    assert abs(u) < 2e-4 * abs(q)
+    assert q < 0                               # Psi=pi/2: cos(2Psi) = -1
+
+    # b along the RA axis: Psi = pi => Q = +p*sz
+    bvec = np.asarray(ra)
+    i2, q2, u2, _ = run(tuple(bvec))
+    assert q2 > 0
+    assert abs(u2) < 2e-4 * abs(q2)
+
+
+def test_rotating_b_rotates_stokes_vector():
+    """Rotating B in the sky plane by angle a rotates (Q,U) by 2a."""
+    grid, emit, ext, b, (odir, ra, de), centre = make_setup(8, (0, 1, 0))
+    ra_np, de_np = np.asarray(ra), np.asarray(de)
+    angles = [0.0, np.pi / 6, np.pi / 4, np.pi / 3]
+    chis = []
+    for a in angles:
+        bvec = np.cos(a) * de_np + np.sin(a) * ra_np
+        i, q, u, _ = run(tuple(bvec))
+        chis.append(0.5 * np.arctan2(u, q))
+    dchi = np.diff(np.unwrap(np.asarray(chis) * 2.0)) / 2.0
+    np.testing.assert_allclose(np.abs(dchi), np.diff(angles), atol=0.01)

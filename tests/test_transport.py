@@ -41,7 +41,7 @@ def run_background(grid, medium, n_per_freq, photons_per_packet=1.0, seed=11,
         tabs, intf, e, a = transport_run(
             grid, physics, params, jnp.int32(n_per_freq), tabs, intf, seed,
             source_kind="bg", nlanes=nlanes, per_freq_tally=True)
-        esc[f] = float(e)
+        esc[f] = float(e[0])
         absd[f] = float(a)
     return np.asarray(tabs), np.asarray(intf), esc, absd
 
@@ -138,7 +138,7 @@ def test_mixed_vs_uniform_frequency_equivalence():
         source_kind="bg", nlanes=1 << 13, per_freq_tally=True)
     np.testing.assert_allclose(np.asarray(intf_m), intf_u, rtol=2e-4,
                                atol=1e-6)
-    np.testing.assert_allclose(float(esc_m), esc_u.sum(), rtol=2e-4)
+    np.testing.assert_allclose(float(esc_m[0]), esc_u.sum(), rtol=2e-4)
 
 
 def test_point_source_inverse_square():
@@ -167,4 +167,4 @@ def test_point_source_inverse_square():
         sums.append(field[m].sum())
     rel = np.asarray(sums) / sums[0]
     np.testing.assert_allclose(rel, 1.0, atol=0.08)
-    assert abs(field.sum() + float(esc) - n) / n < 3e-3
+    assert abs(field.sum() + float(esc[0]) - n) / n < 3e-3
