@@ -1,0 +1,138 @@
+"""Command-line entry points mirroring the reference executables.
+
+  python -m soc_tpu rt soc.ini          ~  ASOC.py soc.ini
+  python -m soc_tpu sca soc.ini         ~  ASOCS.py soc.ini
+  python -m soc_tpu a2e_pre gs.dust freq.dat out.solver [NE]
+                                        ~  A2E_pre.py ...
+  python -m soc_tpu a2e solver absorbed emitted [nstoch]
+                                        ~  A2E.py ...
+  python -m soc_tpu mabu soc.ini absorbed emitted
+                                        ~  A2E_MABU.py ...
+  python -m soc_tpu pipeline soc.ini    ~  ASOC_driver.py soc.ini
+  python -m soc_tpu bench               ~  run the benchmark workload
+"""
+
+import sys
+
+import numpy as np
+
+
+def _usage():
+    print(__doc__)
+    return 1
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv:
+        return _usage()
+    cmd, args = argv[0], argv[1:]
+
+    if cmd == "rt":
+        from .pipeline import driver
+        res = driver.run(args[0])
+        print("soc_tpu rt done: cells=%d timings=%s"
+              % (res.grid.cells,
+                 {k: round(v, 2) for k, v in res.timings.items()}))
+        return 0
+
+    if cmd == "sca":
+        from .pipeline import scattering
+        out = scattering.run(args[0])
+        print("soc_tpu sca done: outcoming.socs shape", out.shape)
+        return 0
+
+    if cmd == "a2e_pre":
+        from .solve.grain_model import read_gset_dust
+        from .solve import solver_prep
+        from .solve.solver_file import write_solver
+        dust = read_gset_dust(args[0])
+        freq = np.loadtxt(args[1])
+        ne = int(args[3]) if len(args) > 3 else 256
+        sol = solver_prep.build_solver(dust, freq, ne=ne)
+        write_solver(args[2], sol)
+        print("wrote %s: NSIZE=%d NFREQ=%d NE=%d"
+              % (args[2], sol.nsize, sol.nfreq, sol.ne))
+        return 0
+
+    if cmd == "a2e":
+        from .solve.solver_file import read_solver
+        from .solve import stochastic
+        from .io.fields import (read_cell_frequency_array,
+                                write_cell_frequency_array)
+        sol = read_solver(args[0])
+        absorbed = read_cell_frequency_array(args[1])
+        nstoch = int(args[3]) if len(args) > 3 else 999
+        emitted = stochastic.solve_emission(sol, absorbed, nstoch=nstoch)
+        write_cell_frequency_array(args[2], emitted)
+        print("wrote %s: %s" % (args[2], emitted.shape))
+        return 0
+
+    if cmd == "mabu":
+        from .config import RunConfig
+        from .io.fields import (read_cell_frequency_array,
+                                write_cell_frequency_array)
+        from .io.dust import read_simple_dust
+        from .pipeline import mabu as mabu_mod
+        from .pipeline.full import classify_dusts, prepare_solver_files
+        from .constants import PARSEC
+        import os
+        cfg = RunConfig(args[0]).validate()
+        absorbed = read_cell_frequency_array(args[1])
+        cells = absorbed.shape[0]
+        # need the frequency grid: from the first simple dust or solver
+        stoch, simple = classify_dusts(cfg)
+        comps = []
+        freq = None
+        if simple:
+            opt = read_simple_dust(simple[0], cfg.gl)
+            freq = opt.freq
+        cfg.freq = freq
+        solvers = prepare_solver_files(cfg) if stoch else {}
+        for path in stoch:
+            sol = solvers[path]
+            if freq is None:
+                freq = sol.freq
+                cfg.freq = freq
+            comps.append(mabu_mod.DustComponent(
+                name=os.path.basename(path), kind="gset",
+                kabs=sol.k_abs, solver=sol))
+        for path in simple:
+            opt = read_simple_dust(path, cfg.gl)
+            comps.append(mabu_mod.DustComponent(
+                name=os.path.basename(path), kind="eqdust",
+                kabs=np.asarray(opt.abs_gl, np.float64) / (cfg.gl * PARSEC),
+                freq=freq))
+        abu = None
+        if cfg.file_abundance:
+            abu = np.ones((cells, len(comps)), np.float32)
+            for d, p in enumerate(cfg.file_abundance):
+                if p and not p.startswith("#"):
+                    abu[:, d] = np.fromfile(p, np.float32, cells)
+        valid = absorbed[:, 0] > -1e19
+        clean = np.where(valid[:, None], absorbed, 0.0).astype(np.float32)
+        emitted = mabu_mod.solve_emission_multi(comps, clean, abu)
+        emitted[~valid] = 0.0
+        write_cell_frequency_array(args[2], emitted)
+        print("wrote %s: %s" % (args[2], emitted.shape))
+        return 0
+
+    if cmd == "pipeline":
+        from .pipeline.full import run_pipeline
+        run_pipeline(args[0])
+        print("soc_tpu pipeline done")
+        return 0
+
+    if cmd == "bench":
+        import runpy
+        import os
+        runpy.run_path(os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "bench.py"),
+            run_name="__main__")
+        return 0
+
+    return _usage()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

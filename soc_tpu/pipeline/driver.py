@@ -142,6 +142,44 @@ def simulate_background(grid, medium, cfg, ibg, tabs, intf, seed,
     return tabs, intf, escaped, injected
 
 
+def simulate_hpbg(grid, medium, cfg, hpbg, tabs, intf, seed,
+                  lanes=DEFAULT_LANES, per_freq_tally=False, weighted=False):
+    """Phase-1 Healpix-sky background (SimRAM_HP equivalent).
+
+    hpbg : [NFREQ, NPIX] sky intensities; photons per packet =
+    (pi*AREA/(PLANCK*BGPAC)) / freq * HPBG[pix] (ASOC.py:1050-1063), with
+    optional per-pixel importance weighting (HPBG_WEIGHTED).
+    Returns (tabs, intf, escaped[NF], injected[NF]).
+    """
+    area = grid.area
+    per_freq = max(1, int(cfg.bgpac))
+    wbg = np.pi * area / (PLANCK * per_freq)
+    nfreq = medium.nfreq
+    freq = np.asarray(cfg.freq, np.float64)
+    injected = np.zeros(nfreq)
+
+    def make_params(ifreq):
+        vals = np.asarray(hpbg[ifreq], np.float64) * (wbg / freq[ifreq])
+        npx = len(vals)
+        if weighted:
+            p = vals / max(vals.mean(), 1e-300)
+            p = np.clip(p, 1e-3, 1e4)
+            p /= p.sum()
+            w = (1.0 / npx) / p                  # packet weight correction
+            cdf = np.cumsum(p)
+            cdf[-1] = 1.00001
+            injected[ifreq] = np.sum(p * (vals * w))
+            return dict(hpbg=jnp.asarray((vals * w).astype(np.float32)),
+                        cdf=jnp.asarray(cdf.astype(np.float32)))
+        injected[ifreq] = vals.mean()
+        return dict(hpbg=jnp.asarray(vals.astype(np.float32)), cdf=None)
+
+    tabs, intf, escaped, absorbed = _run_over_freqs(
+        grid, medium, "hpbg", make_params, per_freq, tabs, intf, seed,
+        lanes, per_freq_tally, id_base=1 << 27)
+    return tabs, intf, escaped, injected * per_freq
+
+
 def simulate_point_sources(grid, medium, cfg, lps, tabs, intf, seed,
                            lanes=DEFAULT_LANES, per_freq_tally=False):
     """Phase-1 point sources (internal positions)."""
@@ -155,9 +193,19 @@ def simulate_point_sources(grid, medium, cfg, lps, tabs, intf, seed,
     ps_pos = jnp.asarray(np.asarray(cfg.ps_pos, np.float32))
     per_freq = pspac * cfg.no_ps
 
+    extra = {}
+    if cfg.ps_method == 2:
+        from ..transport.sources import analyse_external_point_sources
+        nside, side, area = analyse_external_point_sources(grid, cfg.ps_pos)
+        extra = dict(xps_nside=jnp.asarray(nside),
+                     xps_side=jnp.asarray(side),
+                     xps_area=jnp.asarray(area))
+    elif cfg.ps_method == 1:
+        extra = dict(halfspace=jnp.int32(1))
+
     def make_params(ifreq):
         return dict(ps_pos=ps_pos,
-                    photons=jnp.asarray(ps_photons[:, ifreq]))
+                    photons=jnp.asarray(ps_photons[:, ifreq]), **extra)
 
     tabs, intf, escaped, absorbed = _run_over_freqs(
         grid, medium, "ps", make_params, per_freq, tabs, intf, seed,
@@ -252,6 +300,14 @@ def _run_inner(cfg, lanes, write_files, t_start):
             grid, medium, cfg, ibg, tabs, intf, seed, lanes, per_freq_tally)
         escaped += np.asarray(esc)
         injected += inj
+    if cfg.bgpac > 0 and cfg.file_hpbg:
+        hpbg = np.fromfile(cfg.file_hpbg, np.float32).reshape(nfreq, -1)
+        hpbg = hpbg * cfg.scale_background
+        tabs, intf, esc, inj = simulate_hpbg(
+            grid, medium, cfg, hpbg, tabs, intf, seed + 3, lanes,
+            per_freq_tally, weighted=cfg.has_key("hpbgw"))
+        escaped += np.asarray(esc)
+        injected += inj
     if cfg.no_ps > 0 and cfg.pspac > 0:
         lps = np.zeros((cfg.no_ps, nfreq), np.float32)
         for i, f in enumerate(cfg.file_pointsource):
@@ -330,16 +386,36 @@ def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
              * (kk * freq)[None, :]).astype(np.float32))
         ext_gl = jnp.asarray(np.asarray(medium.abs_gl) +
                              np.asarray(medium.sca_gl))
-        for idir in range(len(cfg.obs_theta)):
-            odir, ra, de = render_mapping.observer_basis(
-                cfg.obs_theta[idir], cfg.obs_phi[idir])
-            phot, tau, colden = render_mapping.render_ortho(
-                grid, emit_map, ext_gl, jnp.asarray(odir), jnp.asarray(ra),
-                jnp.asarray(de), centre, cfg.map_dx, tuple(cfg.npix))
-            res.maps[idir] = np.asarray(phot)
-            res.tau_maps[idir] = np.asarray(tau)
+        if cfg.npix[1] <= 0:
+            # all-sky Healpix map around the internal observer
+            # (NPIX.x == NSIDE; reference writes headerless map.healpix)
+            intobs = cfg.intobs if cfg.intobs[0] > -1e7 else centre
+            phot, tau, colden = render_mapping.render_healpix(
+                grid, emit_map, ext_gl, intobs, int(cfg.npix[0]))
+            res.maps[0] = np.asarray(phot)
+            res.tau_maps[0] = np.asarray(tau)
             if write_files:
-                write_map_file("map_dir_%02d.bin" % idir, res.maps[idir])
+                res.maps[0].astype(np.float32).tofile("map.healpix")
+        elif cfg.intobs[0] > -1e7:
+            # perspective panorama from inside the model
+            phot, tau, colden = render_mapping.render_perspective(
+                grid, emit_map, ext_gl, cfg.intobs, tuple(cfg.npix))
+            res.maps[0] = np.asarray(phot)
+            res.tau_maps[0] = np.asarray(tau)
+            if write_files:
+                write_map_file("map_dir_00.bin", res.maps[0])
+        else:
+            for idir in range(len(cfg.obs_theta)):
+                odir, ra, de = render_mapping.observer_basis(
+                    cfg.obs_theta[idir], cfg.obs_phi[idir])
+                phot, tau, colden = render_mapping.render_ortho(
+                    grid, emit_map, ext_gl, jnp.asarray(odir),
+                    jnp.asarray(ra), jnp.asarray(de), centre, cfg.map_dx,
+                    tuple(cfg.npix))
+                res.maps[idir] = np.asarray(phot)
+                res.tau_maps[idir] = np.asarray(tau)
+                if write_files:
+                    write_map_file("map_dir_%02d.bin" % idir, res.maps[idir])
 
     # ---- polarization maps (I, Q, U, N), reference PolMapping
     if cfg.polmap > 0 and emitted is not None and len(cfg.b_files) == 3:

@@ -133,3 +133,121 @@ def render_ortho(grid, emit_map, ext_gl, odir, ra, de, centre, map_dx,
     tau = tau.T.reshape(nf, nyp, nxp)
     colden = colden.reshape(nyp, nxp)
     return phot, tau, colden
+
+
+@partial(jax.jit, static_argnames=("nside", "max_steps"))
+def render_healpix(grid, emit_map, ext_gl, intobs, nside, max_steps=100000):
+    """All-sky map around an internal observer (HealpixMapping,
+    kernel_ASOC_map.c:890-965): one ray per RING pixel stepping away from
+    INTOBS; (lon,lat)=(0,0) looks along -X.
+
+    Returns (photons [NF, NPIX], tau [NF, NPIX], colden [NPIX]).
+    """
+    from . import healpix as hp
+    npix = 12 * nside * nside
+    nf = emit_map.shape[1]
+    theta, phi = hp.pix2ang_ring(nside, jnp.arange(npix))
+    step_dir = jnp.stack([-jnp.sin(theta) * jnp.cos(phi),
+                          -jnp.sin(theta) * jnp.sin(phi),
+                          jnp.cos(theta)], -1)
+    step_dir = jnp.where(jnp.abs(step_dir) < 1e-5, 1e-5, step_dir)
+    intobs = jnp.asarray(intobs, jnp.float32)
+    pos = jnp.broadcast_to(intobs, (npix, 3))
+    # nudge off cell boundaries (reference: +2e-5 guards)
+    pos = pos + 2.0e-5
+
+    pos, level, ind = traverse.index_global(grid, pos)
+    tau = jnp.zeros((npix, nf), jnp.float32)
+    phot = jnp.zeros((npix, nf), jnp.float32)
+    colden = jnp.zeros(npix, jnp.float32)
+
+    def cond(state):
+        it, pos, level, ind, tau, phot, colden = state
+        return (it < max_steps) & jnp.any(ind >= 0)
+
+    def body(state):
+        it, pos, level, ind, tau, phot, colden = state
+        active = ind >= 0
+        gidx = jnp.clip(grid.off[jnp.clip(level, 0, grid.levels - 1)]
+                        + jnp.maximum(ind, 0), 0, grid.cells - 1)
+        dens = grid.dens[gidx]
+        ds, npos, nlevel, nind = traverse.get_step(
+            grid, pos, step_dir, level, ind, active)
+        failed = active & (nlevel == level) & (nind == ind)
+        npos = jnp.where(failed[:, None], npos + 1e-4 * step_dir, npos)
+        w = jnp.where(active, ds, 0.0)
+        dtau = (w * dens)[:, None] * ext_gl[None, :]
+        emit = emit_map[gidx, :]
+        attw = jnp.where(dtau < 1.0e-3, 1.0 - 0.5 * dtau,
+                         (1.0 - jnp.exp(-dtau)) / jnp.maximum(dtau, 1e-30))
+        phot = phot + jnp.exp(-tau) * attw * (w * dens)[:, None] * emit
+        tau = tau + dtau
+        colden = colden + w * dens
+        return it + 1, npos, nlevel, nind, tau, phot, colden
+
+    state = (jnp.int32(0), pos, level, ind, tau, phot, colden)
+    _, _, _, _, tau, phot, colden = lax.while_loop(cond, body, state)
+    return phot.T, tau.T, colden
+
+
+@partial(jax.jit, static_argnames=("npix", "max_steps"))
+def render_perspective(grid, emit_map, ext_gl, intobs, npix,
+                       max_steps=100000):
+    """Panoramic (lon, lat) map from an internal observer (the INTOBS branch
+    of the Mapping kernel, kernel_ASOC_map.c:538-557): longitude spans 2 pi
+    over NPIX.x (zero in the map centre), latitude pix-size rows around the
+    equator.
+
+    Returns (photons [NF, NY, NX], tau [NF, NY, NX], colden [NY, NX]).
+    """
+    nxp, nyp = npix
+    nf = emit_map.shape[1]
+    i = jnp.arange(nxp, dtype=jnp.float32)
+    j = jnp.arange(nyp, dtype=jnp.float32)
+    ii, jj = jnp.meshgrid(i, j, indexing="xy")
+    ii = ii.reshape(-1)
+    jj = jj.reshape(-1)
+    phi = 2.0 * np.pi * ii / nxp + np.pi
+    pix = 2.0 * np.pi / nxp
+    theta = pix * (jj - (nyp - 1) / 2.0)
+    step_dir = jnp.stack([jnp.cos(theta) * jnp.cos(phi),
+                          jnp.cos(theta) * jnp.sin(phi),
+                          jnp.sin(theta)], -1)
+    step_dir = jnp.where(jnp.abs(step_dir) < 1e-5, 1e-5, step_dir)
+    pos = jnp.broadcast_to(jnp.asarray(intobs, jnp.float32),
+                           step_dir.shape) + 2.0e-5
+
+    pos, level, ind = traverse.index_global(grid, pos)
+    npixels = pos.shape[0]
+    tau = jnp.zeros((npixels, nf), jnp.float32)
+    phot = jnp.zeros((npixels, nf), jnp.float32)
+    colden = jnp.zeros(npixels, jnp.float32)
+
+    def cond(state):
+        it, pos, level, ind, tau, phot, colden = state
+        return (it < max_steps) & jnp.any(ind >= 0)
+
+    def body(state):
+        it, pos, level, ind, tau, phot, colden = state
+        active = ind >= 0
+        gidx = jnp.clip(grid.off[jnp.clip(level, 0, grid.levels - 1)]
+                        + jnp.maximum(ind, 0), 0, grid.cells - 1)
+        dens = grid.dens[gidx]
+        ds, npos, nlevel, nind = traverse.get_step(
+            grid, pos, step_dir, level, ind, active)
+        failed = active & (nlevel == level) & (nind == ind)
+        npos = jnp.where(failed[:, None], npos + 1e-4 * step_dir, npos)
+        w = jnp.where(active, ds, 0.0)
+        dtau = (w * dens)[:, None] * ext_gl[None, :]
+        emit = emit_map[gidx, :]
+        attw = jnp.where(dtau < 1.0e-3, 1.0 - 0.5 * dtau,
+                         (1.0 - jnp.exp(-dtau)) / jnp.maximum(dtau, 1e-30))
+        phot = phot + jnp.exp(-tau) * attw * (w * dens)[:, None] * emit
+        tau = tau + dtau
+        colden = colden + w * dens
+        return it + 1, npos, nlevel, nind, tau, phot, colden
+
+    state = (jnp.int32(0), pos, level, ind, tau, phot, colden)
+    _, _, _, _, tau, phot, colden = lax.while_loop(cond, body, state)
+    return (phot.T.reshape(nf, nyp, nxp), tau.T.reshape(nf, nyp, nxp),
+            colden.reshape(nyp, nxp))

@@ -137,16 +137,40 @@ def gen_background(grid, ids_local, seed, params):
     return _finish(grid, pos, dir, _photons_of(ifreq, params), ifreq, stream)
 
 
+def _surface_step(grid, pos, dir):
+    """Step an outside position to the nearest model boundary along dir
+    (Surface(), kernel_ASOC_aux.c:912-945); misses stay outside."""
+    nx, ny, nz = grid.nx, grid.ny, grid.nz
+    bounds = jnp.asarray([nx, ny, nz], jnp.float32)
+    lo_hit = (dir > 0.0) & (pos < 0.0)
+    hi_hit = (dir < 0.0) & (pos > bounds)
+    dx = jnp.where(lo_hit, (PEPS - pos) / dir,
+                   jnp.where(hi_hit, (bounds - PEPS - pos) / dir, -1e10))
+    step = jnp.max(dx, axis=-1)
+    return pos + step[:, None] * dir
+
+
 def gen_point_source(grid, ids_local, seed, params):
     """Point-source packets; params: ps_pos [S,3], photons (scalar/[S]/[S,NF]),
-    ifreq, per_freq, id_offset. Packets cycle sources: src = id % S."""
+    ifreq, per_freq, id_offset. Packets cycle sources: src = id % S.
+
+    External sources (outside the model volume) are handled by PS_METHOD
+    (kernel_ASOC.c:215-340):
+      method 0 (default)      : isotropic + Surface() step; misses die
+      method 1 ('halfspace')  : direction folded into the cloud-facing
+                                half-space, photons *= 0.5
+      method 2 ('xps_side'...): aim at a random point on a randomly chosen
+                                visible face; photons *= cos(theta) *
+                                S_side / (4 pi r^2) / area_weight
+    """
+    nx, ny, nz = grid.nx, grid.ny, grid.nz
     gids = ids_local + params["id_offset"]
     stream = gids.astype(jnp.uint32)
     ps_pos = params["ps_pos"]
     no_ps = ps_pos.shape[0]
     isrc = (gids % no_ps).astype(jnp.int32)
     ifreq = _ifreq_of(gids, params)
-    u1, u2, _, _, _, _ = _uniforms(jnp.uint32(seed), stream)
+    u1, u2, u3, u4, u5, _ = _uniforms(jnp.uint32(seed), stream)
     dir = _isotropic_dir(u1, u2)
     pos = ps_pos[isrc]
     ph = params["photons"]
@@ -156,7 +180,78 @@ def gen_point_source(grid, ids_local, seed, params):
         photons = ph[isrc]
     else:
         photons = jnp.full(ifreq.shape, ph, jnp.float32)
+
+    bounds = jnp.asarray([nx, ny, nz], jnp.float32)
+    external = jnp.any((pos < 0.0) | (pos > bounds), axis=-1)
+
+    if "xps_side" in params:
+        # PS_METHOD 2: target a visible face directly
+        xps_side = params["xps_side"]        # [S, 3] int32 face ids 0..5
+        xps_area = params["xps_area"]        # [S, 3] area weights (1/nside)
+        xps_nside = params["xps_nside"]      # [S] int32
+        k = jnp.clip((u3 * xps_nside[isrc].astype(jnp.float32) * 0.999999
+                      ).astype(jnp.int32), 0, 2)
+        photons = photons / jnp.maximum(xps_area[isrc, k], 1e-10)
+        side = xps_side[isrc, k]             # 0..5: +X,-X,+Y,-Y,+Z,-Z
+        axis = side // 2
+        hi = (side % 2) == 0                 # even ids are the + faces
+        nrm = jnp.where(hi, bounds[axis] - PEPS, PEPS)
+        # tangential coordinates on the face
+        t1 = u4 * jnp.where(axis == 0, ny, nx)
+        t2 = u5 * jnp.where(axis == 2, ny, nz)
+        fx = jnp.where(axis == 0, nrm, t1)
+        fy = jnp.where(axis == 1, nrm, jnp.where(axis == 0, t1, t2))
+        fz = jnp.where(axis == 2, nrm, t2)
+        face_pos = jnp.stack([fx, fy, fz], -1)
+        vec = face_pos - pos
+        r = jnp.linalg.norm(vec, axis=-1)
+        new_dir = vec / jnp.maximum(r, 1e-10)[:, None]
+        cos_t = jnp.abs(jnp.take_along_axis(new_dir, axis[:, None],
+                                            axis=1))[:, 0]
+        s_side = jnp.where(axis == 0, ny * nz,
+                           jnp.where(axis == 1, nx * nz, nx * ny)
+                           ).astype(jnp.float32)
+        w = cos_t * s_side / (4.0 * jnp.pi * r * r)
+        photons = jnp.where(external, photons * w, photons)
+        dir = jnp.where(external[:, None], new_dir, dir)
+        pos = jnp.where(external[:, None], face_pos, pos)
+    else:
+        if params.get("halfspace", None) is not None:
+            # PS_METHOD 1: fold the direction toward the cloud
+            lo = pos < 0.0
+            hi = pos > bounds
+            flip = (lo & (dir < 0.0)) | (hi & (dir > 0.0))
+            dir = jnp.where(external[:, None] & flip, -dir, dir)
+            photons = jnp.where(external, photons * 0.5, photons)
+        # PS_METHOD 0/1: step to the cloud surface; misses die at IndexG
+        surfaced = _surface_step(grid, pos, dir)
+        pos = jnp.where(external[:, None], surfaced, pos)
+
     return _finish(grid, pos, dir, photons, ifreq, stream)
+
+
+def analyse_external_point_sources(grid, ps_pos):
+    """Host-side XPS arrays for PS_METHOD 2 (ASOC_aux.py:1538-1605)."""
+    ps_pos = np.asarray(ps_pos, np.float64)
+    no_ps = len(ps_pos)
+    nside = np.zeros(no_ps, np.int32)
+    side = np.zeros((no_ps, 3), np.int32)
+    area = np.zeros((no_ps, 3), np.float32)
+    bounds = [grid.nx, grid.ny, grid.nz]
+    for i, p in enumerate(ps_pos):
+        if np.all((p >= 0) & (p <= bounds)):
+            continue
+        faces = []
+        for axis in range(3):
+            if p[axis] > bounds[axis]:
+                faces.append(2 * axis)          # + face
+            if p[axis] < 0.0:
+                faces.append(2 * axis + 1)      # - face
+        nside[i] = len(faces)
+        for k, f in enumerate(faces[:3]):
+            side[i, k] = f
+            area[i, k] = 1.0 / len(faces)
+    return nside, side, area
 
 
 def gen_cell(grid, ids_local, seed, params):
@@ -201,8 +296,61 @@ def gen_cell(grid, ids_local, seed, params):
     )
 
 
+def gen_hpbg(grid, ids_local, seed, params):
+    """Healpix all-sky background packets (SimRAM_HP, kernel_ASOC.c:831-1010).
+
+    params: hpbg [49152] photons per packet per pixel (host includes WBG/freq
+    and any pixel weighting), optional 'cdf' [49152] cumulative pixel
+    probability for weighted pixel selection, ifreq, per_freq, id_offset.
+    Pixel -> parallel-beam direction (+sin t cos p, +sin t sin p, -cos t);
+    the entry face is chosen with probability ~ projected area.
+    """
+    from ..render import healpix as hp
+    nx, ny, nz = grid.nx, grid.ny, grid.nz
+    gids = ids_local + params["id_offset"]
+    stream = gids.astype(jnp.uint32)
+    ifreq = _ifreq_of(gids, params)
+    u1, u2, u3, u4 = socrng.uniform4(jnp.uint32(seed), stream,
+                                     jnp.zeros_like(stream))
+    npix = params["hpbg"].shape[0]
+    nside = int(np.sqrt(npix // 12))
+    if params.get("cdf", None) is not None:
+        pix = jnp.clip(jnp.searchsorted(params["cdf"], u1), 0, npix - 1)
+    else:
+        pix = jnp.clip((u1 * npix).astype(jnp.int32), 0, npix - 1)
+    photons = params["hpbg"][pix]
+    theta, phi = hp.pix2ang_ring(nside, pix)
+    dir = jnp.stack([jnp.sin(theta) * jnp.cos(phi),
+                     jnp.sin(theta) * jnp.sin(phi),
+                     -jnp.cos(theta)], -1)
+    dir = jnp.where(jnp.abs(dir) < 1e-5, 1e-5, dir)
+    dir = dir / jnp.linalg.norm(dir, axis=-1, keepdims=True)
+
+    # face selection ~ |DIR| components (projected areas)
+    ax = jnp.abs(dir[:, 0])
+    ay = jnp.abs(dir[:, 1])
+    az = jnp.abs(dir[:, 2])
+    tot = ax + ay + az
+    ax, ay = ax / tot, ay / tot
+    hit_x = u2 < ax
+    hit_y = ~hit_x & (u2 < ax + ay)
+    hit_z = ~hit_x & ~hit_y
+    px = jnp.where(hit_x,
+                   jnp.where(dir[:, 0] > 0, PEPS, nx - PEPS), u3 * nx)
+    py = jnp.where(hit_y,
+                   jnp.where(dir[:, 1] > 0, PEPS, ny - PEPS),
+                   jnp.where(hit_x, u3 * ny, u4 * ny))
+    pz = jnp.where(hit_z,
+                   jnp.where(dir[:, 2] > 0, PEPS, nz - PEPS), u4 * nz)
+    pos = jnp.stack([jnp.clip(px, PEPS, nx - PEPS),
+                     jnp.clip(py, PEPS, ny - PEPS),
+                     jnp.clip(pz, PEPS, nz - PEPS)], -1)
+    return _finish(grid, pos, dir, photons, ifreq, stream)
+
+
 GENERATORS = {
     "bg": gen_background,
     "ps": gen_point_source,
     "cell": gen_cell,
+    "hpbg": gen_hpbg,
 }

@@ -1,0 +1,66 @@
+"""External point sources: the three PS_METHODs must agree physically."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from soc_tpu.grid import uniform_grid
+from soc_tpu.io.dust import hg_scattering_function
+from soc_tpu.transport.propagate import transport_run
+from soc_tpu.transport.sources import analyse_external_point_sources
+
+
+def run_ps(grid, params_extra, n, pos, seed=9):
+    dsc, csc = hg_scattering_function([0.0], 64)
+    physics = dict(kabs=jnp.float32(5e-3), ksca=jnp.float32(0.0),
+                   csc=jnp.asarray(csc[0]), tw=jnp.float32(1.0))
+    params = dict(ps_pos=jnp.asarray([pos], jnp.float32),
+                  photons=jnp.ones(1, jnp.float32),
+                  ifreq=jnp.int32(0), per_freq=jnp.int32(n),
+                  id_offset=jnp.int32(0), **params_extra)
+    tabs = jnp.zeros(grid.cells, jnp.float32)
+    intf = jnp.zeros((1, 1), jnp.float32)
+    tabs, _, esc, absd = transport_run(
+        grid, physics, params, jnp.int32(n), tabs, intf, seed,
+        source_kind="ps", nlanes=1 << 13)
+    return np.asarray(tabs), float(absd)
+
+
+def test_analyse_external():
+    grid = uniform_grid(8, 8, 8)
+    nside, side, area = analyse_external_point_sources(
+        grid, [[4.0, 4.0, 20.0],      # above +Z: one face
+               [-3.0, -3.0, 4.0],     # beyond -X and -Y: two faces
+               [4.0, 4.0, 4.0]])      # internal
+    assert nside[0] == 1 and side[0, 0] == 4
+    assert nside[1] == 2 and set(side[1, :2].tolist()) == {1, 3}
+    assert nside[2] == 0
+    np.testing.assert_allclose(area[1, :2], 0.5)
+
+
+def test_methods_agree_on_absorbed_fraction():
+    """Source above +Z: methods 0, 1 and 2 must give the same absorbed
+    energy per emitted photon (different Monte-Carlo efficiency only)."""
+    nx = 8
+    grid = uniform_grid(nx, nx, nx, density=1.0)
+    pos = [nx / 2, nx / 2, nx + 6.0]
+    n = 400000
+
+    # method 0: isotropic; most packets miss
+    tabs0, abs0 = run_ps(grid, {}, n, pos)
+    # method 1: half-space
+    tabs1, abs1 = run_ps(grid, dict(halfspace=jnp.int32(1)), n, pos)
+    # method 2: face targeting
+    nside, side, area = analyse_external_point_sources(grid, [pos])
+    tabs2, abs2 = run_ps(grid, dict(xps_nside=jnp.asarray(nside),
+                                    xps_side=jnp.asarray(side),
+                                    xps_area=jnp.asarray(area)), n, pos)
+    # absorbed per emitted photon: methods must agree (2% MC tolerance)
+    assert abs0 > 0
+    np.testing.assert_allclose(abs1 / abs0, 1.0, atol=0.03)
+    np.testing.assert_allclose(abs2 / abs0, 1.0, atol=0.03)
+    # method 2 illuminates the same face pattern (top slab brightest)
+    f0 = tabs0.reshape(nx, nx, nx).mean(axis=(1, 2))
+    f2 = tabs2.reshape(nx, nx, nx).mean(axis=(1, 2))
+    assert f0[-1] > f0[0] and f2[-1] > f2[0]
+    np.testing.assert_allclose(f2 / f0, 1.0, atol=0.12)
