@@ -214,16 +214,73 @@ def simulate_point_sources(grid, medium, cfg, lps, tabs, intf, seed,
     return tabs, intf, escaped, injected
 
 
+def emweight_allocation(emit_col, clpac, lims=(0.0, 1e10), rng=None):
+    """Emission-weighted packets-per-cell with Russian roulette
+    (ASOC.py:1276-1298 EMWEI semantics). Returns (cell_of_id, weight[CELLS],
+    total_packets): weight = 1/count for count >= 1 cells; roulette cells
+    get one packet of weight 1/EMWEI with probability EMWEI.
+    """
+    emit_col = np.asarray(emit_col, np.float64)
+    cells = len(emit_col)
+    wei = clpac * emit_col / max(emit_col.sum(), 1e-32)
+    wei = np.clip(wei, lims[0], lims[1])
+    counts = np.floor(wei).astype(np.int64)
+    frac = wei < 1.0
+    if rng is None:
+        rng = np.random.default_rng(1234)
+    survive = frac & (rng.random(cells) < wei)
+    counts = np.where(frac, survive.astype(np.int64), np.maximum(counts, 1))
+    counts = np.where(wei <= 0.0, 0, counts)
+    weight = np.zeros(cells, np.float64)
+    m = counts > 0
+    weight[m & ~frac] = 1.0 / counts[m & ~frac]
+    weight[m & frac] = 1.0 / np.maximum(wei[m & frac], 1e-30)
+    cell_of_id = np.repeat(np.arange(cells, dtype=np.int32), counts)
+    return cell_of_id, weight.astype(np.float32), len(cell_of_id)
+
+
 def simulate_cell_emission(grid, medium, cfg, emitted, tabs, intf, seed,
                            lanes=DEFAULT_LANES, per_freq_tally=False):
     """Phase-2 dust re-emission (SimRAM_CL equivalent).
 
-    emitted : [CELLS, NFREQ] photons/Hz/H per cell. Packets per cell =
-    max(1, CLPAC//CELLS); photon weight = EMIT[cell]/packets_per_cell.
+    emitted : [CELLS, NFREQ] photons/Hz/H per cell. Uniform allocation:
+    packets per cell = max(1, CLPAC//CELLS), photon weight =
+    EMIT[cell]/packets_per_cell. With cfg.use_emweight > 0 the per-cell
+    packet count follows the cell's share of total emission (Russian
+    roulette below one packet).
     """
+    emitted_np = np.asarray(emitted)
+    emitted = jnp.asarray(emitted)
+
+    if cfg.use_emweight > 0:
+        # allocation varies per frequency => per-frequency pools with a
+        # host-built id->cell map
+        rng = np.random.default_rng(int(seed) & 0x7FFFFFFF)
+        escaped = np.zeros(medium.nfreq)
+        for ifreq in range(medium.nfreq):
+            cell_of_id, weight, total = emweight_allocation(
+                emitted_np[:, ifreq], int(cfg.clpac),
+                lims=cfg.emweight_lim[:2], rng=rng)
+            if total == 0:
+                continue
+            physics = dict(kabs=medium.abs_gl[ifreq],
+                           ksca=medium.sca_gl[ifreq],
+                           csc=medium.csc[ifreq], tw=medium.tw[ifreq])
+            params = dict(emit=emitted[:, ifreq] * jnp.asarray(weight),
+                          cell_of_id=jnp.asarray(cell_of_id),
+                          ifreq=jnp.int32(ifreq),
+                          per_freq=jnp.int32(total),
+                          id_offset=jnp.int32(0))
+            tabs, intf, esc, absd = transport_run(
+                grid, physics, params, jnp.int32(total), tabs, intf,
+                seed + 11 + ifreq, source_kind="cell",
+                nlanes=_pool_lanes(lanes, total),
+                per_freq_tally=per_freq_tally)
+            escaped[ifreq] = float(esc[0])
+        return tabs, intf, escaped
+
     per_cell = max(1, int(cfg.clpac) // grid.cells)
     per_freq = per_cell * grid.cells
-    emitted = jnp.asarray(emitted)
 
     def make_params(ifreq):
         return dict(emit=emitted[:, ifreq] / np.float32(per_cell),

@@ -255,13 +255,20 @@ def analyse_external_point_sources(grid, ps_pos):
 
 
 def gen_cell(grid, ids_local, seed, params):
-    """Re-emission packets; params: emit [CELLS] (photons already divided by
-    packets-per-cell), per_cell, ifreq, per_freq, id_offset."""
+    """Re-emission packets; params: emit [CELLS] (photon weight per packet
+    from that cell), and either per_cell (uniform packets/cell) or
+    cell_of_id [per_freq] (emission-weighted allocation), plus ifreq,
+    per_freq, id_offset."""
     gids = ids_local + params["id_offset"]
     stream = gids.astype(jnp.uint32)
     ifreq = _ifreq_of(gids, params)
     within = gids % params["per_freq"]
-    cell_gidx = (within // params["per_cell"]).astype(jnp.int32)
+    if "cell_of_id" in params:
+        # emission-weighted packet allocation (USE_EMWEIGHT): the host maps
+        # packet ids to cells with importance-dependent multiplicity
+        cell_gidx = params["cell_of_id"][within]
+    else:
+        cell_gidx = (within // params["per_cell"]).astype(jnp.int32)
     cell_gidx = jnp.clip(cell_gidx, 0, grid.cells - 1)
     u1, u2, u3, u4, u5, _ = _uniforms(jnp.uint32(seed), stream)
 
