@@ -8,7 +8,7 @@ components; parent cells hold negated bit-cast child links in the cloud file.
 
 import numpy as np
 
-from ..grid import grid_from_arrays
+from ..grid import decode_link_np, grid_from_arrays
 
 
 def read_hierarchy(path):
@@ -36,13 +36,38 @@ def write_hierarchy(path, nx, ny, nz, lcells, values):
             np.asarray(vals, np.float32).tofile(fp)
 
 
-def read_cloud(path, kdensity=1.0):
+def cut_levels(lcells, values, maxlevel):
+    """Truncate an octree hierarchy at maxlevel (0-based), replacing links
+    with the average of their (already-averaged) children.
+
+    Equivalent to the reference's OT_cut_levels / AverageParent chain
+    (ASOC_aux.py:651-712, kernel_OT_tools.c): processed bottom-up so deeper
+    structure collapses into its parents first.
+    """
+    levels = len(lcells)
+    values = [np.asarray(v, np.float32).copy() for v in values]
+    for lvl in range(levels - 2, maxlevel - 1, -1):
+        vals = values[lvl]
+        links = np.nonzero(vals <= 0.0)[0]
+        if len(links) == 0:
+            continue
+        child = decode_link_np(vals[links])
+        below = values[lvl + 1]
+        avg = below[(child[:, None] + np.arange(8)[None, :])].mean(axis=1)
+        vals[links] = avg.astype(np.float32)
+    return (np.asarray(lcells[: maxlevel + 1], np.int32),
+            values[: maxlevel + 1])
+
+
+def read_cloud(path, kdensity=1.0, max_levels=999):
     """Read a cloud (density) file into a device Grid.
 
     Densities are scaled by ``kdensity`` (ini keyword ``density``); link values
     (<=0) are left untouched.
     """
     nx, ny, nz, lcells, values = read_hierarchy(path)
+    if len(lcells) > max_levels:
+        lcells, values = cut_levels(lcells, values, max_levels - 1)
     if kdensity != 1.0:
         scaled = []
         for vals in values:

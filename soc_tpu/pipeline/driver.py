@@ -277,10 +277,32 @@ def simulate_cell_emission(grid, medium, cfg, emitted, tabs, intf, seed,
                 nlanes=_pool_lanes(lanes, total),
                 per_freq_tally=per_freq_tally)
             escaped[ifreq] = float(esc[0])
-        return tabs, intf, escaped
+        return tabs, intf, escaped, None
 
     per_cell = max(1, int(cfg.clpac) // grid.cells)
     per_freq = per_cell * grid.cells
+
+    if cfg.with_ali:
+        # per-frequency loop with XAB self-absorption tally (ALI)
+        xab = jnp.zeros(grid.cells, jnp.float32)
+        escaped = np.zeros(medium.nfreq)
+        for ifreq in range(medium.nfreq):
+            physics = dict(kabs=medium.abs_gl[ifreq],
+                           ksca=medium.sca_gl[ifreq],
+                           csc=medium.csc[ifreq], tw=medium.tw[ifreq])
+            params = dict(emit=emitted[:, ifreq] / np.float32(per_cell),
+                          per_cell=jnp.int32(per_cell),
+                          ifreq=jnp.int32(ifreq),
+                          per_freq=jnp.int32(per_freq),
+                          id_offset=jnp.int32((1 << 29)
+                                              + ifreq * per_freq))
+            tabs, intf, esc, absd, xab = transport_run(
+                grid, physics, params, jnp.int32(per_freq), tabs, intf,
+                seed, source_kind="cell",
+                nlanes=_pool_lanes(lanes, per_freq),
+                per_freq_tally=per_freq_tally, with_ali=True, xab=xab)
+            escaped[ifreq] = float(esc[0])
+        return tabs, intf, escaped, np.asarray(xab)
 
     def make_params(ifreq):
         return dict(emit=emitted[:, ifreq] / np.float32(per_cell),
@@ -289,7 +311,7 @@ def simulate_cell_emission(grid, medium, cfg, emitted, tabs, intf, seed,
     tabs, intf, escaped, absorbed = _run_over_freqs(
         grid, medium, "cell", make_params, per_freq, tabs, intf, seed,
         lanes, per_freq_tally, id_base=1 << 29)
-    return tabs, intf, escaped
+    return tabs, intf, escaped, None
 
 
 def run(ini_path=None, cfg=None, lanes=DEFAULT_LANES, write_files=True,
@@ -316,7 +338,7 @@ def _run_inner(cfg, lanes, write_files, t_start):
 
     # ---- model input
     t0 = time.time()
-    grid = read_cloud(cfg.file_cloud, cfg.kdensity)
+    grid = read_cloud(cfg.file_cloud, cfg.kdensity, cfg.max_levels)
     optics = [read_simple_dust(f, cfg.gl) for f in cfg.file_optical]
     freq = optics[0].freq
     cfg.freq = freq
@@ -389,14 +411,23 @@ def _run_inner(cfg, lanes, write_files, t_start):
                                                     cfg.gl)
         emit_total = ctabs
         for iteration in range(max(1, cfg.iterations)):
+            beta = 1.0
             if cfg.clpac > 0 and emitted is not None:
                 tabs_it = jnp.zeros(grid.cells, jnp.float32)
-                tabs_it, intf, _ = simulate_cell_emission(
+                tabs_it, intf, _, xab = simulate_cell_emission(
                     grid, medium, cfg, emitted, tabs_it, intf,
                     seed + 7 * iteration, lanes, per_freq_tally)
                 emit_total = tabs_it + ctabs
+                if cfg.with_ali and xab is not None:
+                    # escape probability beta = (XEM - XAB)/XEM per cell
+                    tw = np.asarray(medium.tw, np.float64)
+                    xem = (np.asarray(emitted, np.float64) @ tw)
+                    beta_np = np.clip(
+                        (xem - xab) / np.maximum(xem, 1e-30), 1e-2, 1.0)
+                    beta_np[xem <= 0] = 1.0
+                    beta = jnp.asarray(beta_np.astype(np.float32))
             temperature = equilibrium.solve_temperature(
-                grid, table, emit_total, gl_cm)
+                grid, table, emit_total, gl_cm, beta=beta)
             emitted = equilibrium.emission(freq, optics[0].abs_gl,
                                            temperature, gl_cm)
             if cfg.clpac <= 0:

@@ -42,7 +42,7 @@ def run(ini_path=None, cfg=None, write_files=True, workdir=None,
 
 def _run_inner(cfg, write_files, nlanes):
     cfg.validate()
-    grid = read_cloud(cfg.file_cloud, cfg.kdensity)
+    grid = read_cloud(cfg.file_cloud, cfg.kdensity, cfg.max_levels)
     optics = [read_simple_dust(f, cfg.gl) for f in cfg.file_optical]
     freq = optics[0].freq
     cfg.freq = freq

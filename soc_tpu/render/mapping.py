@@ -251,3 +251,45 @@ def render_perspective(grid, emit_map, ext_gl, intobs, npix,
     _, _, _, _, tau, phot, colden = lax.while_loop(cond, body, state)
     return (phot.T.reshape(nf, nyp, nxp), tau.T.reshape(nf, nyp, nxp),
             colden.reshape(nyp, nxp))
+
+
+@partial(jax.jit, static_argnames=("max_steps",))
+def render_pstau(grid, ext_gl, ps_pos, odir, max_steps=100000):
+    """Optical depth + column density from each point source toward the
+    observer (PSTau, kernel_ASOC_map.c:1545-1583): one ray per source,
+    stepping TOWARDS the observer direction until exit.
+
+    ps_pos : [S, 3]; ext_gl : [NF]
+    Returns (tau [S, NF], colden [S]) -- colden in GL units.
+    """
+    step_dir = jnp.where(jnp.abs(odir) < 1e-5, 1e-5, odir)
+    ps_pos = jnp.asarray(ps_pos, jnp.float32)
+    step_dir = jnp.broadcast_to(step_dir, ps_pos.shape)
+    nf = ext_gl.shape[0]
+    pos, level, ind = traverse.index_global(grid, ps_pos)
+    ns = pos.shape[0]
+    tau = jnp.zeros((ns, nf), jnp.float32)
+    colden = jnp.zeros(ns, jnp.float32)
+
+    def cond(state):
+        it, pos, level, ind, tau, colden = state
+        return (it < max_steps) & jnp.any(ind >= 0)
+
+    def body(state):
+        it, pos, level, ind, tau, colden = state
+        active = ind >= 0
+        gidx = jnp.clip(grid.off[jnp.clip(level, 0, grid.levels - 1)]
+                        + jnp.maximum(ind, 0), 0, grid.cells - 1)
+        dens = grid.dens[gidx]
+        ds, npos, nlevel, nind = traverse.get_step(
+            grid, pos, step_dir, level, ind, active)
+        failed = active & (nlevel == level) & (nind == ind)
+        npos = jnp.where(failed[:, None], npos + 1e-4 * step_dir, npos)
+        w = jnp.where(active, ds, 0.0)
+        tau = tau + (w * dens)[:, None] * ext_gl[None, :]
+        colden = colden + w * dens
+        return it + 1, npos, nlevel, nind, tau, colden
+
+    state = (jnp.int32(0), pos, level, ind, tau, colden)
+    _, _, _, _, tau, colden = lax.while_loop(cond, body, state)
+    return tau, colden

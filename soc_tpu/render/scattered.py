@@ -112,7 +112,7 @@ def spawn(grid, physics, source_params, total_packets, next_id, seed,
     b = PacketBatch(pos=b.pos, dir=b.dir, level=b.level, ind=ind,
                     photons=photons, ifreq=b.ifreq, stream=b.stream,
                     counter=b.counter + jnp.uint32(1),
-                    scatterings=b.scatterings)
+                    scatterings=b.scatterings, e_cell=b.e_cell)
     return b, free_path, next_id + jnp.int32(nlanes)
 
 
@@ -194,7 +194,7 @@ def propagate_events(grid, physics, b, free_path, events, ecount, seed,
         nb = PacketBatch(pos=pos, dir=dir, level=level, ind=ind,
                          photons=photons, ifreq=b.ifreq, stream=b.stream,
                          counter=b.counter + jnp.uint32(1),
-                         scatterings=scat)
+                         scatterings=scat, e_cell=b.e_cell)
         return it + 1, nb, free_path, tau, events, ecount
 
     tau0 = jnp.zeros(nlanes, jnp.float32)

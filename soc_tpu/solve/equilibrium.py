@@ -11,6 +11,7 @@ The table is built once in float64 on the host; the per-cell solve and the
 """
 
 from dataclasses import dataclass, field
+from functools import partial
 
 import numpy as np
 import jax
@@ -61,8 +62,9 @@ def cell_levels(grid):
     return lev
 
 
-@jax.jit
-def solve_temperature(grid, table, absorbed_integrated, gl_pc_parsec):
+@partial(jax.jit, static_argnames=())
+def solve_temperature(grid, table, absorbed_integrated, gl_pc_parsec,
+                      beta=1.0):
     """Per-cell equilibrium temperature from integrated absorbed energy.
 
     absorbed_integrated : [CELLS] the TABS tally (trapezoid-weighted photon
@@ -73,9 +75,11 @@ def solve_temperature(grid, table, absorbed_integrated, gl_pc_parsec):
     scale = (PLANCK * FACTOR) / gl_pc_parsec
     lev = cell_levels(grid)
     dens = grid.dens
+    # beta: ALI escape probability per cell (Ein/beta in the lookup,
+    # ASOC.py:2056-2062); scalar 1.0 without ALI
     ein = (scale * absorbed_integrated
            * jnp.exp2(3.0 * lev.astype(jnp.float32))
-           / jnp.maximum(dens, 1e-30))
+           / jnp.maximum(dens, 1e-30)) / beta
     oplgke = 1.0 / np.log10(table.ke)
     ie = jnp.clip(jnp.floor(
         oplgke * jnp.log10(jnp.maximum(ein, 1e-37) / table.emin)),

@@ -51,6 +51,7 @@ class PacketBatch:
     stream: jax.Array     # [N] uint32 RNG stream id (global packet id)
     counter: jax.Array    # [N] uint32 RNG draw counter
     scatterings: jax.Array  # [N] int32
+    e_cell: jax.Array     # [N] int32 emitting cell (ALI); -1 otherwise
 
     @property
     def lanes(self):
@@ -88,12 +89,12 @@ def _csc_lookup(csc_table, ifreq, u_bin, bins):
 
 @partial(jax.jit, static_argnames=("source_kind", "nlanes", "max_iters",
                                    "per_freq_tally", "refill_period",
-                                   "esc_bins"),
+                                   "esc_bins", "with_ali"),
          donate_argnums=(4, 5))
 def transport_run(grid, physics, source_params, total_packets, tabs, intf,
                   seed, source_kind="bg", nlanes=1 << 17,
                   max_iters=1 << 30, per_freq_tally=False, refill_period=8,
-                  esc_bins=1):
+                  esc_bins=1, with_ali=False, xab=None):
     """Drain ``total_packets`` packets through the grid with lane refill.
 
     physics : dict with
@@ -108,9 +109,13 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
     tabs : [CELLS] integrated tally (donated)
     intf : [CELLS, NFREQ] or [1, 1] per-frequency tally (donated)
 
-    Returns (tabs, intf, escaped[esc_bins], absorbed_scalar) -- photon-count
-    balances for conservation accounting (escaped is per-frequency when
-    esc_bins == NFREQ in mixed-frequency mode).
+    Returns (tabs, intf, escaped[esc_bins], absorbed_scalar[, xab]) --
+    photon-count balances for conservation accounting (escaped is
+    per-frequency when esc_bins == NFREQ in mixed-frequency mode).
+    with_ali=True additionally routes absorption deposits landing in a
+    packet's own emitting cell into the xab tally (accelerated lambda
+    iteration escape-probability accounting, kernel_ASOC.c:1487-1496);
+    xab must then be a [CELLS] array (donation not applied).
     """
     from .sources import GENERATORS
     gen = GENERATORS[source_kind]
@@ -140,16 +145,19 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
             ifreq=jnp.zeros(n, jnp.int32),
             stream=jnp.zeros(n, jnp.uint32),
             counter=jnp.zeros(n, jnp.uint32),
-            scatterings=jnp.zeros(n, jnp.int32))
+            scatterings=jnp.zeros(n, jnp.int32),
+            e_cell=jnp.full(n, -1, jnp.int32))
 
     def cond(state):
-        it, b, fp, tau, next_id, tabs, intf, esc, esc_pending, absd = state
+        it = state[0]
+        b = state[1]
+        next_id = state[4]
         return (it < max_iters) & (jnp.any(b.ind >= 0)
                                    | (next_id < total_packets))
 
     def body(state):
         (it, b, free_path, tau, next_id, tabs, intf, esc, esc_pending,
-         absd) = state
+         absd, xab_c) = state
 
         # ---- flush per-lane escaped weight of dead lanes into the
         # per-frequency bins (one-hot reduction: no scatter serialization)
@@ -181,7 +189,8 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
             ifreq=jnp.where(can, nb.ifreq, b.ifreq),
             stream=jnp.where(can, nb.stream, b.stream),
             counter=jnp.where(can, nb.counter, b.counter),
-            scatterings=jnp.where(can, 0, b.scatterings))
+            scatterings=jnp.where(can, 0, b.scatterings),
+            e_cell=jnp.where(can, nb.e_cell, b.e_cell))
         free_path = jnp.where(can, draw_birth_fp(nb.stream), free_path)
         tau = jnp.where(can, 0.0, tau)
         next_id = next_id + jnp.sum(can.astype(jnp.int32))
@@ -191,13 +200,14 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
         def phys(_, st):
             return step(*st)
 
-        (b, free_path, tau, tabs, intf, esc_pending, absd) = lax.fori_loop(
+        (b, free_path, tau, tabs, intf, esc_pending, absd,
+         xab_c) = lax.fori_loop(
             0, refill_period, phys,
-            (b, free_path, tau, tabs, intf, esc_pending, absd))
+            (b, free_path, tau, tabs, intf, esc_pending, absd, xab_c))
         return (it + 1, b, free_path, tau, next_id, tabs, intf, esc,
-                esc_pending, absd)
+                esc_pending, absd, xab_c)
 
-    def step(b, free_path, tau, tabs, intf, esc_pending, absd):
+    def step(b, free_path, tau, tabs, intf, esc_pending, absd, xab_c):
         alive = b.ind >= 0
         gidx = jnp.clip(grid.off[jnp.clip(b.level, 0, grid.levels - 1)]
                         + jnp.maximum(b.ind, 0), 0, cells - 1)
@@ -237,7 +247,15 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
                           b.photons * (1.0 - att),
                           b.photons * tau_abs * (1.0 - 0.5 * tau_abs))
         didx = jnp.where(alive, gidx, cells)          # OOB => dropped
-        tabs = tabs.at[didx].add(delta * tw * ADHOC, mode="drop")
+        if with_ali:
+            selfc = didx == b.e_cell
+            tabs = tabs.at[jnp.where(selfc, cells, didx)].add(
+                delta * tw * ADHOC, mode="drop")
+            new_xab = xab_c.at[jnp.where(selfc, didx, cells)].add(
+                delta * tw * ADHOC, mode="drop")
+        else:
+            tabs = tabs.at[didx].add(delta * tw * ADHOC, mode="drop")
+            new_xab = xab_c
         if per_freq_tally:
             intf = intf.at[didx, b.ifreq].add(delta, mode="drop")
         absd = absd + jnp.sum(jnp.where(alive, delta, 0.0))
@@ -276,16 +294,18 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
         nb = PacketBatch(pos=pos, dir=dir, level=level, ind=ind,
                          photons=photons, ifreq=b.ifreq, stream=b.stream,
                          counter=b.counter + jnp.uint32(1),
-                         scatterings=scat)
-        return nb, free_path, tau, tabs, intf, esc_pending, absd
+                         scatterings=scat, e_cell=b.e_cell)
+        return nb, free_path, tau, tabs, intf, esc_pending, absd, new_xab
 
+    if xab is None:
+        xab = jnp.zeros(1, jnp.float32)
     b0 = make_dead(nlanes)
     state = (jnp.int32(0), b0, jnp.zeros(nlanes, jnp.float32),
              jnp.zeros(nlanes, jnp.float32), jnp.int32(0), tabs, intf,
              jnp.zeros(esc_bins, jnp.float32),
-             jnp.zeros(nlanes, jnp.float32), jnp.float32(0.0))
+             jnp.zeros(nlanes, jnp.float32), jnp.float32(0.0), xab)
     state = lax.while_loop(cond, body, state)
-    _, b, _, _, _, tabs, intf, esc, esc_pending, absd = state
+    (_, b, _, _, _, tabs, intf, esc, esc_pending, absd, xab) = state
     # final flush: lanes that died in the last block
     if esc_bins == 1:
         esc = esc + jnp.sum(esc_pending)[None]
@@ -294,4 +314,6 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
                   == jnp.arange(esc_bins, dtype=jnp.int32)[None, :])
         esc = esc + jnp.einsum("n,nk->k", esc_pending,
                                onehot.astype(jnp.float32))
+    if with_ali:
+        return tabs, intf, esc, absd, xab
     return tabs, intf, esc, absd

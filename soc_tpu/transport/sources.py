@@ -71,6 +71,7 @@ def _finish(grid, pos_global, dir, photons, ifreq, stream):
         photons=photons.astype(jnp.float32), ifreq=ifreq.astype(jnp.int32),
         stream=stream, counter=jnp.full_like(stream, BIRTH_COUNTER),
         scatterings=jnp.zeros_like(ind),
+        e_cell=jnp.full_like(ind, -1),
     )
 
 
@@ -300,6 +301,7 @@ def gen_cell(grid, ids_local, seed, params):
         photons=photons.astype(jnp.float32), ifreq=ifreq,
         stream=stream, counter=jnp.full_like(stream, BIRTH_COUNTER),
         scatterings=jnp.zeros_like(loc.astype(jnp.int32)),
+        e_cell=cell_gidx.astype(jnp.int32),
     )
 
 
