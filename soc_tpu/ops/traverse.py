@@ -206,3 +206,36 @@ def get_step(grid, pos, dir, level, ind, active):
     pos = jnp.where(active[..., None], new_pos, pos)
     pos, level, ind = index_update(grid, pos, level, ind, active)
     return ds_gl, pos, level, ind
+
+
+def root_pos(grid, pos, level, ind):
+    """Convert level-local positions to root-grid coordinates (RootPos,
+    kernel_ASOC_aux.c:169-196). Vectorized, statically unrolled."""
+    if grid.levels == 1:
+        return pos
+    for _ in range(grid.levels - 1):
+        up = level > 0
+        gidx = jnp.clip(grid.off[jnp.clip(level, 0, grid.levels - 1)] + ind,
+                        0, grid.cells - 1)
+        parent = grid.par[gidx]
+        plevel = level - 1
+        # parent at root: sub-octet [0,2] -> [0,1] + root cell offset
+        posA = 0.5 * pos
+        posA = posA.at[..., 0].add((parent % grid.nx).astype(pos.dtype))
+        posA = posA.at[..., 1].add(((parent // grid.nx)
+                                    % grid.ny).astype(pos.dtype))
+        posA = posA.at[..., 2].add((parent
+                                    // (grid.nx * grid.ny)).astype(pos.dtype))
+        # parent inside an octet
+        sid = parent % 8
+        posB = 0.5 * pos
+        posB = posB.at[..., 0].add((sid % 2).astype(pos.dtype))
+        posB = posB.at[..., 1].add(((sid // 2) % 2).astype(pos.dtype))
+        posB = posB.at[..., 2].add((sid // 4).astype(pos.dtype))
+        rootcase = up & (plevel == 0)
+        octcase = up & (plevel > 0)
+        pos = jnp.where(rootcase[..., None], posA,
+                        jnp.where(octcase[..., None], posB, pos))
+        ind = jnp.where(up, parent, ind)
+        level = jnp.where(up, plevel, level)
+    return pos

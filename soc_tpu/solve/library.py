@@ -1,0 +1,99 @@
+"""Library-accelerated emission: binned lookup over reference absorptions.
+
+The reference's A2E_LIB (create_library_2 / solve_with_library_2 +
+kernel_tree3.c) bins cells by their log-absorptions at three reference
+frequencies into a 3-level tree of emission vectors, then answers subsequent
+emission solves with an O(1) per-cell lookup. The "tree" is a sparse encoding
+of a 3-D binning; here the binning is materialized as a dense
+[NB, NB, NB, NFREQ] grid (a few hundred MB at most) with
+nearest-occupied-bin hole filling (the role of kernel_tree3's Interpolate /
+Fill), which maps onto the TPU as pure gathers.
+
+Workflow (reference ASOC.py libabs/libmaps + A2E_LIB):
+  1. full A2E solve once -> (absorbed, emitted) training pairs
+  2. build_library() bins them
+  3. later runs simulate only the reference frequencies (libabs) and call
+     solve_with_library() for the full emission spectra.
+"""
+
+import pickle
+
+import numpy as np
+
+
+def choose_reference_frequencies(freq, um=(0.55, 2.2, 25.0)):
+    """Default reference wavelengths (um) -> nearest frequency indices."""
+    from ..constants import um2f
+    return [int(np.argmin(np.abs(freq - um2f(u)))) for u in um]
+
+
+def build_library(absorbed, emitted, ref_indices, nbins=64, eps=1e-33):
+    """Bin cells by log10 absorptions at the reference frequencies.
+
+    absorbed : [CELLS, NFREQ_ABS]; emitted : [CELLS, NFREQ]
+    Returns a library dict.
+    """
+    ref = np.log10(np.maximum(
+        np.asarray(absorbed, np.float64)[:, ref_indices], eps))
+    lo = ref.min(axis=0)
+    hi = ref.max(axis=0)
+    span = np.maximum(hi - lo, 1e-10)
+    idx = np.clip(((ref - lo) / span * (nbins - 1)).round().astype(np.int64),
+                  0, nbins - 1)
+    flat = (idx[:, 0] * nbins + idx[:, 1]) * nbins + idx[:, 2]
+    nf = emitted.shape[1]
+    sums = np.zeros((nbins ** 3, nf), np.float64)
+    counts = np.zeros(nbins ** 3, np.int64)
+    np.add.at(sums, flat, np.asarray(emitted, np.float64))
+    np.add.at(counts, flat, 1)
+    occupied = counts > 0
+    mean = np.zeros_like(sums)
+    mean[occupied] = sums[occupied] / counts[occupied, None]
+
+    # hole filling: assign every empty bin its nearest occupied bin
+    # (kernel_tree3 Interpolate/Fill role), via iterative 6-neighbour
+    # dilation over the 3-D bin grid
+    src = np.arange(nbins ** 3, dtype=np.int64)
+    src[~occupied] = -1
+    src3 = src.reshape(nbins, nbins, nbins)
+    filled = occupied.reshape(nbins, nbins, nbins).copy()
+    for _ in range(3 * nbins):
+        if filled.all():
+            break
+        for axis in range(3):
+            for shift in (1, -1):
+                cand = np.roll(src3, shift, axis=axis)
+                edge = [slice(None)] * 3
+                edge[axis] = 0 if shift == 1 else nbins - 1
+                cand[tuple(edge)] = -1
+                take = (~filled) & (cand >= 0)
+                src3[take] = cand[take]
+                filled |= take
+    lookup = src3.reshape(-1)
+    lookup[lookup < 0] = np.nonzero(occupied)[0][0] if occupied.any() else 0
+
+    return dict(ref_indices=list(ref_indices), nbins=int(nbins),
+                lo=lo, span=span, mean=mean.astype(np.float32),
+                lookup=lookup.astype(np.int64),
+                occupancy=float(occupied.mean()))
+
+
+def solve_with_library(lib, absorbed, eps=1e-33):
+    """Emission for [CELLS, NFREQ_ABS] absorptions via the binned lookup."""
+    nbins = lib["nbins"]
+    ref = np.log10(np.maximum(
+        np.asarray(absorbed, np.float64)[:, lib["ref_indices"]], eps))
+    idx = np.clip(((ref - lib["lo"]) / lib["span"]
+                   * (nbins - 1)).round().astype(np.int64), 0, nbins - 1)
+    flat = (idx[:, 0] * nbins + idx[:, 1]) * nbins + idx[:, 2]
+    return lib["mean"][lib["lookup"][flat]]
+
+
+def save_library(path, lib):
+    with open(path, "wb") as fp:
+        pickle.dump(lib, fp)
+
+
+def load_library(path):
+    with open(path, "rb") as fp:
+        return pickle.load(fp)

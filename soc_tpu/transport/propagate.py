@@ -89,12 +89,13 @@ def _csc_lookup(csc_table, ifreq, u_bin, bins):
 
 @partial(jax.jit, static_argnames=("source_kind", "nlanes", "max_iters",
                                    "per_freq_tally", "refill_period",
-                                   "esc_bins", "with_ali"),
+                                   "esc_bins", "with_ali", "roi_nside"),
          donate_argnums=(4, 5))
 def transport_run(grid, physics, source_params, total_packets, tabs, intf,
                   seed, source_kind="bg", nlanes=1 << 17,
                   max_iters=1 << 30, per_freq_tally=False, refill_period=8,
-                  esc_bins=1, with_ali=False, xab=None):
+                  esc_bins=1, with_ali=False, xab=None, roi_nside=0,
+                  roi_tally=None):
     """Drain ``total_packets`` packets through the grid with lane refill.
 
     physics : dict with
@@ -116,6 +117,11 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
     packet's own emitting cell into the xab tally (accelerated lambda
     iteration escape-probability accounting, kernel_ASOC.c:1487-1496);
     xab must then be a [CELLS] array (donation not applied).
+
+    roi_nside > 0 enables WITH_ROI_SAVE: packets crossing into the ROI box
+    (physics['roi_mask'] per-cell flags, physics['roi_box'] root-cell
+    limits, physics['roi_dim'] (rnx,rny,rnz,step)) are histogrammed into
+    roi_tally [NELEM * 12 * nside^2] (kernel_ASOC.c:617-660).
     """
     from .sources import GENERATORS
     gen = GENERATORS[source_kind]
@@ -157,7 +163,7 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
 
     def body(state):
         (it, b, free_path, tau, next_id, tabs, intf, esc, esc_pending,
-         absd, xab_c) = state
+         absd, xab_c, roi_c) = state
 
         # ---- flush per-lane escaped weight of dead lanes into the
         # per-frequency bins (one-hot reduction: no scatter serialization)
@@ -200,14 +206,16 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
         def phys(_, st):
             return step(*st)
 
-        (b, free_path, tau, tabs, intf, esc_pending, absd,
-         xab_c) = lax.fori_loop(
+        (b, free_path, tau, tabs, intf, esc_pending, absd, xab_c,
+         roi_c) = lax.fori_loop(
             0, refill_period, phys,
-            (b, free_path, tau, tabs, intf, esc_pending, absd, xab_c))
+            (b, free_path, tau, tabs, intf, esc_pending, absd, xab_c,
+             roi_c))
         return (it + 1, b, free_path, tau, next_id, tabs, intf, esc,
-                esc_pending, absd, xab_c)
+                esc_pending, absd, xab_c, roi_c)
 
-    def step(b, free_path, tau, tabs, intf, esc_pending, absd, xab_c):
+    def step(b, free_path, tau, tabs, intf, esc_pending, absd, xab_c,
+             roi_c):
         alive = b.ind >= 0
         gidx = jnp.clip(grid.off[jnp.clip(b.level, 0, grid.levels - 1)]
                         + jnp.maximum(b.ind, 0), 0, cells - 1)
@@ -274,6 +282,30 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
         failed = cross & (nlevel == b.level) & (nind == b.ind)
         npos = jnp.where(failed[..., None], npos + PEPS * b.dir, npos)
 
+        # ---- ROI save: packets that just crossed into the ROI box
+        if roi_nside > 0:
+            from .roi import roi_element_index
+            from ..ops.traverse import root_pos
+            roi_mask = physics["roi_mask"]
+            new_gidx = jnp.clip(
+                grid.off[jnp.clip(nlevel, 0, grid.levels - 1)]
+                + jnp.maximum(nind, 0), 0, cells - 1)
+            was_in = roi_mask[gidx]
+            now_in = roi_mask[new_gidx] & (nind >= 0)
+            entered = cross & now_in & ~was_in
+            rp = root_pos(grid, npos, nlevel, nind)
+            rnx, rny, rnz, rstep = physics["roi_dim"]
+            elem = roi_element_index(rp, b.dir, physics["roi_box"],
+                                     rnx, rny, rnz, rstep)
+            npix_hp = 12 * roi_nside * roi_nside
+            theta = jnp.arccos(jnp.clip(b.dir[:, 2], -1.0, 1.0))
+            phi = jnp.arctan2(b.dir[:, 1], b.dir[:, 0])
+            from ..render.healpix import ang2pix_ring
+            hpix = ang2pix_ring(roi_nside, theta, phi)
+            slot = jnp.where(entered, elem * npix_hp + hpix,
+                             roi_c.shape[0])
+            roi_c = roi_c.at[slot].add(photons, mode="drop")
+
         # ---- merge
         pos = jnp.where(scatter_now[..., None], pos_scatter, npos)
         level = jnp.where(scatter_now, b.level, nlevel)
@@ -295,17 +327,22 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
                          photons=photons, ifreq=b.ifreq, stream=b.stream,
                          counter=b.counter + jnp.uint32(1),
                          scatterings=scat, e_cell=b.e_cell)
-        return nb, free_path, tau, tabs, intf, esc_pending, absd, new_xab
+        return (nb, free_path, tau, tabs, intf, esc_pending, absd, new_xab,
+                roi_c)
 
     if xab is None:
         xab = jnp.zeros(1, jnp.float32)
+    if roi_tally is None:
+        roi_tally = jnp.zeros(1, jnp.float32)
     b0 = make_dead(nlanes)
     state = (jnp.int32(0), b0, jnp.zeros(nlanes, jnp.float32),
              jnp.zeros(nlanes, jnp.float32), jnp.int32(0), tabs, intf,
              jnp.zeros(esc_bins, jnp.float32),
-             jnp.zeros(nlanes, jnp.float32), jnp.float32(0.0), xab)
+             jnp.zeros(nlanes, jnp.float32), jnp.float32(0.0), xab,
+             roi_tally)
     state = lax.while_loop(cond, body, state)
-    (_, b, _, _, _, tabs, intf, esc, esc_pending, absd, xab) = state
+    (_, b, _, _, _, tabs, intf, esc, esc_pending, absd, xab,
+     roi_tally) = state
     # final flush: lanes that died in the last block
     if esc_bins == 1:
         esc = esc + jnp.sum(esc_pending)[None]
@@ -314,6 +351,11 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
                   == jnp.arange(esc_bins, dtype=jnp.int32)[None, :])
         esc = esc + jnp.einsum("n,nk->k", esc_pending,
                                onehot.astype(jnp.float32))
+    extras = []
     if with_ali:
-        return tabs, intf, esc, absd, xab
+        extras.append(xab)
+    if roi_nside > 0:
+        extras.append(roi_tally)
+    if extras:
+        return (tabs, intf, esc, absd, *extras)
     return tabs, intf, esc, absd

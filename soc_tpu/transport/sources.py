@@ -357,9 +357,75 @@ def gen_hpbg(grid, ids_local, seed, params):
     return _finish(grid, pos, dir, photons, ifreq, stream)
 
 
+def gen_roi(grid, ids_local, seed, params):
+    """ROI-load boundary source (SOURCE==3, kernel_ASOC.c:469-505).
+
+    Re-injects photons recorded by a previous run's ROI save into the
+    sub-model (which spans the ROI box). params:
+      roi_load [NELEM, NPIX] photons per (surface element, sky direction)
+      roi_dim  (rnx, rny, rnz) of the saved discretisation
+      nside    healpix NSIDE of the directions (array scalar)
+      reps     packets per (elem, pix) pair; photon weight = load/reps
+    id -> (elem, pix, repetition); position jittered over the element patch,
+    direction jittered ~0.05 rad around the pixel centre.
+    """
+    from ..render import healpix as hp
+    nx, ny, nz = grid.nx, grid.ny, grid.nz
+    gids = ids_local + params["id_offset"]
+    stream = gids.astype(jnp.uint32)
+    ifreq = _ifreq_of(gids, params)
+    roi_load = params["roi_load"]
+    nelem, npix = roi_load.shape
+    nside = int(np.sqrt(npix // 12))
+    rnx, rny, rnz = params["roi_dim"]
+    u1, u2, u3, u4, _, _ = _uniforms(jnp.uint32(seed), stream)
+
+    elem = (gids % nelem).astype(jnp.int32)
+    pix = ((gids // nelem) % npix).astype(jnp.int32)
+    photons = roi_load[elem, pix] / params["reps"].astype(jnp.float32)
+
+    theta, phi = hp.pix2ang_ring(nside, pix)
+    theta = theta + (u3 - 0.5) * 0.05
+    phi = phi + (u4 - 0.5) * 0.05
+    dir = jnp.stack([jnp.sin(theta) * jnp.cos(phi),
+                     jnp.sin(theta) * jnp.sin(phi),
+                     jnp.cos(theta)], -1)
+    dir = jnp.where(jnp.abs(dir) < 1e-5, 1e-5, dir)
+    dir = dir / jnp.linalg.norm(dir, axis=-1, keepdims=True)
+
+    # element -> (side, patch coordinates); patch size = model size / dims
+    in_x = elem < rny * rnz
+    in_y = ~in_x & (elem < rny * rnz + rnx * rnz)
+    r = jnp.where(in_x, elem,
+                  jnp.where(in_y, elem - rny * rnz,
+                            elem - rny * rnz - rnx * rnz))
+    n1 = jnp.where(in_x, rny, rnx)
+    t1 = (r % n1).astype(jnp.float32)
+    t2 = (r // n1).astype(jnp.float32)
+    rd1 = jnp.where(in_x, nx / rny * 0 + ny / rny,
+                    nx / rnx).astype(jnp.float32)
+    rd2 = jnp.where(in_x, nz / rnz,
+                    jnp.where(in_y, nz / rnz, ny / rny)).astype(jnp.float32)
+    c1 = (t1 + 0.5) * rd1 + (u1 - 0.5) * 0.98 * rd1
+    c2 = (t2 + 0.5) * rd2 + (u2 - 0.5) * 0.98 * rd2
+    # entry face fixed by the direction sign on the normal axis
+    px = jnp.where(in_x,
+                   jnp.where(dir[:, 0] > 0, PEPS, nx - PEPS), c1)
+    py = jnp.where(in_x, c1,
+                   jnp.where(in_y,
+                             jnp.where(dir[:, 1] > 0, PEPS, ny - PEPS), c2))
+    pz = jnp.where(in_x | in_y, c2,
+                   jnp.where(dir[:, 2] > 0, PEPS, nz - PEPS))
+    pos = jnp.stack([jnp.clip(px, PEPS, nx - PEPS),
+                     jnp.clip(py, PEPS, ny - PEPS),
+                     jnp.clip(pz, PEPS, nz - PEPS)], -1)
+    return _finish(grid, pos, dir, photons, ifreq, stream)
+
+
 GENERATORS = {
     "bg": gen_background,
     "ps": gen_point_source,
     "cell": gen_cell,
     "hpbg": gen_hpbg,
+    "roi": gen_roi,
 }
