@@ -35,6 +35,9 @@ from ..utils.cache import enable_compile_cache
 
 DEFAULT_LANES = 1 << 17
 
+# process-wide mirror mask for the frequency-loop helper (set per run)
+_MIRROR_MASK = [0]
+
 
 @dataclass
 class RunResult:
@@ -82,7 +85,8 @@ def _run_over_freqs(grid, medium, kind, make_params, per_freq, tabs, intf,
         tabs, intf, esc, absd = transport_run(
             grid, physics, params, jnp.int32(per_freq), tabs, intf, seed,
             source_kind=kind, nlanes=_pool_lanes(nlanes, per_freq),
-            per_freq_tally=per_freq_tally)
+            per_freq_tally=per_freq_tally,
+            mirror_mask=_MIRROR_MASK[0])
         esc_list.append(esc)
         abs_list.append(absd)
     escaped = np.asarray([float(e[0]) for e in esc_list])
@@ -128,7 +132,8 @@ def simulate_background(grid, medium, cfg, ibg, tabs, intf, seed,
             tabs, intf, esc, absd = transport_run(
                 grid, physics, params, jnp.int32(n), tabs, intf, seed,
                 source_kind="bg", nlanes=nlanes,
-                per_freq_tally=per_freq_tally, esc_bins=nfreq)
+                per_freq_tally=per_freq_tally, esc_bins=nfreq,
+                mirror_mask=getattr(cfg, "_mirror_mask", 0))
             escaped = escaped + esc
         escaped = np.asarray(escaped)
     else:
@@ -331,6 +336,15 @@ def run(ini_path=None, cfg=None, lanes=DEFAULT_LANES, write_files=True,
         os.chdir(orig)
 
 
+def mirror_mask_of(cfg):
+    """'mirror xXyYzZ' keyword -> 6-bit mask (ASOC.py:321-324)."""
+    m = 0
+    for bit, ch in enumerate("xXyYzZ"):
+        if ch in cfg.mirror:
+            m |= 1 << bit
+    return m
+
+
 def _run_inner(cfg, lanes, write_files, t_start):
     cfg.validate()
     res = RunResult()
@@ -365,6 +379,8 @@ def _run_inner(cfg, lanes, write_files, t_start):
         return res
 
     # ---- phase 1: constant sources
+    cfg._mirror_mask = mirror_mask_of(cfg)
+    _MIRROR_MASK[0] = cfg._mirror_mask
     t0 = time.time()
     per_freq_tally = not cfg.noabsorbed
     tabs = jnp.zeros(grid.cells, jnp.float32)

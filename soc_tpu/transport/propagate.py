@@ -89,13 +89,14 @@ def _csc_lookup(csc_table, ifreq, u_bin, bins):
 
 @partial(jax.jit, static_argnames=("source_kind", "nlanes", "max_iters",
                                    "per_freq_tally", "refill_period",
-                                   "esc_bins", "with_ali", "roi_nside"),
+                                   "esc_bins", "with_ali", "roi_nside",
+                                   "mirror_mask"),
          donate_argnums=(4, 5))
 def transport_run(grid, physics, source_params, total_packets, tabs, intf,
                   seed, source_kind="bg", nlanes=1 << 17,
                   max_iters=1 << 30, per_freq_tally=False, refill_period=8,
                   esc_bins=1, with_ali=False, xab=None, roi_nside=0,
-                  roi_tally=None):
+                  roi_tally=None, mirror_mask=0):
     """Drain ``total_packets`` packets through the grid with lane refill.
 
     physics : dict with
@@ -281,6 +282,34 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
             grid, posx, b.level, b.ind, cross)
         failed = cross & (nlevel == b.level) & (nind == b.ind)
         npos = jnp.where(failed[..., None], npos + PEPS * b.dir, npos)
+        dirx = b.dir
+        if mirror_mask:
+            # mirrored faces reflect exiting packets back inside (Mirror,
+            # kernel_ASOC_aux.c:1054; ini keyword 'mirror xXyYzZ').
+            # exited lanes hold root coordinates in npos.
+            bounds = jnp.asarray([grid.nx, grid.ny, grid.nz], jnp.float32)
+            exiting = cross & (nind < 0)
+            lo_hit = npos <= 0.0
+            hi_hit = npos >= bounds
+            lo_m = jnp.asarray([bool(mirror_mask & 1),
+                                bool(mirror_mask & 4),
+                                bool(mirror_mask & 16)])
+            hi_m = jnp.asarray([bool(mirror_mask & 2),
+                                bool(mirror_mask & 8),
+                                bool(mirror_mask & 32)])
+            refl = (lo_hit & lo_m[None, :]) | (hi_hit & hi_m[None, :])
+            refl = refl & exiting[:, None]
+            rpos = jnp.where(lo_hit, PEPS - npos,
+                             jnp.where(hi_hit, 2.0 * bounds - PEPS - npos,
+                                       npos))
+            mpos = jnp.where(refl, jnp.clip(rpos, PEPS, bounds - PEPS),
+                             npos)
+            dirx = jnp.where(refl, -b.dir, b.dir)
+            mirrored = jnp.any(refl, axis=-1)
+            mp, ml, mi = traverse.index_global(grid, mpos)
+            npos = jnp.where(mirrored[:, None], mp, npos)
+            nlevel = jnp.where(mirrored, ml, nlevel)
+            nind = jnp.where(mirrored, mi, nind)
 
         # ---- ROI save: packets that just crossed into the ROI box
         if roi_nside > 0:
@@ -310,7 +339,7 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
         pos = jnp.where(scatter_now[..., None], pos_scatter, npos)
         level = jnp.where(scatter_now, b.level, nlevel)
         ind = jnp.where(scatter_now, b.ind, nind)
-        dir = jnp.where(scatter_now[..., None], new_dir, b.dir)
+        dir = jnp.where(scatter_now[..., None], new_dir, dirx)
         scat = b.scatterings + scatter_now.astype(jnp.int32)
         overscattered = scatter_now & (scat > MAX_SCATTERINGS)
         exhausted = alive & (photons < PHOTON_LIMIT)
