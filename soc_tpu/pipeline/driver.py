@@ -443,7 +443,8 @@ def _run_inner(cfg, lanes, write_files, t_start):
                     beta_np[xem <= 0] = 1.0
                     beta = jnp.asarray(beta_np.astype(np.float32))
             temperature = equilibrium.solve_temperature(
-                grid, table, emit_total, gl_cm, beta=beta)
+                grid, table, emit_total, gl_cm, beta=beta,
+                cr_heating=cfg.cr_heating)
             emitted = equilibrium.emission(freq, optics[0].abs_gl,
                                            temperature, gl_cm)
             if cfg.clpac <= 0:
@@ -520,6 +521,14 @@ def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
                 res.tau_maps[idir] = np.asarray(tau)
                 if write_files:
                     write_map_file("map_dir_%02d.bin" % idir, res.maps[idir])
+                    if cfg.fits > 0:
+                        from ..io.fits import write_fits_image
+                        pix_deg = None
+                        if cfg.distance > 0:
+                            pix_deg = np.degrees(
+                                cfg.gl * cfg.map_dx / cfg.distance)
+                        write_fits_image("map_dir_%02d.fits" % idir,
+                                         res.maps[idir], pix_deg=pix_deg)
 
     # ---- polarization maps (I, Q, U, N), reference PolMapping
     if cfg.polmap > 0 and emitted is not None and len(cfg.b_files) == 3:

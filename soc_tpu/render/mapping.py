@@ -293,3 +293,68 @@ def render_pstau(grid, ext_gl, ps_pos, odir, max_steps=100000):
     state = (jnp.int32(0), pos, level, ind, tau, colden)
     _, _, _, _, tau, colden = lax.while_loop(cond, body, state)
     return tau, colden
+
+
+@partial(jax.jit, static_argnames=("npix", "max_steps"))
+def render_ortho_hier(grid, emit_map, ext_gl, odir, ra, de, centre, map_dx,
+                      npix, max_steps=100000):
+    """Orthographic maps separated by hierarchy level (MAP_HIER mode,
+    kernel_ASOC_map_H.c: one map per octree level, the contribution of each
+    LOS step binned by the emitting cell's level).
+
+    Returns photons [LEVELS, NF, NY, NX].
+    """
+    nxp, nyp = npix
+    nf = emit_map.shape[1]
+    nlev = grid.levels
+    i = jnp.arange(nxp, dtype=jnp.float32)
+    j = jnp.arange(nyp, dtype=jnp.float32)
+    ii, jj = jnp.meshgrid(i, j, indexing="xy")
+    ii = ii.reshape(-1)
+    jj = jj.reshape(-1)
+    centre = jnp.asarray(centre, jnp.float32)
+    pos = (centre[None, :]
+           + ((ii - 0.5 * (nxp - 1)) * map_dx)[:, None] * ra[None, :]
+           + ((jj - 0.5 * (nyp - 1)) * map_dx)[:, None] * de[None, :])
+    pos = pos + (grid.nx + grid.ny + grid.nz) * odir[None, :]
+    pos = _front_surface(pos, odir, grid.nx, grid.ny, grid.nz)
+    step_dir = -odir
+    step_dir = jnp.where(jnp.abs(step_dir) < 1e-5, 1e-5, step_dir)
+    step_dir = jnp.broadcast_to(step_dir, pos.shape)
+
+    pos, level, ind = traverse.index_global(grid, pos)
+    npixels = pos.shape[0]
+    tau = jnp.zeros((npixels, nf), jnp.float32)
+    phot = jnp.zeros((npixels, nlev, nf), jnp.float32)
+
+    def cond(state):
+        it, pos, level, ind, tau, phot = state
+        return (it < max_steps) & jnp.any(ind >= 0)
+
+    def body(state):
+        it, pos, level, ind, tau, phot = state
+        active = ind >= 0
+        olevel = level
+        gidx = jnp.clip(grid.off[jnp.clip(level, 0, grid.levels - 1)]
+                        + jnp.maximum(ind, 0), 0, grid.cells - 1)
+        dens = grid.dens[gidx]
+        ds, npos, nlevel, nind = traverse.get_step(
+            grid, pos, step_dir, level, ind, active)
+        failed = active & (nlevel == level) & (nind == ind)
+        npos = jnp.where(failed[:, None], npos + 1e-4 * step_dir, npos)
+        w = jnp.where(active, ds, 0.0)
+        dtau = (w * dens)[:, None] * ext_gl[None, :]
+        emit = emit_map[gidx, :]
+        attw = jnp.where(dtau < 1.0e-3, 1.0 - 0.5 * dtau,
+                         (1.0 - jnp.exp(-dtau)) / jnp.maximum(dtau, 1e-30))
+        contrib = jnp.exp(-tau) * attw * (w * dens)[:, None] * emit
+        onehot = (olevel[:, None]
+                  == jnp.arange(nlev, dtype=jnp.int32)[None, :])
+        phot = phot + onehot.astype(jnp.float32)[:, :, None] \
+            * contrib[:, None, :]
+        tau = tau + dtau
+        return it + 1, npos, nlevel, nind, tau, phot
+
+    state = (jnp.int32(0), pos, level, ind, tau, phot)
+    _, _, _, _, tau, phot = lax.while_loop(cond, body, state)
+    return jnp.transpose(phot, (1, 2, 0)).reshape(nlev, nf, nyp, nxp)

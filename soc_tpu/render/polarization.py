@@ -115,3 +115,98 @@ def render_pol(grid, emit_map, ext_gl, bfield, p0, odir, ra, de, centre,
     shape = (nf, nyp, nxp)
     return (s_i.T.reshape(shape), s_q.T.reshape(shape),
             s_u.T.reshape(shape), colden.reshape(nyp, nxp))
+
+
+@partial(jax.jit, static_argnames=("npix", "rho_weight", "max_steps"))
+def render_polstat(grid, emit_map, ext_gl, bfield, odir, ra, de, centre,
+                   map_dx, npix, rho_weight=True, max_steps=100000):
+    """Polarization-statistics maps (POLSTAT modes 1 & 3,
+    kernel_ASOC_map.c:1164+): along each LOS, weighted by density (or by
+    attenuated emission at the first frequency when rho_weight=False),
+    accumulate
+
+      rT = sqrt(<(Psi - <Psi>)^2>)   dispersion of the polarisation angle
+      rI = arccos(sqrt(<cos^2 gamma>))  mean inclination (Chen+ 2016)
+      <|B|>, <|B_LOS|>, <|B_POS|>    field-strength statistics (POLSTAT 3)
+
+    Returns dict of [NY, NX] maps + colden.
+    """
+    nxp, nyp = npix
+    i = jnp.arange(nxp, dtype=jnp.float32)
+    j = jnp.arange(nyp, dtype=jnp.float32)
+    ii, jj = jnp.meshgrid(i, j, indexing="xy")
+    ii = ii.reshape(-1)
+    jj = jj.reshape(-1)
+    centre = jnp.asarray(centre, jnp.float32)
+    pos = (centre[None, :]
+           + ((ii - 0.5 * (nxp - 1)) * map_dx)[:, None] * ra[None, :]
+           + ((jj - 0.5 * (nyp - 1)) * map_dx)[:, None] * de[None, :])
+    pos = pos + (grid.nx + grid.ny + grid.nz) * odir[None, :]
+    pos = _front_surface(pos, odir, grid.nx, grid.ny, grid.nz)
+    step_dir = -odir
+    step_dir = jnp.where(jnp.abs(step_dir) < 1e-5, 1e-5, step_dir)
+    step_dir = jnp.broadcast_to(step_dir, pos.shape)
+    pos, level, ind = traverse.index_global(grid, pos)
+    npixels = pos.shape[0]
+
+    acc = {k: jnp.zeros(npixels, jnp.float32)
+           for k in ("w", "psi", "psi2", "cc", "b", "blos", "bpos", "tau",
+                     "colden")}
+
+    def cond(state):
+        it, pos, level, ind, acc = state
+        return (it < max_steps) & jnp.any(ind >= 0)
+
+    def body(state):
+        it, pos, level, ind, acc = state
+        active = ind >= 0
+        gidx = jnp.clip(grid.off[jnp.clip(level, 0, grid.levels - 1)]
+                        + jnp.maximum(ind, 0), 0, grid.cells - 1)
+        dens = grid.dens[gidx]
+        b = bfield[gidx]
+        ds, npos, nlevel, nind = traverse.get_step(
+            grid, pos, step_dir, level, ind, active)
+        failed = active & (nlevel == level) & (nind == ind)
+        npos = jnp.where(failed[:, None], npos + 1e-4 * step_dir, npos)
+        sx = jnp.where(active, ds, 0.0)
+        dtau = sx * dens * ext_gl[0]
+        bnorm = jnp.linalg.norm(b, axis=-1)
+        bn = b / jnp.maximum(bnorm, 1e-30)[:, None]
+        psi = (0.5 * np.pi
+               + jnp.arctan2(jnp.sum(bn * (-ra)[None, :], axis=-1),
+                             jnp.sum(bn * de[None, :], axis=-1)))
+        blos = jnp.abs(jnp.sum(b * odir[None, :], axis=-1))
+        bpos = jnp.sqrt(jnp.maximum(bnorm**2 - blos**2, 0.0))
+        cc = 0.99999 - 0.99998 * (jnp.sum(bn * odir[None, :], axis=-1)) ** 2
+        if rho_weight:
+            w = sx * dens
+        else:
+            emit = emit_map[gidx, 0]
+            w = jnp.exp(-acc["tau"]) * sx * emit * dens
+        acc2 = dict(acc)
+        acc2["w"] = acc["w"] + w
+        acc2["psi"] = acc["psi"] + w * psi
+        acc2["psi2"] = acc["psi2"] + w * psi * psi
+        acc2["cc"] = acc["cc"] + w * cc
+        acc2["b"] = acc["b"] + w * bnorm
+        acc2["blos"] = acc["blos"] + w * blos
+        acc2["bpos"] = acc["bpos"] + w * bpos
+        acc2["tau"] = acc["tau"] + dtau
+        acc2["colden"] = acc["colden"] + sx * dens
+        return it + 1, npos, nlevel, nind, acc2
+
+    state = (jnp.int32(0), pos, level, ind, acc)
+    _, _, _, _, acc = lax.while_loop(cond, body, state)
+    w = jnp.maximum(acc["w"], 1e-30)
+    mean_psi = acc["psi"] / w
+    var_psi = jnp.maximum(acc["psi2"] / w - mean_psi**2, 0.0)
+    out = {
+        "rT": jnp.sqrt(var_psi),
+        "rI": jnp.arccos(jnp.sqrt(jnp.clip(acc["cc"] / w, 0.0, 1.0))),
+        "B": acc["b"] / w,
+        "B_LOS": acc["blos"] / w,
+        "B_POS": acc["bpos"] / w,
+        "tau": acc["tau"],
+        "colden": acc["colden"],
+    }
+    return {k: v.reshape(nyp, nxp) for k, v in out.items()}

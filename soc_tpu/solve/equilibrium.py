@@ -64,7 +64,7 @@ def cell_levels(grid):
 
 @partial(jax.jit, static_argnames=())
 def solve_temperature(grid, table, absorbed_integrated, gl_pc_parsec,
-                      beta=1.0):
+                      beta=1.0, cr_heating=0.0):
     """Per-cell equilibrium temperature from integrated absorbed energy.
 
     absorbed_integrated : [CELLS] the TABS tally (trapezoid-weighted photon
@@ -80,6 +80,9 @@ def solve_temperature(grid, table, absorbed_integrated, gl_pc_parsec,
     ein = (scale * absorbed_integrated
            * jnp.exp2(3.0 * lev.astype(jnp.float32))
            / jnp.maximum(dens, 1e-30)) / beta
+    # cosmic-ray heating: multiplier on the canonical 1e-27 erg/s/H rate
+    # (kernel_ASOC_aux.c:769-772 CR_HEATING)
+    ein = ein + 1.0e-27 * FACTOR * cr_heating
     oplgke = 1.0 / np.log10(table.ke)
     ie = jnp.clip(jnp.floor(
         oplgke * jnp.log10(jnp.maximum(ein, 1e-37) / table.emin)),

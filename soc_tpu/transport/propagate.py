@@ -271,8 +271,22 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
         photons = jnp.where(alive, b.photons * att, b.photons)
 
         # ---- RNG draws for this iteration (consumed by scatter lanes)
-        u_bin, u_phi, u_fp, _ = socrng.uniform4(seed, b.stream, b.counter)
-        cos_theta = _csc_lookup(csc, b.ifreq, u_bin, bins)
+        u_bin, u_phi, u_fp, u_sp = socrng.uniform4(seed, b.stream, b.counter)
+        if "msf_csc" in physics:
+            # multiple scattering functions (WITH_MSF): pick the scattering
+            # species with probability ABU[cell,d]*SCA_d / sum
+            # (kernel_ASOC.c:786-795), then sample that species' CSC
+            msf_csc = physics["msf_csc"]          # [NDUST, BINS]
+            wspec = (physics["msf_abu"][gidx, :]
+                     * physics["msf_sca"][None, :])   # [N, NDUST]
+            cdf = jnp.cumsum(wspec, axis=1)
+            r = 0.99999 * u_sp * cdf[:, -1]
+            species = jnp.sum((cdf < r[:, None]).astype(jnp.int32), axis=1)
+            species = jnp.clip(species, 0, msf_csc.shape[0] - 1)
+            bin_idx = jnp.clip((u_bin * bins).astype(jnp.int32), 0, bins - 1)
+            cos_theta = msf_csc[species, bin_idx]
+        else:
+            cos_theta = _csc_lookup(csc, b.ifreq, u_bin, bins)
         new_dir = _deflect(b.dir, cos_theta, (2.0 * jnp.pi) * u_phi)
 
         # ---- crossing branch: move into next cell

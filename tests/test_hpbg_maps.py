@@ -122,3 +122,31 @@ def test_perspective_map():
     assert phot.shape == (8, 16)
     assert phot.min() > 0
     assert phot.max() / phot.min() < 2.0
+
+
+def test_hierarchy_maps_sum_to_total():
+    """MAP_HIER per-level maps sum to the plain orthographic map."""
+    from soc_tpu.grid import grid_from_arrays, encode_link_np
+    from soc_tpu.render.mapping import (observer_basis, render_ortho,
+                                        render_ortho_hier)
+    nx = 6
+    root = np.ones(nx**3, np.float32)
+    root[43] = encode_link_np([0])[0]
+    root[100] = encode_link_np([8])[0]
+    grid = grid_from_arrays(nx, nx, nx, [nx**3, 16],
+                            [root, np.full(16, 1.0, np.float32)])
+    emit = jnp.ones((grid.cells, 2), jnp.float32)
+    ext = jnp.asarray([1e-4, 2e-2], jnp.float32)
+    odir, ra, de = observer_basis(0.3, 0.7)
+    centre = (nx / 2, nx / 2, nx / 2)
+    full, _, _ = render_ortho(grid, emit, ext, jnp.asarray(odir),
+                              jnp.asarray(ra), jnp.asarray(de), centre,
+                              1.0, (nx, nx))
+    hier = render_ortho_hier(grid, emit, ext, jnp.asarray(odir),
+                             jnp.asarray(ra), jnp.asarray(de), centre,
+                             1.0, (nx, nx))
+    hier = np.asarray(hier)
+    assert hier.shape == (2, 2, nx, nx)
+    assert hier[1].sum() > 0            # refined level contributes
+    np.testing.assert_allclose(hier.sum(axis=0), np.asarray(full),
+                               rtol=1e-5, atol=1e-7)

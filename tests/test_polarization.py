@@ -76,3 +76,33 @@ def test_rotating_b_rotates_stokes_vector():
         chis.append(0.5 * np.arctan2(u, q))
     dchi = np.diff(np.unwrap(np.asarray(chis) * 2.0)) / 2.0
     np.testing.assert_allclose(np.abs(dchi), np.diff(angles), atol=0.01)
+
+
+def test_polstat_uniform_field():
+    """Uniform B: zero angle dispersion; <|B|> equals the field strength;
+    B_LOS/B_POS split follows the geometry."""
+    from soc_tpu.render.polarization import render_polstat
+    import jax.numpy as jnp
+    nx = 8
+    grid, emit, ext, b, (odir, ra, de), centre = make_setup(nx, (0, 3.0, 4.0))
+    out = render_polstat(grid, emit, ext, b, odir, ra, de, centre, 1.0,
+                         (nx, nx))
+    c = nx // 2
+    assert abs(float(out["rT"][c, c])) < 1e-3
+    np.testing.assert_allclose(float(out["B"][c, c]), 5.0, rtol=1e-4)
+    # observer at +Z: B=(0,3,4): LOS component 4, plane-of-sky 3
+    np.testing.assert_allclose(float(out["B_LOS"][c, c]), 4.0, rtol=1e-3)
+    np.testing.assert_allclose(float(out["B_POS"][c, c]), 3.0, rtol=1e-3)
+    np.testing.assert_allclose(float(out["colden"][c, c]), nx, rtol=1e-3)
+
+
+def test_polstat_tangled_field_disperses():
+    from soc_tpu.render.polarization import render_polstat
+    import jax.numpy as jnp
+    nx = 8
+    grid, emit, ext, _, (odir, ra, de), centre = make_setup(nx)
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.normal(size=(grid.cells, 3)).astype(np.float32))
+    out = render_polstat(grid, emit, ext, b, odir, ra, de, centre, 1.0,
+                         (nx, nx))
+    assert float(np.asarray(out["rT"]).mean()) > 0.3
