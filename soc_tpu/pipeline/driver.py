@@ -425,14 +425,30 @@ def _run_inner(cfg, lanes, write_files, t_start):
     if not cfg.nosolve:
         table = equilibrium.build_temperature_table(freq, optics[0].abs_gl,
                                                     cfg.gl)
+    # WITH_REFERENCE control variate: simulate only the CHANGE in emission
+    # between iterations and carry the previous tally (ASOC.py:1599-1633,
+    # 1975-1985) -- negative packet weights propagate through the linear
+    # tally math unchanged.
+    oemitted = None
+    otabs = None
+    if not cfg.nosolve:
         emit_total = ctabs
         for iteration in range(max(1, cfg.iterations)):
             beta = 1.0
             if cfg.clpac > 0 and emitted is not None:
+                if cfg.with_reference and oemitted is not None:
+                    sim_emit = jnp.asarray(emitted) - oemitted
+                else:
+                    sim_emit = emitted
                 tabs_it = jnp.zeros(grid.cells, jnp.float32)
                 tabs_it, intf, _, xab = simulate_cell_emission(
-                    grid, medium, cfg, emitted, tabs_it, intf,
+                    grid, medium, cfg, sim_emit, tabs_it, intf,
                     seed + 7 * iteration, lanes, per_freq_tally)
+                if cfg.with_reference and oemitted is not None:
+                    tabs_it = tabs_it + otabs
+                if cfg.with_reference:
+                    otabs = tabs_it
+                    oemitted = jnp.asarray(emitted)
                 emit_total = tabs_it + ctabs
                 if cfg.with_ali and xab is not None:
                     # escape probability beta = (XEM - XAB)/XEM per cell
@@ -452,6 +468,25 @@ def _run_inner(cfg, lanes, write_files, t_start):
         res.temperature = np.asarray(temperature)
         res.emitted = np.asarray(emitted)
     timings["solve"] = time.time() - t0
+
+    # ---- intensity output for DustEM coupling (SAVE_INTENSITY==1,
+    # ASOC.py:1496-1505): I[cell,f] = (PLANCK*FREQ/ABS_f)*8^level*INT/DENS,
+    # written as ISRF.DAT [CELLS, NFREQ]
+    if per_freq_tally and cfg.has_key("saveint"):
+        lev = np.asarray(equilibrium.cell_levels(grid))
+        dens = np.asarray(grid.dens)
+        absf = np.asarray(medium.abs_gl, np.float64)
+        coeff = (PLANCK * np.asarray(freq, np.float64)[None, :]
+                 / np.maximum(absf, 1e-300)[None, :]
+                 * (8.0 ** lev)[:, None])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            intensity = (coeff * np.asarray(intf)
+                         / np.maximum(dens, 1e-35)[:, None])
+        intensity[dens <= 0.0] = 0.0
+        if write_files:
+            path = cfg.keys.get("saveint", [[None]])[0]
+            fname = path[1] if path and len(path) > 1 else "ISRF.DAT"
+            write_cell_frequency_array(fname, intensity.astype(np.float32))
 
     # ---- absorbed-file output (reference end-of-run scaling)
     if per_freq_tally:
