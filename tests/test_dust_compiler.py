@@ -1,0 +1,89 @@
+"""DustEM dust compiler on synthetic DustEM-format files."""
+
+import numpy as np
+import pytest
+
+from soc_tpu.constants import AMU, PARSEC, um2f
+from soc_tpu.solve import dust_compiler as dc
+
+
+@pytest.fixture
+def dustem_files(tmp_path):
+    um = np.logspace(-1, 3, 30)[::-1]        # decreasing um in file? no:
+    um = np.sort(um)                         # DustEM: increasing wavelength
+    nlam = len(um)
+    lam = tmp_path / "LAMBDA.DAT"
+    lam.write_text("# lambda\n#\n#\n#\n"
+                   + "\n".join("%.6e" % u for u in um) + "\n")
+    qsize_um = np.asarray([1e-3, 1e-2, 0.1, 1.0])
+    # geometric-optics-flavoured Qabs: Q = x/(1+x) with x = 2 pi a/lambda
+    qabs = np.zeros((nlam, 4))
+    for j, su in enumerate(qsize_um):
+        x = 2 * np.pi * su / um
+        qabs[:, j] = x / (1.0 + x)
+    qsca = 0.5 * qabs
+    qtxt = ["# synthetic Q", "#", "4",
+            " ".join("%.4e" % s for s in qsize_um), "# Qabs then Qsca"]
+    for row in qabs:
+        qtxt.append(" ".join("%.6e" % v for v in row))
+    for row in qsca:
+        qtxt.append(" ".join("%.6e" % v for v in row))
+    qf = tmp_path / "Q_TST.DAT"
+    qf.write_text("\n".join(qtxt) + "\n")
+    g = np.full((nlam, 4), 0.4)
+    gtxt = ["#"] * 9 + [" ".join("%.4f" % v for v in row) for row in g]
+    gf = tmp_path / "G_TST.DAT"
+    gf.write_text("\n".join(gtxt) + "\n")
+    # heat capacities: Debye-ish C ~ T^3 per cm3
+    ct = np.logspace(0, 3.3, 40)
+    lgc = np.log10(1e4 * ct**3)
+    ctxt = ["# synthetic C", "4",
+            " ".join("%.4e" % s for s in qsize_um), "40"]
+    for i, t in enumerate(ct):
+        ctxt.append("%.6e " % np.log10(t)
+                    + " ".join("%.6e" % lgc[i] for _ in range(4)))
+    cf = tmp_path / "C_TST.DAT"
+    cf.write_text("\n".join(ctxt) + "\n")
+    grain = "TST 24 plaw-ed 0.0065 3.3 1.0e-7 5.0e-5 -3.5 1.0e-5 5e-6 3.0"
+    return grain, lam, qf, gf, cf
+
+
+def test_compile_and_mass_normalization(dustem_files):
+    grain, lam, qf, gf, cf = dustem_files
+    dust = dc.compile_dust(grain, lam, qf, gf, cf)
+    # dust mass per H = rmass * m_H
+    mass = np.sum(dust.sfrac * (4 * np.pi / 3) * dust.size_a**3 * dust.rho)
+    np.testing.assert_allclose(mass, 0.0065 * 1.0079 * AMU, rtol=1e-6)
+    assert dust.nsize == 24
+    assert np.all(np.diff(dust.qfreq) > 0)
+
+
+def test_effective_optics_sane(dustem_files):
+    grain, lam, qf, gf, cf = dustem_files
+    dust = dc.compile_dust(grain, lam, qf, gf)
+    freq = np.logspace(11.5, 15, 20)
+    opt = dc.effective_optics(dust, freq, gl_pc=0.01)
+    assert np.all(opt.abs_gl > 0)
+    assert np.all(np.diff(opt.abs_gl) > 0)     # extinction rises with freq
+    np.testing.assert_allclose(opt.sca_gl / opt.abs_gl, 0.5, rtol=1e-3)
+    np.testing.assert_allclose(opt.g, 0.4, atol=1e-3)
+    # sanity of magnitude: tau(V)/N_H for MRN-like dust ~ 1e-21..1e-20 cm2/H
+    kabs_v = np.interp(um2f(0.55), freq, opt.abs_gl) / (0.01 * PARSEC)
+    assert 1e-23 < kabs_v < 1e-19
+
+
+def test_gset_conversion_runs_solver_chain(dustem_files):
+    grain, lam, qf, gf, cf = dustem_files
+    dust = dc.compile_dust(grain, lam, qf, gf, cf)
+    gset = dc.to_gset(dust)
+    # E(T) monotone increasing, scales ~ a^3
+    e1 = gset.t2e(0, 50.0)
+    e2 = gset.t2e(gset.nsize - 1, 50.0)
+    assert e2 > e1 * 10
+    assert gset.t2e(0, 100.0) > gset.t2e(0, 10.0)
+    # the full A2E_pre chain accepts the compiled grain model
+    from soc_tpu.solve import solver_prep
+    freq = np.logspace(11.5, 15, 16)
+    sol = solver_prep.build_solver(gset, freq, ne=32)
+    assert sol.nsize == dust.nsize
+    assert np.all(sol.sizes[0].tdown[1:] > 0)
