@@ -51,18 +51,24 @@ class ScatterEvents:
     valid: jax.Array      # [E] bool
 
 
-def _march_tau(grid, pos, level, ind, dir, ext, active, max_steps=8192):
+def _march_tau(grid, pos, level, ind, dir, ext, active, max_steps=8192,
+               max_dist=None):
     """Vectorized LOS march to the surface accumulating ext optical depth.
 
     Returns (tau, exit_pos). ext is k_abs+k_sca (peel-off) or k_sca (FFS),
-    a scalar for the uniform-frequency path.
+    a scalar for the uniform-frequency path. max_dist (per-ray, GL units)
+    stops the march at the observer (the reference's min(dx, GetStep) in
+    the internal-observer peel-off, kernel_ASOC_sca.c:300-312).
     """
+    if max_dist is None:
+        max_dist = jnp.full(pos.shape[0], jnp.inf, jnp.float32)
+
     def cond(state):
-        it, pos, level, ind, tau = state
+        it, pos, level, ind, tau, left = state
         return (it < max_steps) & jnp.any(ind >= 0)
 
     def body(state):
-        it, pos, level, ind, tau = state
+        it, pos, level, ind, tau, left = state
         live = ind >= 0
         gidx = jnp.clip(grid.off[jnp.clip(level, 0, grid.levels - 1)]
                         + jnp.maximum(ind, 0), 0, grid.cells - 1)
@@ -71,13 +77,17 @@ def _march_tau(grid, pos, level, ind, dir, ext, active, max_steps=8192):
             grid, pos, dir, level, ind, live)
         failed = live & (nlevel == level) & (nind == ind)
         npos = jnp.where(failed[:, None], npos + PEPS * dir, npos)
-        tau = tau + jnp.where(live, ds * dens * ext, 0.0)
-        return it + 1, npos, nlevel, nind, tau
+        w = jnp.minimum(ds, left)
+        tau = tau + jnp.where(live, w * dens * ext, 0.0)
+        left = jnp.where(live, left - w, left)
+        nind = jnp.where(left <= 0.0, -1, nind)
+        return it + 1, npos, nlevel, nind, tau, left
 
     ind = jnp.where(active, ind, -1)
     tau = jnp.zeros(pos.shape[0], jnp.float32)
-    state = (jnp.int32(0), pos, level, ind, tau)
-    _, pos, _, _, tau = lax.while_loop(cond, body, state)
+    state = (jnp.int32(0), pos, level, ind, tau,
+             jnp.asarray(max_dist, jnp.float32))
+    _, pos, _, _, tau, _ = lax.while_loop(cond, body, state)
     return tau, pos
 
 
@@ -243,6 +253,44 @@ def peel_off(grid, physics, events, odirs, ra, de, centre, map_dx, npix,
                              out_flat.shape[0])
         out_flat = out_flat.at[flat_idx].add(delta, mode="drop")
     return out_flat.reshape(out.shape)
+
+
+@partial(jax.jit, static_argnames=("nside",))
+def peel_off_healpix(grid, physics, events, obs_pos, nside, out):
+    """Healpix peel-off for an internal observer (kernel_ASOC_sca.c NDIR<0
+    branch): from each scattering event, one deterministic ray toward the
+    observer position; delta = PHOTONS/(4 pi? no: 1/d^2) exp(-tau) DSC,
+    binned by the arrival direction's healpix pixel.
+
+    out : [12*nside^2] accumulated all-sky scattered intensity.
+    """
+    from . import healpix as hp
+    from ..ops.traverse import root_pos
+    kabs = physics["kabs"]
+    ksca = physics["ksca"]
+    dsc = physics["dsc"]
+    bins = dsc.shape[-1]
+    obs_pos = jnp.asarray(obs_pos, jnp.float32)
+
+    rp = root_pos(grid, events.pos, events.level, events.ind)
+    vec = obs_pos[None, :] - rp
+    dist = jnp.linalg.norm(vec, axis=-1)
+    odir = vec / jnp.maximum(dist, 1e-6)[:, None]
+    odir = jnp.where(jnp.abs(odir) < 1e-5, 1e-5, odir)
+    tau, _ = _march_tau(grid, events.pos, events.level, events.ind,
+                        odir, kabs + ksca, events.valid, max_dist=dist)
+    cos_theta = jnp.clip(jnp.sum(events.dir * odir, axis=-1),
+                         -0.9999, 0.9999)
+    bin_idx = jnp.clip(((1.0 + cos_theta) * 0.5 * bins).astype(jnp.int32),
+                       0, bins - 1)
+    delta = (events.photons * jnp.exp(-tau) * dsc[bin_idx]
+             / jnp.maximum(dist * dist, 1e-6))
+    # arrival direction seen by the observer: -odir
+    theta = jnp.arccos(jnp.clip(-odir[:, 2], -1.0, 1.0))
+    phi = jnp.arctan2(odir[:, 1], odir[:, 0])
+    pix = hp.ang2pix_ring(nside, theta, phi)
+    idx = jnp.where(events.valid, pix, out.shape[0])
+    return out.at[idx].add(delta, mode="drop")
 
 
 def empty_events(capacity):

@@ -69,3 +69,45 @@ def test_absorption_reduces_signal():
     bright = run_bg(grid, setup_physics(ksca=5e-3, kabs=0.0), n).sum()
     dim = run_bg(grid, setup_physics(ksca=5e-3, kabs=0.2), n).sum()
     assert dim < 0.5 * bright
+
+
+def test_healpix_peeloff_internal_observer():
+    """Single-scattering all-sky image: total signal consistent with the
+    analytic sum over events of DSC/(4 pi-free normalization) / d^2."""
+    import jax.numpy as jnp
+    from soc_tpu.render.scattered import (spawn, propagate_events,
+                                          empty_events, peel_off_healpix)
+    nx = 8
+    grid = uniform_grid(nx, nx, nx, density=1.0)
+    physics = setup_physics(ksca=2e-3, g=0.0)
+    n = 4 * int(grid.area)
+    params = dict(photons=jnp.float32(1.0), ifreq=jnp.int32(0),
+                  per_freq=jnp.int32(n), id_offset=jnp.int32(0))
+    nside = 8
+    out = jnp.zeros(12 * nside * nside, jnp.float32)
+    next_id = jnp.int32(0)
+    obs = (nx / 2, nx / 2, nx / 2)
+    event_weight = 0.0
+    ndeltas = 0
+    while int(next_id) < n:
+        b, fp, next_id = spawn(grid, physics, params, jnp.int32(n),
+                               next_id, 5, nlanes=1 << 12)
+        while True:
+            ev = empty_events(1 << 14)
+            b, fp, ev, ec = propagate_events(grid, physics, b, fp, ev,
+                                             jnp.int32(0), 5,
+                                             capacity=1 << 14)
+            out = peel_off_healpix(grid, physics, ev, obs, nside, out)
+            ndeltas += int(ec)
+            event_weight += float(jnp.sum(jnp.where(ev.valid, ev.photons,
+                                                    0.0)))
+            if not bool(jnp.any(b.ind >= 0)):
+                break
+    out = np.asarray(out)
+    assert out.sum() > 0
+    assert np.isfinite(out).all()
+    assert ndeltas > 0
+    # isotropic phase function: each event contributes W/(4 pi d^2) with
+    # d ~ nx/4..nx/2 to the observer at the centre (optically thin)
+    rough = event_weight / (4 * np.pi) / (nx / 3) ** 2
+    assert 0.2 * rough < out.sum() < 5 * rough
