@@ -135,12 +135,30 @@ def solve_equilibrium_size(solver, isize, absorbed, gl=None, nip=5000):
     return emit.astype(np.float32)
 
 
-def solve_emission(solver, absorbed, nstoch=999, batch=16384, clip_last=True):
+def alignment_weights(solver, isize, aalg):
+    """Per-cell fraction of this size's emission that is polarized: grains
+    with a >= a_alg are aligned; between consecutive size bins a log-size
+    interpolation applies (A2E.py:408-425 AALG handling)."""
+    a = solver.size_a
+    w = np.zeros(len(aalg), np.float32)
+    w[a[isize] >= aalg] = 1.0
+    if isize < solver.nsize - 1:
+        m = (a[isize] < aalg) & (a[isize + 1] > aalg)
+        w[m] = ((np.log10(aalg[m]) - np.log10(a[isize]))
+                / (np.log10(a[isize + 1]) - np.log10(a[isize])))
+    return w
+
+
+def solve_emission(solver, absorbed, nstoch=999, batch=16384, clip_last=True,
+                   aalg=None):
     """Full A2E solve: sum emission over all grain sizes.
 
     absorbed : [CELLS, NFREQ] (the absorbed.data payload)
     nstoch   : sizes >= nstoch are treated at equilibrium (A2E.py NSTOCH)
-    Returns EMITTED [CELLS, NFREQ] float32.
+    aalg     : optional [CELLS] minimum aligned grain size (RAT alignment);
+               when given, also returns the polarized emission PEMITTED
+               (sizes >= a_alg per cell, the reference's emitted.data.P)
+    Returns EMITTED [CELLS, NFREQ] float32 (, PEMITTED if aalg given).
     """
     cells, nfreq = absorbed.shape
     absorbed = np.asarray(absorbed, np.float32).copy()
@@ -149,8 +167,10 @@ def solve_emission(solver, absorbed, nstoch=999, batch=16384, clip_last=True):
         absorbed[:, -1] = np.clip(absorbed[:, -1], 0.0,
                                   0.2 * absorbed[:, -2])
     emitted = np.zeros((cells, nfreq), np.float32)
+    pemitted = np.zeros((cells, nfreq), np.float32) if aalg is not None         else None
     for isize in range(solver.nsize):
         if isize < nstoch:
+            emit_size = np.zeros((cells, nfreq), np.float32)
             w_flat, tdown, ea = prepare_size_arrays(solver, isize)
             for i0 in range(0, cells, batch):
                 i1 = min(i0 + batch, cells)
@@ -160,7 +180,13 @@ def solve_emission(solver, absorbed, nstoch=999, batch=16384, clip_last=True):
                     chunk = np.pad(chunk, ((0, batch - n), (0, 0)))
                 emit = solve_batch(w_flat, tdown, ea, jnp.asarray(chunk),
                                    solver.ne)
-                emitted[i0:i1] += np.asarray(emit[:n])
+                emit_size[i0:i1] = np.asarray(emit[:n])
         else:
-            emitted += solve_equilibrium_size(solver, isize, absorbed)
+            emit_size = solve_equilibrium_size(solver, isize, absorbed)
+        emitted += emit_size
+        if pemitted is not None:
+            w = alignment_weights(solver, isize, np.asarray(aalg))
+            pemitted += emit_size * w[:, None]
+    if pemitted is not None:
+        return emitted, pemitted
     return emitted

@@ -146,3 +146,28 @@ def test_overflow_rescale_stability():
         w_flat, tdown, ea, jnp.asarray(absorbed), solver.ne))
     assert np.all(np.isfinite(got))
     assert np.all(got >= 0)
+
+
+def test_polarized_emission_alignment():
+    """aalg path: PEMITTED covers the aligned sizes only; limits bracket it."""
+    from soc_tpu.solve.stochastic import solve_emission, alignment_weights
+    solver = random_solver(ne=16, nfreq=8, nsize=3, seed=9)
+    solver.size_a[:] = [1e-7, 1e-6, 1e-5]
+    rng = np.random.default_rng(6)
+    absorbed = (rng.random((10, 8)) * 5).astype(np.float32)
+    # all grains aligned -> PEMITTED == EMITTED
+    em, pem = solve_emission(solver, absorbed, clip_last=False,
+                             aalg=np.full(10, 1e-8, np.float32))
+    np.testing.assert_allclose(pem, em, rtol=1e-6)
+    # nothing aligned -> PEMITTED == 0
+    em2, pem2 = solve_emission(solver, absorbed, clip_last=False,
+                               aalg=np.full(10, 1.0, np.float32))
+    np.testing.assert_allclose(em2, em, rtol=1e-6)
+    assert pem2.max() == 0.0
+    # intermediate cutoff: strictly between
+    em3, pem3 = solve_emission(solver, absorbed, clip_last=False,
+                               aalg=np.full(10, 3e-6, np.float32))
+    assert 0 < pem3.sum() < em3.sum()
+    # interpolation weight sanity
+    w = alignment_weights(solver, 1, np.full(10, 3e-6, np.float32))
+    assert np.all((w > 0.4) & (w < 0.6))
