@@ -135,12 +135,22 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
     seed = jnp.uint32(seed)
     cells = grid.cells
 
+    # STEP_WEIGHT==1 free-path stretching: p(tau) = A exp(-A tau), weight
+    # exp((A-1) tau)/A (kernel_ASOC.c:524-536). sw_a in physics enables it.
+    sw_a = physics.get("sw_a", None)
+
+    def draw_fp_weighted(u):
+        if sw_a is None:
+            return -jnp.log(u), 1.0
+        fp = -jnp.log(u) / sw_a
+        return fp, jnp.exp(sw_a * fp - fp) / sw_a
+
     def draw_birth_fp(stream):
         # birth free path: counter slot 0, third word
         b0, _ = socrng.threefry2x32(seed, stream, jnp.full_like(stream, 2),
                                     jnp.zeros_like(stream))
         u = jnp.maximum(b0.astype(jnp.float32) * (1.0 / 4294967296.0), 1e-12)
-        return -jnp.log(u)
+        return draw_fp_weighted(u)
 
     def make_dead(n):
         z3 = jnp.zeros((n, 3), jnp.float32)
@@ -198,7 +208,15 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
             counter=jnp.where(can, nb.counter, b.counter),
             scatterings=jnp.where(can, 0, b.scatterings),
             e_cell=jnp.where(can, nb.e_cell, b.e_cell))
-        free_path = jnp.where(can, draw_birth_fp(nb.stream), free_path)
+        fp_new, w_new = draw_birth_fp(nb.stream)
+        free_path = jnp.where(can, fp_new, free_path)
+        if sw_a is not None:
+            b = PacketBatch(pos=b.pos, dir=b.dir, level=b.level, ind=b.ind,
+                            photons=jnp.where(can, b.photons * w_new,
+                                              b.photons),
+                            ifreq=b.ifreq, stream=b.stream,
+                            counter=b.counter, scatterings=b.scatterings,
+                            e_cell=b.e_cell)
         tau = jnp.where(can, 0.0, tau)
         next_id = next_id + jnp.sum(can.astype(jnp.int32))
 
@@ -362,7 +380,10 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
             (exited | overscattered) & alive, photons, 0.0)
         ind = jnp.where(overscattered | exhausted, jnp.int32(-1), ind)
 
-        free_path = jnp.where(scatter_now, -jnp.log(u_fp), free_path)
+        fp_next, w_next = draw_fp_weighted(u_fp)
+        free_path = jnp.where(scatter_now, fp_next, free_path)
+        if sw_a is not None:
+            photons = jnp.where(scatter_now, photons * w_next, photons)
         tau = jnp.where(scatter_now, 0.0,
                         jnp.where(cross, tau + dtau_sca, tau))
 

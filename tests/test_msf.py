@@ -63,3 +63,24 @@ def test_msf_mixture_between_extremes():
     assert abs(abs_m + esc_m - n) / n < 5e-3
     lo, hi = sorted([abs_f, abs_r])
     assert lo * 0.98 < abs_m < hi * 1.02
+
+
+def test_step_weight_unbiased():
+    """Free-path stretching (STEP_WEIGHT==1): the weighted estimator must
+    reproduce the unweighted absorbed energy in expectation."""
+    grid = uniform_grid(8, 8, 8, density=1.0)
+    dsc, csc = hg_scattering_function([0.3], 128)
+    n = 16 * int(grid.area)
+    base = dict(kabs=jnp.float32(0.15), ksca=jnp.float32(0.2),
+                csc=jnp.asarray(csc[0]), tw=jnp.float32(1.0))
+    tabs_p, esc_p, abs_p = run(grid, base, n)
+    phys_w = dict(base)
+    phys_w["sw_a"] = jnp.float32(0.6)      # stretched free paths
+    tabs_w, esc_w, abs_w = run(grid, phys_w, n, seed=23)
+    # totals agree statistically (weighted MC has higher variance)
+    assert abs(abs_w - abs_p) / abs_p < 0.05, (abs_w, abs_p)
+    assert abs((abs_w + esc_w) - (abs_p + esc_p)) / n < 0.05
+    # absorbed profile consistent
+    pa = tabs_p.reshape(8, 8, 8).mean(axis=(0, 1))
+    pw = tabs_w.reshape(8, 8, 8).mean(axis=(0, 1))
+    np.testing.assert_allclose(pw, pa, rtol=0.15)
