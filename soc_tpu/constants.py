@@ -26,6 +26,12 @@ FACTOR = 1.0e20
 # Kernel tally scaling knob (reference: ASOC.py:80-81).
 ADHOC = 1.0
 
+# Emission-rate prefactor 8 pi / c^2 = 2.79639459e-20 shared by the
+# equilibrium/stochastic emission integrals (kernel_ASOC_aux.c Emission,
+# kernel_A2E_pre.c EA rows): photons/Hz/H = EMIT_COEFF * freq^2 * kabs /
+# (exp(h nu / k T) - 1).
+EMIT_COEFF = 8.0 * np.pi / C_LIGHT**2
+
 # Geometry epsilons -- the float32 epsilon discipline of the reference ray
 # stepper (kernel_ASOC_aux.c:99-119). Values are load-bearing: they encode the
 # over-step that pushes a ray across a cell boundary.

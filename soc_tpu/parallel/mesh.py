@@ -25,9 +25,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..transport.propagate import transport_run
+from ..transport.sources import stream_hi_base
 
 
 def make_mesh(devices=None, freq_axis=1):
@@ -63,7 +64,7 @@ def sharded_background_run(grid, medium, bg_photons, per_freq, seed, mesh,
     @partial(shard_map, mesh=mesh,
              in_specs=(P("freq"), P("freq"), P("freq"), P("freq", None),
                        P("freq")),
-             out_specs=(P(), P("freq")), check_rep=False)
+             out_specs=(P(), P("freq")), check_vma=False)
     def run(bgp_l, kabs_l, ksca_l, csc_l, tw_l):
         fq = lax.axis_index("freq")
         dp = lax.axis_index("dp")
@@ -76,9 +77,9 @@ def sharded_background_run(grid, medium, bg_photons, per_freq, seed, mesh,
                            csc=csc_l[fl], tw=tw_l[fl])
             params = dict(photons=bgp_l[fl],
                           ifreq=gfreq.astype(jnp.int32),
-                          per_freq=jnp.int32(per_dev),
-                          id_offset=(gfreq * per_freq
-                                     + dp * per_dev).astype(jnp.int32))
+                          per_freq=jnp.int32(per_freq),
+                          k0=(dp * per_dev).astype(jnp.uint32),
+                          hi_base=jnp.uint32(stream_hi_base("bg")))
             tabs, intf, esc, absd = transport_run(
                 grid, physics, params, jnp.int32(per_dev), tabs, intf, seed,
                 source_kind="bg", nlanes=nlanes, max_iters=max_iters)

@@ -35,9 +35,6 @@ from ..utils.cache import enable_compile_cache
 
 DEFAULT_LANES = 1 << 17
 
-# process-wide mirror mask for the frequency-loop helper (set per run)
-_MIRROR_MASK = [0]
-
 
 @dataclass
 class RunResult:
@@ -62,13 +59,16 @@ def _pool_lanes(nlanes, per_freq):
 
 
 def _run_over_freqs(grid, medium, kind, make_params, per_freq, tabs, intf,
-                    seed, nlanes, per_freq_tally, id_base=0):
+                    seed, nlanes, per_freq_tally, phase=None, iteration=0,
+                    mirror_mask=0):
     """Run one transport pass per frequency (uniform-frequency fast path:
     scalar cross sections, [BINS] CSC row -- all frequencies share one
     compiled executable)."""
     import sys
+    from ..transport.sources import stream_hi_base
     progress = os.environ.get("SOC_TPU_PROGRESS", "0") != "0"
     nfreq = medium.nfreq
+    hi_base = stream_hi_base(phase or kind, iteration)
     esc_list, abs_list = [], []
     t_loop = time.time()
     for ifreq in range(nfreq):
@@ -81,12 +81,12 @@ def _run_over_freqs(grid, medium, kind, make_params, per_freq, tabs, intf,
         params = make_params(ifreq)
         params["ifreq"] = jnp.int32(ifreq)
         params["per_freq"] = jnp.int32(per_freq)
-        params["id_offset"] = jnp.int32(id_base + ifreq * per_freq)
+        params["hi_base"] = jnp.uint32(hi_base)
         tabs, intf, esc, absd = transport_run(
             grid, physics, params, jnp.int32(per_freq), tabs, intf, seed,
             source_kind=kind, nlanes=_pool_lanes(nlanes, per_freq),
             per_freq_tally=per_freq_tally,
-            mirror_mask=_MIRROR_MASK[0])
+            mirror_mask=mirror_mask)
         esc_list.append(esc)
         abs_list.append(absd)
     escaped = np.asarray([float(e[0]) for e in esc_list])
@@ -116,24 +116,29 @@ def simulate_background(grid, medium, cfg, ibg, tabs, intf, seed,
     bg_photons = (np.asarray(ibg, np.float64) * wbg
                   / np.asarray(cfg.freq, np.float64)).astype(np.float32)
 
+    from ..transport.sources import stream_hi_base
     if mixed:
         nfreq = medium.nfreq
         physics = dict(kabs=medium.abs_gl, ksca=medium.sca_gl,
                        csc=medium.csc, tw=medium.tw)
         bg = jnp.asarray(bg_photons)
-        total = per_freq * nfreq
-        nlanes = _pool_lanes(lanes, total)
+        total = per_freq * nfreq            # Python int: may exceed 2^31
+        nlanes = _pool_lanes(lanes, total if total < (1 << 31) else chunk)
         escaped = jnp.zeros(nfreq, jnp.float32)
         for off in range(0, total, chunk):
             n = min(chunk, total - off)
+            # chunk origin split host-side into (frequency, in-freq index):
+            # all device id math stays 32-bit no matter how large `total` is
             params = dict(photons=bg, ifreq=None,
                           per_freq=jnp.int32(per_freq),
-                          id_offset=jnp.int32(off))
+                          ifreq0=jnp.int32(off // per_freq),
+                          k0=jnp.uint32(off % per_freq),
+                          hi_base=jnp.uint32(stream_hi_base("bg")))
             tabs, intf, esc, absd = transport_run(
                 grid, physics, params, jnp.int32(n), tabs, intf, seed,
                 source_kind="bg", nlanes=nlanes,
                 per_freq_tally=per_freq_tally, esc_bins=nfreq,
-                mirror_mask=getattr(cfg, "_mirror_mask", 0))
+                mirror_mask=mirror_mask_of(cfg))
             escaped = escaped + esc
         escaped = np.asarray(escaped)
     else:
@@ -142,7 +147,7 @@ def simulate_background(grid, medium, cfg, ibg, tabs, intf, seed,
 
         tabs, intf, escaped, absorbed = _run_over_freqs(
             grid, medium, "bg", make_params, per_freq, tabs, intf, seed,
-            lanes, per_freq_tally)
+            lanes, per_freq_tally, mirror_mask=mirror_mask_of(cfg))
     injected = np.float64(per_freq) * np.asarray(bg_photons, np.float64)
     return tabs, intf, escaped, injected
 
@@ -181,7 +186,7 @@ def simulate_hpbg(grid, medium, cfg, hpbg, tabs, intf, seed,
 
     tabs, intf, escaped, absorbed = _run_over_freqs(
         grid, medium, "hpbg", make_params, per_freq, tabs, intf, seed,
-        lanes, per_freq_tally, id_base=1 << 27)
+        lanes, per_freq_tally)
     return tabs, intf, escaped, injected * per_freq
 
 
@@ -214,7 +219,7 @@ def simulate_point_sources(grid, medium, cfg, lps, tabs, intf, seed,
 
     tabs, intf, escaped, absorbed = _run_over_freqs(
         grid, medium, "ps", make_params, per_freq, tabs, intf, seed,
-        lanes, per_freq_tally, id_base=1 << 28)
+        lanes, per_freq_tally)
     injected = np.sum(np.asarray(ps_photons, np.float64), axis=0) * pspac
     return tabs, intf, escaped, injected
 
@@ -245,7 +250,8 @@ def emweight_allocation(emit_col, clpac, lims=(0.0, 1e10), rng=None):
 
 
 def simulate_cell_emission(grid, medium, cfg, emitted, tabs, intf, seed,
-                           lanes=DEFAULT_LANES, per_freq_tally=False):
+                           lanes=DEFAULT_LANES, per_freq_tally=False,
+                           iteration=0):
     """Phase-2 dust re-emission (SimRAM_CL equivalent).
 
     emitted : [CELLS, NFREQ] photons/Hz/H per cell. Uniform allocation:
@@ -254,13 +260,20 @@ def simulate_cell_emission(grid, medium, cfg, emitted, tabs, intf, seed,
     packet count follows the cell's share of total emission (Russian
     roulette below one packet).
     """
+    from ..transport.sources import stream_hi_base
     emitted_np = np.asarray(emitted)
     emitted = jnp.asarray(emitted)
+    hi_base = stream_hi_base("cell", iteration)
 
     if cfg.use_emweight > 0:
         # allocation varies per frequency => per-frequency pools with a
-        # host-built id->cell map
-        rng = np.random.default_rng(int(seed) & 0x7FFFFFFF)
+        # host-built id->cell map. The roulette RNG is counter-based
+        # (Philox keyed by (seed, iteration)) so allocations are
+        # reproducible across runs; the lane-pool size is keyed to CLPAC
+        # (not the realized total) so ONE executable covers all frequencies.
+        rng = np.random.Generator(np.random.Philox(
+            key=np.uint64([int(seed) & 0xFFFFFFFF, iteration])))
+        nlanes = _pool_lanes(lanes, int(cfg.clpac))
         escaped = np.zeros(medium.nfreq)
         for ifreq in range(medium.nfreq):
             cell_of_id, weight, total = emweight_allocation(
@@ -271,15 +284,19 @@ def simulate_cell_emission(grid, medium, cfg, emitted, tabs, intf, seed,
             physics = dict(kabs=medium.abs_gl[ifreq],
                            ksca=medium.sca_gl[ifreq],
                            csc=medium.csc[ifreq], tw=medium.tw[ifreq])
+            # pad the id->cell map to a static shape (extra ids are never
+            # generated: total_packets caps the refill)
+            pad = _pool_lanes(1 << 30, total)
+            com = np.full(pad, grid.cells - 1, np.int32)
+            com[:total] = cell_of_id
             params = dict(emit=emitted[:, ifreq] * jnp.asarray(weight),
-                          cell_of_id=jnp.asarray(cell_of_id),
+                          cell_of_id=jnp.asarray(com),
                           ifreq=jnp.int32(ifreq),
-                          per_freq=jnp.int32(total),
-                          id_offset=jnp.int32(0))
+                          per_freq=jnp.int32(pad),
+                          hi_base=jnp.uint32(hi_base))
             tabs, intf, esc, absd = transport_run(
                 grid, physics, params, jnp.int32(total), tabs, intf,
-                seed + 11 + ifreq, source_kind="cell",
-                nlanes=_pool_lanes(lanes, total),
+                seed, source_kind="cell", nlanes=nlanes,
                 per_freq_tally=per_freq_tally)
             escaped[ifreq] = float(esc[0])
         return tabs, intf, escaped, None
@@ -299,8 +316,7 @@ def simulate_cell_emission(grid, medium, cfg, emitted, tabs, intf, seed,
                           per_cell=jnp.int32(per_cell),
                           ifreq=jnp.int32(ifreq),
                           per_freq=jnp.int32(per_freq),
-                          id_offset=jnp.int32((1 << 29)
-                                              + ifreq * per_freq))
+                          hi_base=jnp.uint32(hi_base))
             tabs, intf, esc, absd, xab = transport_run(
                 grid, physics, params, jnp.int32(per_freq), tabs, intf,
                 seed, source_kind="cell",
@@ -315,7 +331,7 @@ def simulate_cell_emission(grid, medium, cfg, emitted, tabs, intf, seed,
 
     tabs, intf, escaped, absorbed = _run_over_freqs(
         grid, medium, "cell", make_params, per_freq, tabs, intf, seed,
-        lanes, per_freq_tally, id_base=1 << 29)
+        lanes, per_freq_tally, iteration=iteration)
     return tabs, intf, escaped, None
 
 
@@ -379,8 +395,6 @@ def _run_inner(cfg, lanes, write_files, t_start):
         return res
 
     # ---- phase 1: constant sources
-    cfg._mirror_mask = mirror_mask_of(cfg)
-    _MIRROR_MASK[0] = cfg._mirror_mask
     t0 = time.time()
     per_freq_tally = not cfg.noabsorbed
     tabs = jnp.zeros(grid.cells, jnp.float32)
@@ -443,7 +457,7 @@ def _run_inner(cfg, lanes, write_files, t_start):
                 tabs_it = jnp.zeros(grid.cells, jnp.float32)
                 tabs_it, intf, _, xab = simulate_cell_emission(
                     grid, medium, cfg, sim_emit, tabs_it, intf,
-                    seed + 7 * iteration, lanes, per_freq_tally)
+                    seed, lanes, per_freq_tally, iteration=iteration)
                 if cfg.with_reference and oemitted is not None:
                     tabs_it = tabs_it + otabs
                 if cfg.with_reference:

@@ -23,17 +23,30 @@ from ..constants import PARSEC
 from . import driver, mabu
 
 
+def dust_kind(path):
+    """First non-comment header token of a dust file: 'eqdust' (simple) or
+    'gsetdust' (stochastic GSET container). Mirrors the reference's header
+    dispatch (ASOC_driver.py:96-132, ASOC_aux.py:559-575) instead of
+    substring heuristics."""
+    with open(path) as fp:
+        for line in fp:
+            tok = line.split("#")[0].strip()
+            if tok:
+                return tok.split()[0]
+    raise ValueError("empty dust file: %s" % path)
+
+
 def classify_dusts(cfg):
-    """gset dusts (stochastic) vs simple eqdust files (ASOC_driver.py:96-132:
-    a dust is stochastic if its file starts with the gsetdust keyword or
-    points at a gs_* container)."""
+    """gset dusts (stochastic) vs simple eqdust files."""
     stochastic, simple = [], []
     for path in cfg.file_optical:
-        head = open(path).read(200)
-        if "gsetdust" in head or ("optical" in head and "sizes" in head):
+        kind = dust_kind(path)
+        if kind == "gsetdust":
             stochastic.append(path)
-        else:
+        elif kind == "eqdust":
             simple.append(path)
+        else:
+            raise ValueError("unknown dust header %r in %s" % (kind, path))
     return stochastic, simple
 
 

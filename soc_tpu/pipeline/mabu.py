@@ -18,7 +18,7 @@ from dataclasses import dataclass, field as dfield
 
 import numpy as np
 
-from ..constants import FACTOR, H_K, PARSEC, PLANCK, planck_intensity
+from ..constants import EMIT_COEFF, FACTOR, H_K, PARSEC, PLANCK, planck_intensity
 from ..solve import stochastic
 from ..solve.solver_file import SolverData
 
@@ -64,7 +64,7 @@ def solve_equilibrium_eqdust(kabs, freq, absorbed, ne=30000):
     t = np.interp(ein, eout, tt)
     x = np.clip(H_K * freq[None, :] / np.maximum(t[:, None], 1e-3),
                 1e-10, 500)
-    emit = (2.79639459e-20 * FACTOR) * kabs[None, :] * freq[None, :] ** 2 \
+    emit = (EMIT_COEFF * FACTOR) * kabs[None, :] * freq[None, :] ** 2 \
         / np.expm1(x)
     return emit.astype(np.float32), t.astype(np.float32)
 

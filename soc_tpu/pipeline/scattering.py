@@ -20,6 +20,7 @@ from ..io.dust import read_simple_dust, read_scattering_function
 from ..io.fields import read_background_intensity
 from ..render import mapping as render_mapping
 from ..render.scattered import simulate_scattering
+from ..transport import sources as src
 from ..transport.medium import medium_from_optics
 from ..utils.cache import enable_compile_cache
 
@@ -91,7 +92,7 @@ def _run_inner(cfg, write_files, nlanes):
             params = dict(photons=jnp.float32(bg_photons),
                           ifreq=jnp.int32(ifreq),
                           per_freq=jnp.int32(per_freq),
-                          id_offset=jnp.int32(0))
+                          hi_base=jnp.uint32(src.stream_hi_base("sca_bg")))
             out = simulate_scattering(
                 grid, physics, params, per_freq, odirs, ras, des, centre,
                 cfg.map_dx, (nxp, nyp), seed + ifreq, source_kind="bg",
@@ -107,7 +108,7 @@ def _run_inner(cfg, write_files, nlanes):
                           photons=jnp.asarray(ps_photons),
                           ifreq=jnp.int32(ifreq),
                           per_freq=jnp.int32(pspac * cfg.no_ps),
-                          id_offset=jnp.int32(1 << 28))
+                          hi_base=jnp.uint32(src.stream_hi_base("sca_ps")))
             out = simulate_scattering(
                 grid, physics, params, pspac * cfg.no_ps, odirs, ras, des,
                 centre, cfg.map_dx, (nxp, nyp), seed + ifreq,

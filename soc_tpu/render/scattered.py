@@ -103,11 +103,8 @@ def spawn(grid, physics, source_params, total_packets, next_id, seed,
     b = GENERATORS[source_kind](grid, ids_local, seed, source_params)
     ind = jnp.where(can, b.ind, -1)
 
-    # birth free path (counter slot 2 word 0, same as transport_run)
-    b0, _ = socrng.threefry2x32(seed, b.stream,
-                                jnp.full_like(b.stream, 2),
-                                jnp.zeros_like(b.stream))
-    u = jnp.maximum(b0.astype(jnp.float32) * (1.0 / 4294967296.0), 1e-12)
+    # birth free path (counter slot 2, same as transport_run)
+    u = socrng.uniform1(seed, b.stream, jnp.full_like(b.stream, 2), b.hi)
     photons = b.photons
     if ffs:
         tau_tot, _ = _march_tau(grid, b.pos, b.level, ind, b.dir,
@@ -121,7 +118,7 @@ def spawn(grid, physics, source_params, total_packets, next_id, seed,
 
     b = PacketBatch(pos=b.pos, dir=b.dir, level=b.level, ind=ind,
                     photons=photons, ifreq=b.ifreq, stream=b.stream,
-                    counter=b.counter + jnp.uint32(1),
+                    hi=b.hi, counter=b.counter + jnp.uint32(1),
                     scatterings=b.scatterings, e_cell=b.e_cell)
     return b, free_path, next_id + jnp.int32(nlanes)
 
@@ -181,7 +178,8 @@ def propagate_events(grid, physics, b, free_path, events, ecount, seed,
         ecount = ecount + jnp.sum(sc)
 
         # new direction + free path for scattered lanes
-        u_bin, u_phi, u_fp, _ = socrng.uniform4(seed, b.stream, b.counter)
+        u_bin, u_phi, u_fp, _ = socrng.uniform4(seed, b.stream, b.counter,
+                                                b.hi)
         cos_theta = _csc_lookup(csc, b.ifreq, u_bin, bins)
         new_dir = _deflect(b.dir, cos_theta, (2.0 * jnp.pi) * u_phi)
 
@@ -203,7 +201,7 @@ def propagate_events(grid, physics, b, free_path, events, ecount, seed,
                         jnp.where(cross, tau + dtau_sca, tau))
         nb = PacketBatch(pos=pos, dir=dir, level=level, ind=ind,
                          photons=photons, ifreq=b.ifreq, stream=b.stream,
-                         counter=b.counter + jnp.uint32(1),
+                         hi=b.hi, counter=b.counter + jnp.uint32(1),
                          scatterings=scat, e_cell=b.e_cell)
         return it + 1, nb, free_path, tau, events, ecount
 

@@ -52,19 +52,40 @@ def _bits_to_unit(bits):
     return jnp.maximum(u, jnp.float32(1e-12))
 
 
-def uniform2(seed, stream, counter):
-    """Two independent uniform(0,1) float32 draws for (seed, stream, counter).
+def uniform2(seed, stream, counter, hi=0):
+    """Two independent uniform(0,1) float32 draws for (seed, hi, stream,
+    counter).
 
     seed    : uint32 scalar or array -- global run seed
-    stream  : uint32 array -- per-packet stream id
-    counter : uint32 array -- per-packet draw counter (caller increments)
+    stream  : uint32 array -- per-packet stream id, LOW word (index within
+              the packet's frequency channel)
+    counter : uint32 array -- per-packet draw counter (caller increments);
+              each counter value owns the two threefry counter-word slots
+              2*counter and 2*counter+1
+    hi      : uint32 scalar or array -- stream id HIGH word encoding
+              (phase, iteration, frequency); folded into the threefry key so
+              the 64-bit pair (hi, stream) never collides across phases,
+              frequencies, or >2^31 total packets (the reference's skip-ahead
+              stream partitioning, kernel_ASOC.c:71-77, scaled up)
     """
-    b0, b1 = threefry2x32(seed, stream, counter, jnp.zeros_like(counter))
+    hi = jnp.asarray(hi, jnp.uint32)
+    c1 = jnp.asarray(counter, jnp.uint32) * jnp.uint32(2)
+    b0, b1 = threefry2x32(seed, hi, stream, c1)
     return _bits_to_unit(b0), _bits_to_unit(b1)
 
 
-def uniform4(seed, stream, counter):
+def uniform4(seed, stream, counter, hi=0):
     """Four uniform(0,1) float32 draws (two threefry evaluations)."""
-    b0, b1 = threefry2x32(seed, stream, counter, jnp.zeros_like(counter))
-    b2, b3 = threefry2x32(seed, stream, counter, jnp.ones_like(counter))
+    hi = jnp.asarray(hi, jnp.uint32)
+    c1 = jnp.asarray(counter, jnp.uint32) * jnp.uint32(2)
+    b0, b1 = threefry2x32(seed, hi, stream, c1)
+    b2, b3 = threefry2x32(seed, hi, stream, c1 + jnp.uint32(1))
     return _bits_to_unit(b0), _bits_to_unit(b1), _bits_to_unit(b2), _bits_to_unit(b3)
+
+
+def uniform1(seed, stream, counter, hi=0):
+    """One uniform(0,1) float32 draw (slot 2*counter)."""
+    hi = jnp.asarray(hi, jnp.uint32)
+    c1 = jnp.asarray(counter, jnp.uint32) * jnp.uint32(2)
+    b0, _ = threefry2x32(seed, hi, stream, c1)
+    return _bits_to_unit(b0)

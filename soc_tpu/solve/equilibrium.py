@@ -17,7 +17,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..constants import FACTOR, H_K, PARSEC, PLANCK, planck_intensity
+from ..constants import EMIT_COEFF, FACTOR, H_K, PARSEC, PLANCK, planck_intensity
 
 
 @jax.tree_util.register_dataclass
@@ -99,7 +99,7 @@ def emission(freq, abs_gl, temperature, gl_pc_parsec):
 
     Photon counts per Hz per H atom scaled by FACTOR (reference Emission
     kernel constant 2.79639459e-20 = 1e-20 * 8 pi / c^2)."""
-    coeff = np.float32(2.79639459e-20 * FACTOR)
+    coeff = np.float32(EMIT_COEFF * FACTOR)
     freq = jnp.asarray(freq, jnp.float32)[None, :]
     t = jnp.maximum(temperature, 1e-3)[:, None]
     x = jnp.clip(jnp.float32(H_K) * freq / t, 1e-30, 80.0)

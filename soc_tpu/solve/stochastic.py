@@ -107,7 +107,7 @@ def solve_equilibrium_size(solver, isize, absorbed, gl=None, nip=5000):
     absorbed : [cells, NFREQ]; returns EMIT [cells, NFREQ] for this size
     (already scaled by S_FRAC*GRAIN_DENSITY like the stochastic path).
     """
-    from ..constants import FACTOR, H_K, PLANCK, planck_intensity
+    from ..constants import EMIT_COEFF, FACTOR, H_K, PLANCK, planck_intensity
     freq = np.asarray(solver.freq, np.float64)
     # per-grain cross section
     kabs = (np.asarray(solver.sk_abs[isize], np.float64)
@@ -128,7 +128,7 @@ def solve_equilibrium_size(solver, isize, absorbed, gl=None, nip=5000):
     ein = np.trapezoid(absf * (PLANCK * freq)[None, :], freq, axis=1)
     t = np.interp(ein, eout, tgrid)
     # emission per grain, scaled back up by S_FRAC*GRAIN_DENSITY
-    coeff = 2.79639459e-20 * FACTOR * solver.grain_density * \
+    coeff = EMIT_COEFF * FACTOR * solver.grain_density * \
         solver.s_frac[isize]
     x = np.clip(H_K * freq[None, :] / np.maximum(t[:, None], 1e-3), 1e-10, 500)
     emit = coeff * kabs[None, :] * freq[None, :] ** 2 / np.expm1(x)

@@ -48,7 +48,8 @@ class PacketBatch:
     ind: jax.Array        # [N] int32 level-local cell index, -1 = dead
     photons: jax.Array    # [N] float32 photon weight
     ifreq: jax.Array      # [N] int32 frequency channel
-    stream: jax.Array     # [N] uint32 RNG stream id (global packet id)
+    stream: jax.Array     # [N] uint32 RNG stream id low word (in-freq index)
+    hi: jax.Array         # [N] uint32 stream id high word (phase|iter|freq)
     counter: jax.Array    # [N] uint32 RNG draw counter
     scatterings: jax.Array  # [N] int32
     e_cell: jax.Array     # [N] int32 emitting cell (ALI); -1 otherwise
@@ -105,9 +106,10 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
         'tw'           : scalar or [NFREQ] frequency integration weight
         optionally 'opt_abs'/'opt_sca' : [CELLS] per-cell cross sections
         (variable-abundance WITH_ABU mode; uniform-frequency runs only)
-    source_params : pytree for the generator (see transport.sources);
-        must contain 'id_offset' and either 'ifreq' (uniform-frequency mode,
-        enables the scalar-cross-section fast path) or 'per_freq'
+    source_params : pytree for the generator (see transport.sources
+        packet_identity); contains either 'ifreq' (uniform-frequency mode,
+        enables the scalar-cross-section fast path) or 'per_freq'+'ifreq0',
+        plus optional 'k0' / 'hi_base' stream-identity origins
     tabs : [CELLS] integrated tally (donated)
     intf : [CELLS, NFREQ] or [1, 1] per-frequency tally (donated)
 
@@ -145,11 +147,9 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
         fp = -jnp.log(u) / sw_a
         return fp, jnp.exp(sw_a * fp - fp) / sw_a
 
-    def draw_birth_fp(stream):
-        # birth free path: counter slot 0, third word
-        b0, _ = socrng.threefry2x32(seed, stream, jnp.full_like(stream, 2),
-                                    jnp.zeros_like(stream))
-        u = jnp.maximum(b0.astype(jnp.float32) * (1.0 / 4294967296.0), 1e-12)
+    def draw_birth_fp(stream, hi):
+        # birth free path: counter slot 2, first word
+        u = socrng.uniform1(seed, stream, jnp.full_like(stream, 2), hi)
         return draw_fp_weighted(u)
 
     def make_dead(n):
@@ -161,6 +161,7 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
             photons=jnp.zeros(n, jnp.float32),
             ifreq=jnp.zeros(n, jnp.int32),
             stream=jnp.zeros(n, jnp.uint32),
+            hi=jnp.zeros(n, jnp.uint32),
             counter=jnp.zeros(n, jnp.uint32),
             scatterings=jnp.zeros(n, jnp.int32),
             e_cell=jnp.full(n, -1, jnp.int32))
@@ -205,16 +206,17 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
             photons=jnp.where(can, nb.photons, b.photons),
             ifreq=jnp.where(can, nb.ifreq, b.ifreq),
             stream=jnp.where(can, nb.stream, b.stream),
+            hi=jnp.where(can, nb.hi, b.hi),
             counter=jnp.where(can, nb.counter, b.counter),
             scatterings=jnp.where(can, 0, b.scatterings),
             e_cell=jnp.where(can, nb.e_cell, b.e_cell))
-        fp_new, w_new = draw_birth_fp(nb.stream)
+        fp_new, w_new = draw_birth_fp(nb.stream, nb.hi)
         free_path = jnp.where(can, fp_new, free_path)
         if sw_a is not None:
             b = PacketBatch(pos=b.pos, dir=b.dir, level=b.level, ind=b.ind,
                             photons=jnp.where(can, b.photons * w_new,
                                               b.photons),
-                            ifreq=b.ifreq, stream=b.stream,
+                            ifreq=b.ifreq, stream=b.stream, hi=b.hi,
                             counter=b.counter, scatterings=b.scatterings,
                             e_cell=b.e_cell)
         tau = jnp.where(can, 0.0, tau)
@@ -289,7 +291,8 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
         photons = jnp.where(alive, b.photons * att, b.photons)
 
         # ---- RNG draws for this iteration (consumed by scatter lanes)
-        u_bin, u_phi, u_fp, u_sp = socrng.uniform4(seed, b.stream, b.counter)
+        u_bin, u_phi, u_fp, u_sp = socrng.uniform4(seed, b.stream, b.counter,
+                                                   b.hi)
         if "msf_csc" in physics:
             # multiple scattering functions (WITH_MSF): pick the scattering
             # species with probability ABU[cell,d]*SCA_d / sum
@@ -389,7 +392,7 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
 
         nb = PacketBatch(pos=pos, dir=dir, level=level, ind=ind,
                          photons=photons, ifreq=b.ifreq, stream=b.stream,
-                         counter=b.counter + jnp.uint32(1),
+                         hi=b.hi, counter=b.counter + jnp.uint32(1),
                          scatterings=scat, e_cell=b.e_cell)
         return (nb, free_path, tau, tabs, intf, esc_pending, absd, new_xab,
                 roi_c)

@@ -2,10 +2,13 @@
 
 Generators are pure functions ``gen(grid, ids_local, seed, params) ->
 PacketBatch`` mapping *local* packet ids (0..total-1 within the current
-transport run) to initial packet states. The RNG stream id is
-``ids_local + params['id_offset']`` so streams stay globally unique across
-frequencies and phases, and identical regardless of lane chunking or device
-sharding.
+transport run) to initial packet states. Every packet owns the 64-bit RNG
+stream identity ``(hi, k)`` where ``k`` is the packet's index *within its
+frequency channel* (uint32) and ``hi = hi_base + ifreq`` encodes
+(phase, iteration, frequency) -- see :func:`packet_identity`. Streams are
+therefore globally unique across phases/frequencies/iterations, support
+>2^31 total packets, and are identical regardless of lane chunking or
+device sharding.
 
 Source weights follow the reference normalizations:
   * isotropic background (SimRAM_PB SOURCE==1, kernel_ASOC.c:109-130,440-466):
@@ -35,10 +38,51 @@ from .. import rng as socrng
 
 BIRTH_COUNTER = 3   # first counter slot used by the propagation loop
 
+# stream-id high-word phase tags: hi = (phase << 24) | (iteration << 16)
+# + ifreq.  Supports 256 phases, 256 iterations, 65536 frequencies.
+PHASES = {"bg": 1, "hpbg": 2, "ps": 3, "cell": 4, "roi": 5, "diffuse": 6,
+          "sca_bg": 9, "sca_ps": 10, "sca_cell": 11, "sca_hpbg": 12}
 
-def _uniforms(seed, stream):
-    u1, u2, u3, u4 = socrng.uniform4(seed, stream, jnp.zeros_like(stream))
-    u5, u6 = socrng.uniform2(seed, stream, jnp.ones_like(stream))
+
+def stream_hi_base(phase, iteration=0):
+    """Host-side hi_base for a simulation phase (np.uint32)."""
+    return np.uint32((PHASES[phase] << 24) | ((iteration & 0xFF) << 16))
+
+
+def packet_identity(ids_local, params):
+    """Map local packet ids to (k, ifreq, hi).
+
+    params:
+      'ifreq'    : int32 scalar -> uniform-frequency mode; else None
+      'per_freq' : int32 packets per frequency (mixed-mode k/ifreq split)
+      'ifreq0'   : int32 frequency of local id 0 (mixed mode; default 0)
+      'k0'       : uint32 within-frequency index of local id 0 (default 0)
+      'hi_base'  : uint32 phase/iteration tag (default 0); hi = hi_base+ifreq
+
+    All arithmetic is 32-bit: the host splits arbitrarily large flat packet
+    budgets into (ifreq0, k0) chunk origins with Python integers, so no
+    64-bit device math is ever needed.
+    """
+    k0 = jnp.asarray(params.get("k0", 0), jnp.uint32)
+    if params.get("ifreq", None) is not None:
+        k = k0 + ids_local.astype(jnp.uint32)
+        ifreq = jnp.full(ids_local.shape, params["ifreq"], jnp.int32)
+    else:
+        pf = jnp.asarray(params["per_freq"], jnp.uint32)
+        t = k0 + ids_local.astype(jnp.uint32)
+        d = t // pf
+        k = t - d * pf
+        ifreq = (jnp.asarray(params.get("ifreq0", 0), jnp.int32)
+                 + d.astype(jnp.int32))
+    hi = jnp.asarray(params.get("hi_base", 0), jnp.uint32) \
+        + ifreq.astype(jnp.uint32)
+    return k, ifreq, hi
+
+
+def _uniforms(seed, stream, hi):
+    u1, u2, u3, u4 = socrng.uniform4(seed, stream, jnp.zeros_like(stream),
+                                     hi)
+    u5, u6 = socrng.uniform2(seed, stream, jnp.ones_like(stream), hi)
     return u1, u2, u3, u4, u5, u6
 
 
@@ -51,12 +95,6 @@ def _isotropic_dir(u1, u2):
     return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
 
 
-def _ifreq_of(gids, params):
-    if params.get("ifreq", None) is not None:
-        return jnp.full(gids.shape, params["ifreq"], jnp.int32)
-    return (gids // params["per_freq"]).astype(jnp.int32)
-
-
 def _photons_of(ifreq, params):
     ph = params["photons"]
     if jnp.ndim(ph) == 0:
@@ -64,12 +102,13 @@ def _photons_of(ifreq, params):
     return ph[ifreq]
 
 
-def _finish(grid, pos_global, dir, photons, ifreq, stream):
+def _finish(grid, pos_global, dir, photons, ifreq, stream, hi):
     pos, level, ind = traverse.index_global(grid, pos_global)
     return PacketBatch(
         pos=pos, dir=dir.astype(jnp.float32), level=level, ind=ind,
         photons=photons.astype(jnp.float32), ifreq=ifreq.astype(jnp.int32),
-        stream=stream, counter=jnp.full_like(stream, BIRTH_COUNTER),
+        stream=stream, hi=hi.astype(jnp.uint32),
+        counter=jnp.full_like(stream, BIRTH_COUNTER),
         scatterings=jnp.zeros_like(ind),
         e_cell=jnp.full_like(ind, -1),
     )
@@ -77,7 +116,7 @@ def _finish(grid, pos_global, dir, photons, ifreq, stream):
 
 def gen_background(grid, ids_local, seed, params):
     """Isotropic-background packets; params: photons (scalar or [NFREQ]),
-    ifreq (scalar or None), per_freq, id_offset.
+    plus the packet_identity keys.
 
     Pure select-chain arithmetic (no table gathers): this generator runs
     inside the refill step of the transport loop, so it must be cheap.
@@ -85,13 +124,11 @@ def gen_background(grid, ids_local, seed, params):
     nx, ny, nz = grid.nx, grid.ny, grid.nz
     a_yz, a_xz, a_xy = ny * nz, nx * nz, nx * ny
     area = 2 * (a_yz + a_xz + a_xy)
-    gids = ids_local + params["id_offset"]   # global packet ids
-    stream = gids.astype(jnp.uint32)
-    elem = (gids % area).astype(jnp.int32)
-    ifreq = _ifreq_of(gids, params)
+    stream, ifreq, hi = packet_identity(ids_local, params)
+    elem = (stream % jnp.uint32(area)).astype(jnp.int32)
 
     u1, u2, u3, u4 = socrng.uniform4(jnp.uint32(seed), stream,
-                                     jnp.zeros_like(stream))
+                                     jnp.zeros_like(stream), hi)
 
     # element id -> (axis, upper, tangential coords), kernel enumeration
     # order: [-X, +X, -Y, +Y, -Z, +Z] with YZ/ XZ / XY tangential planes
@@ -135,7 +172,8 @@ def gen_background(grid, ids_local, seed, params):
     dir = jnp.where(jnp.abs(dir) < 1e-5, 1e-5, dir)
     dir = dir / jnp.linalg.norm(dir, axis=-1, keepdims=True)
 
-    return _finish(grid, pos, dir, _photons_of(ifreq, params), ifreq, stream)
+    return _finish(grid, pos, dir, _photons_of(ifreq, params), ifreq,
+                   stream, hi)
 
 
 def _surface_step(grid, pos, dir):
@@ -153,7 +191,7 @@ def _surface_step(grid, pos, dir):
 
 def gen_point_source(grid, ids_local, seed, params):
     """Point-source packets; params: ps_pos [S,3], photons (scalar/[S]/[S,NF]),
-    ifreq, per_freq, id_offset. Packets cycle sources: src = id % S.
+    plus the packet_identity keys. Packets cycle sources: src = id % S.
 
     External sources (outside the model volume) are handled by PS_METHOD
     (kernel_ASOC.c:215-340):
@@ -165,13 +203,11 @@ def gen_point_source(grid, ids_local, seed, params):
                                 S_side / (4 pi r^2) / area_weight
     """
     nx, ny, nz = grid.nx, grid.ny, grid.nz
-    gids = ids_local + params["id_offset"]
-    stream = gids.astype(jnp.uint32)
+    stream, ifreq, hi = packet_identity(ids_local, params)
     ps_pos = params["ps_pos"]
     no_ps = ps_pos.shape[0]
-    isrc = (gids % no_ps).astype(jnp.int32)
-    ifreq = _ifreq_of(gids, params)
-    u1, u2, u3, u4, u5, _ = _uniforms(jnp.uint32(seed), stream)
+    isrc = (stream % jnp.uint32(no_ps)).astype(jnp.int32)
+    u1, u2, u3, u4, u5, _ = _uniforms(jnp.uint32(seed), stream, hi)
     dir = _isotropic_dir(u1, u2)
     pos = ps_pos[isrc]
     ph = params["photons"]
@@ -195,8 +231,8 @@ def gen_point_source(grid, ids_local, seed, params):
         photons = photons / jnp.maximum(xps_area[isrc, k], 1e-10)
         side = xps_side[isrc, k]             # 0..5: +X,-X,+Y,-Y,+Z,-Z
         axis = side // 2
-        hi = (side % 2) == 0                 # even ids are the + faces
-        nrm = jnp.where(hi, bounds[axis] - PEPS, PEPS)
+        plus_face = (side % 2) == 0          # even ids are the + faces
+        nrm = jnp.where(plus_face, bounds[axis] - PEPS, PEPS)
         # tangential coordinates on the face
         t1 = u4 * jnp.where(axis == 0, ny, nx)
         t2 = u5 * jnp.where(axis == 2, ny, nz)
@@ -219,16 +255,16 @@ def gen_point_source(grid, ids_local, seed, params):
     else:
         if params.get("halfspace", None) is not None:
             # PS_METHOD 1: fold the direction toward the cloud
-            lo = pos < 0.0
-            hi = pos > bounds
-            flip = (lo & (dir < 0.0)) | (hi & (dir > 0.0))
+            below = pos < 0.0
+            above = pos > bounds
+            flip = (below & (dir < 0.0)) | (above & (dir > 0.0))
             dir = jnp.where(external[:, None] & flip, -dir, dir)
             photons = jnp.where(external, photons * 0.5, photons)
         # PS_METHOD 0/1: step to the cloud surface; misses die at IndexG
         surfaced = _surface_step(grid, pos, dir)
         pos = jnp.where(external[:, None], surfaced, pos)
 
-    return _finish(grid, pos, dir, photons, ifreq, stream)
+    return _finish(grid, pos, dir, photons, ifreq, stream, hi)
 
 
 def analyse_external_point_sources(grid, ps_pos):
@@ -258,12 +294,10 @@ def analyse_external_point_sources(grid, ps_pos):
 def gen_cell(grid, ids_local, seed, params):
     """Re-emission packets; params: emit [CELLS] (photon weight per packet
     from that cell), and either per_cell (uniform packets/cell) or
-    cell_of_id [per_freq] (emission-weighted allocation), plus ifreq,
-    per_freq, id_offset."""
-    gids = ids_local + params["id_offset"]
-    stream = gids.astype(jnp.uint32)
-    ifreq = _ifreq_of(gids, params)
-    within = gids % params["per_freq"]
+    cell_of_id [per_freq] (emission-weighted allocation), plus the
+    packet_identity keys."""
+    stream, ifreq, hi = packet_identity(ids_local, params)
+    within = stream.astype(jnp.int32)     # k < per_freq by construction
     if "cell_of_id" in params:
         # emission-weighted packet allocation (USE_EMWEIGHT): the host maps
         # packet ids to cells with importance-dependent multiplicity
@@ -271,7 +305,7 @@ def gen_cell(grid, ids_local, seed, params):
     else:
         cell_gidx = (within // params["per_cell"]).astype(jnp.int32)
     cell_gidx = jnp.clip(cell_gidx, 0, grid.cells - 1)
-    u1, u2, u3, u4, u5, _ = _uniforms(jnp.uint32(seed), stream)
+    u1, u2, u3, u4, u5, _ = _uniforms(jnp.uint32(seed), stream, hi)
 
     # locate (level, local index) of each global cell id
     lev = jnp.zeros_like(cell_gidx)
@@ -299,7 +333,8 @@ def gen_cell(grid, ids_local, seed, params):
         pos=pos, dir=dir.astype(jnp.float32),
         level=lev.astype(jnp.int32), ind=loc.astype(jnp.int32),
         photons=photons.astype(jnp.float32), ifreq=ifreq,
-        stream=stream, counter=jnp.full_like(stream, BIRTH_COUNTER),
+        stream=stream, hi=hi.astype(jnp.uint32),
+        counter=jnp.full_like(stream, BIRTH_COUNTER),
         scatterings=jnp.zeros_like(loc.astype(jnp.int32)),
         e_cell=cell_gidx.astype(jnp.int32),
     )
@@ -310,17 +345,15 @@ def gen_hpbg(grid, ids_local, seed, params):
 
     params: hpbg [49152] photons per packet per pixel (host includes WBG/freq
     and any pixel weighting), optional 'cdf' [49152] cumulative pixel
-    probability for weighted pixel selection, ifreq, per_freq, id_offset.
+    probability for weighted pixel selection, plus the packet_identity keys.
     Pixel -> parallel-beam direction (+sin t cos p, +sin t sin p, -cos t);
     the entry face is chosen with probability ~ projected area.
     """
     from ..render import healpix as hp
     nx, ny, nz = grid.nx, grid.ny, grid.nz
-    gids = ids_local + params["id_offset"]
-    stream = gids.astype(jnp.uint32)
-    ifreq = _ifreq_of(gids, params)
+    stream, ifreq, hi = packet_identity(ids_local, params)
     u1, u2, u3, u4 = socrng.uniform4(jnp.uint32(seed), stream,
-                                     jnp.zeros_like(stream))
+                                     jnp.zeros_like(stream), hi)
     npix = params["hpbg"].shape[0]
     nside = int(np.sqrt(npix // 12))
     if params.get("cdf", None) is not None:
@@ -354,7 +387,7 @@ def gen_hpbg(grid, ids_local, seed, params):
     pos = jnp.stack([jnp.clip(px, PEPS, nx - PEPS),
                      jnp.clip(py, PEPS, ny - PEPS),
                      jnp.clip(pz, PEPS, nz - PEPS)], -1)
-    return _finish(grid, pos, dir, photons, ifreq, stream)
+    return _finish(grid, pos, dir, photons, ifreq, stream, hi)
 
 
 def gen_roi(grid, ids_local, seed, params):
@@ -371,17 +404,16 @@ def gen_roi(grid, ids_local, seed, params):
     """
     from ..render import healpix as hp
     nx, ny, nz = grid.nx, grid.ny, grid.nz
-    gids = ids_local + params["id_offset"]
-    stream = gids.astype(jnp.uint32)
-    ifreq = _ifreq_of(gids, params)
+    stream, ifreq, hi = packet_identity(ids_local, params)
     roi_load = params["roi_load"]
     nelem, npix = roi_load.shape
     nside = int(np.sqrt(npix // 12))
     rnx, rny, rnz = params["roi_dim"]
-    u1, u2, u3, u4, _, _ = _uniforms(jnp.uint32(seed), stream)
+    u1, u2, u3, u4, _, _ = _uniforms(jnp.uint32(seed), stream, hi)
 
-    elem = (gids % nelem).astype(jnp.int32)
-    pix = ((gids // nelem) % npix).astype(jnp.int32)
+    elem = (stream % jnp.uint32(nelem)).astype(jnp.int32)
+    pix = ((stream // jnp.uint32(nelem))
+           % jnp.uint32(npix)).astype(jnp.int32)
     photons = roi_load[elem, pix] / params["reps"].astype(jnp.float32)
 
     theta, phi = hp.pix2ang_ring(nside, pix)
@@ -419,7 +451,7 @@ def gen_roi(grid, ids_local, seed, params):
     pos = jnp.stack([jnp.clip(px, PEPS, nx - PEPS),
                      jnp.clip(py, PEPS, ny - PEPS),
                      jnp.clip(pz, PEPS, nz - PEPS)], -1)
-    return _finish(grid, pos, dir, photons, ifreq, stream)
+    return _finish(grid, pos, dir, photons, ifreq, stream, hi)
 
 
 GENERATORS = {

@@ -20,8 +20,7 @@ def test_ali_split_is_exact():
     per_cell = 32
     n = per_cell * grid.cells
     params = dict(emit=emit, per_cell=jnp.int32(per_cell),
-                  ifreq=jnp.int32(0), per_freq=jnp.int32(n),
-                  id_offset=jnp.int32(0))
+                  ifreq=jnp.int32(0), per_freq=jnp.int32(n))
 
     t0 = jnp.zeros(grid.cells, jnp.float32)
     i0 = jnp.zeros((1, 1), jnp.float32)

@@ -16,8 +16,7 @@ def run_ps(grid, params_extra, n, pos, seed=9):
                    csc=jnp.asarray(csc[0]), tw=jnp.float32(1.0))
     params = dict(ps_pos=jnp.asarray([pos], jnp.float32),
                   photons=jnp.ones(1, jnp.float32),
-                  ifreq=jnp.int32(0), per_freq=jnp.int32(n),
-                  id_offset=jnp.int32(0), **params_extra)
+                  ifreq=jnp.int32(0), per_freq=jnp.int32(n), **params_extra)
     tabs = jnp.zeros(grid.cells, jnp.float32)
     intf = jnp.zeros((1, 1), jnp.float32)
     tabs, _, esc, absd = transport_run(

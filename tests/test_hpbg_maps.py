@@ -27,7 +27,7 @@ def test_uniform_hpbg_matches_isotropic_bg():
     tabs0 = jnp.zeros(grid.cells, jnp.float32)
     intf0 = jnp.zeros((1, 1), jnp.float32)
     params = dict(photons=jnp.float32(1.0), ifreq=jnp.int32(0),
-                  per_freq=jnp.int32(n), id_offset=jnp.int32(0))
+                  per_freq=jnp.int32(n))
     tabs_bg, _, esc_bg, abs_bg = transport_run(
         grid, physics, params, jnp.int32(n), tabs0, intf0, 5,
         source_kind="bg", nlanes=1 << 13)
@@ -35,7 +35,7 @@ def test_uniform_hpbg_matches_isotropic_bg():
     nside = 64
     hpbg_vals = jnp.ones(12 * nside * nside, jnp.float32)
     params = dict(hpbg=hpbg_vals, cdf=None, ifreq=jnp.int32(0),
-                  per_freq=jnp.int32(n), id_offset=jnp.int32(0))
+                  per_freq=jnp.int32(n))
     tabs1 = jnp.zeros(grid.cells, jnp.float32)
     intf1 = jnp.zeros((1, 1), jnp.float32)
     tabs_hp, _, esc_hp, abs_hp = transport_run(
@@ -63,8 +63,7 @@ def test_weighted_hpbg_same_energy():
     sky = (rng.random(npx).astype(np.float64) ** 4) * 10 + 0.01
     # unweighted
     p_uni = dict(hpbg=jnp.asarray(sky.astype(np.float32)), cdf=None,
-                 ifreq=jnp.int32(0), per_freq=jnp.int32(n),
-                 id_offset=jnp.int32(0))
+                 ifreq=jnp.int32(0), per_freq=jnp.int32(n))
     t0 = jnp.zeros(grid.cells, jnp.float32)
     i0 = jnp.zeros((1, 1), jnp.float32)
     _, _, esc_u, abs_u = transport_run(grid, physics, p_uni, jnp.int32(n),
@@ -79,8 +78,7 @@ def test_weighted_hpbg_same_energy():
     cdf[-1] = 1.00001
     p_wei = dict(hpbg=jnp.asarray((sky * w).astype(np.float32)),
                  cdf=jnp.asarray(cdf.astype(np.float32)),
-                 ifreq=jnp.int32(0), per_freq=jnp.int32(n),
-                 id_offset=jnp.int32(0))
+                 ifreq=jnp.int32(0), per_freq=jnp.int32(n))
     t1 = jnp.zeros(grid.cells, jnp.float32)
     i1 = jnp.zeros((1, 1), jnp.float32)
     _, _, esc_w, abs_w = transport_run(grid, physics, p_wei, jnp.int32(n),

@@ -15,8 +15,7 @@ def run(mirror_mask, n, kabs=0.05):
                    csc=jnp.asarray(csc[0]), tw=jnp.float32(1.0))
     params = dict(ps_pos=jnp.asarray([[3.0, 3.0, 3.0]], jnp.float32),
                   photons=jnp.ones(1, jnp.float32),
-                  ifreq=jnp.int32(0), per_freq=jnp.int32(n),
-                  id_offset=jnp.int32(0))
+                  ifreq=jnp.int32(0), per_freq=jnp.int32(n))
     tabs = jnp.zeros(grid.cells, jnp.float32)
     intf = jnp.zeros((1, 1), jnp.float32)
     tabs, _, esc, absd = transport_run(

@@ -15,7 +15,7 @@ def base_physics(csc_row, bins):
 
 def run(grid, physics, n, seed=19):
     params = dict(photons=jnp.float32(1.0), ifreq=jnp.int32(0),
-                  per_freq=jnp.int32(n), id_offset=jnp.int32(0))
+                  per_freq=jnp.int32(n))
     tabs = jnp.zeros(grid.cells, jnp.float32)
     intf = jnp.zeros((1, 1), jnp.float32)
     tabs, _, esc, absd = transport_run(

@@ -40,7 +40,7 @@ def run_bg(grid, n, kabs=0.15, ksca=0.1, seed=13, per_freq_tally=False):
     physics = dict(kabs=jnp.float32(kabs), ksca=jnp.float32(ksca),
                    csc=jnp.asarray(csc[0]), tw=jnp.float32(1.0))
     params = dict(photons=jnp.float32(1.0), ifreq=jnp.int32(0),
-                  per_freq=jnp.int32(n), id_offset=jnp.int32(0))
+                  per_freq=jnp.int32(n))
     tabs = jnp.zeros(grid.cells, jnp.float32)
     intf = jnp.zeros((1, 1), jnp.float32)
     tabs, _, esc, absd = transport_run(

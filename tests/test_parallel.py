@@ -45,9 +45,10 @@ def test_sharded_background_matches_single_device():
     for f in range(medium.nfreq):
         physics = dict(kabs=medium.abs_gl[f], ksca=medium.sca_gl[f],
                        csc=medium.csc[f], tw=medium.tw[f])
+        from soc_tpu.transport.sources import stream_hi_base
         params = dict(photons=jnp.float32(1.0), ifreq=jnp.int32(f),
                       per_freq=jnp.int32(per_freq),
-                      id_offset=jnp.int32(f * per_freq))
+                      hi_base=jnp.uint32(stream_hi_base("bg")))
         tabs, intf, e, _ = transport_run(
             grid, physics, params, jnp.int32(per_freq), tabs, intf, 7,
             source_kind="bg", nlanes=2048)

@@ -41,7 +41,7 @@ def test_roi_roundtrip_absorption():
     nelem = roi_mod.roi_nelem(4, 4, 4)
     n = 32 * int(grid_a.area)
     params = dict(photons=jnp.float32(1.0), ifreq=jnp.int32(0),
-                  per_freq=jnp.int32(n), id_offset=jnp.int32(0))
+                  per_freq=jnp.int32(n))
     tabs = jnp.zeros(grid_a.cells, jnp.float32)
     intf = jnp.zeros((1, 1), jnp.float32)
     rt = jnp.zeros(nelem * npix, jnp.float32)
@@ -63,8 +63,7 @@ def test_roi_roundtrip_absorption():
     params_b = dict(roi_load=jnp.asarray(rt.reshape(nelem, npix)),
                     roi_dim=(4, 4, 4),
                     reps=jnp.int32(reps),
-                    ifreq=jnp.int32(0), per_freq=jnp.int32(total_b),
-                    id_offset=jnp.int32(0))
+                    ifreq=jnp.int32(0), per_freq=jnp.int32(total_b))
     tabs_b = jnp.zeros(grid_b.cells, jnp.float32)
     intf_b = jnp.zeros((1, 1), jnp.float32)
     tabs_b, _, esc_b, absd_b = transport_run(

@@ -21,7 +21,7 @@ def run_bg(grid, physics, n, npix=24, seed=5, ffs=True):
     odir, ra, de = observer_basis(0.0, 0.0)   # observer at +Z
     centre = (grid.nx / 2, grid.ny / 2, grid.nz / 2)
     params = dict(photons=jnp.float32(1.0), ifreq=jnp.int32(0),
-                  per_freq=jnp.int32(n), id_offset=jnp.int32(0))
+                  per_freq=jnp.int32(n))
     out = simulate_scattering(grid, physics, params, n, odir, ra, de,
                               centre, 1.0, (npix, npix), seed,
                               source_kind="bg", nlanes=1 << 12,
@@ -82,7 +82,7 @@ def test_healpix_peeloff_internal_observer():
     physics = setup_physics(ksca=2e-3, g=0.0)
     n = 4 * int(grid.area)
     params = dict(photons=jnp.float32(1.0), ifreq=jnp.int32(0),
-                  per_freq=jnp.int32(n), id_offset=jnp.int32(0))
+                  per_freq=jnp.int32(n))
     nside = 8
     out = jnp.zeros(12 * nside * nside, jnp.float32)
     next_id = jnp.int32(0)

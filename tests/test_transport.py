@@ -36,8 +36,7 @@ def run_background(grid, medium, n_per_freq, photons_per_packet=1.0, seed=11,
         physics = dict(kabs=medium.abs_gl[f], ksca=medium.sca_gl[f],
                        csc=medium.csc[f], tw=medium.tw[f])
         params = dict(photons=jnp.float32(photons_per_packet),
-                      ifreq=jnp.int32(f), per_freq=jnp.int32(n_per_freq),
-                      id_offset=jnp.int32(f * n_per_freq))
+                      ifreq=jnp.int32(f), per_freq=jnp.int32(n_per_freq))
         tabs, intf, e, a = transport_run(
             grid, physics, params, jnp.int32(n_per_freq), tabs, intf, seed,
             source_kind="bg", nlanes=nlanes, per_freq_tally=True)
@@ -130,7 +129,7 @@ def test_mixed_vs_uniform_frequency_equivalence():
     physics = dict(kabs=medium.abs_gl, ksca=medium.sca_gl,
                    csc=medium.csc, tw=medium.tw)
     params = dict(photons=jnp.ones(2, jnp.float32), ifreq=None,
-                  per_freq=jnp.int32(n), id_offset=jnp.int32(0))
+                  per_freq=jnp.int32(n))
     tabs = jnp.zeros(grid.cells, jnp.float32)
     intf = jnp.zeros((grid.cells, 2), jnp.float32)
     tabs_m, intf_m, esc_m, abs_m = transport_run(
@@ -150,8 +149,7 @@ def test_point_source_inverse_square():
                    csc=medium.csc[0], tw=medium.tw[0])
     params = dict(ps_pos=jnp.asarray([[nx / 2, nx / 2, nx / 2]], jnp.float32),
                   photons=jnp.ones(1, jnp.float32),
-                  ifreq=jnp.int32(0), per_freq=jnp.int32(n),
-                  id_offset=jnp.int32(0))
+                  ifreq=jnp.int32(0), per_freq=jnp.int32(n))
     tabs = jnp.zeros(grid.cells, jnp.float32)
     intf = jnp.zeros((grid.cells, 1), jnp.float32)
     tabs, intf, esc, absd = transport_run(
