@@ -73,45 +73,24 @@ def main(argv=None):
         from .io.fields import (read_cell_frequency_array,
                                 write_cell_frequency_array)
         from .io.dust import read_simple_dust
-        from .pipeline import mabu as mabu_mod
-        from .pipeline.full import classify_dusts, prepare_solver_files
-        from .constants import PARSEC
-        import os
+        from .pipeline.full import (build_components, classify_dusts,
+                                    emission_stage, read_abundances)
         cfg = RunConfig(args[0]).validate()
         absorbed = read_cell_frequency_array(args[1])
         cells = absorbed.shape[0]
-        # need the frequency grid: from the first simple dust or solver
+        # the frequency grid: from the first simple dust or gset solver
         stoch, simple = classify_dusts(cfg)
-        comps = []
-        freq = None
         if simple:
-            opt = read_simple_dust(simple[0], cfg.gl)
-            freq = opt.freq
+            freq = read_simple_dust(simple[0], cfg.gl).freq
+        else:
+            from .solve.grain_model import read_gset_dust
+            freq = np.asarray(read_gset_dust(stoch[0]).qfreq)
         cfg.freq = freq
-        solvers = prepare_solver_files(cfg) if stoch else {}
-        for path in stoch:
-            sol = solvers[path]
-            if freq is None:
-                freq = sol.freq
-                cfg.freq = freq
-            comps.append(mabu_mod.DustComponent(
-                name=os.path.basename(path), kind="gset",
-                kabs=sol.k_abs, solver=sol))
-        for path in simple:
-            opt = read_simple_dust(path, cfg.gl)
-            comps.append(mabu_mod.DustComponent(
-                name=os.path.basename(path), kind="eqdust",
-                kabs=np.asarray(opt.abs_gl, np.float64) / (cfg.gl * PARSEC),
-                freq=freq))
-        abu = None
-        if cfg.file_abundance:
-            abu = np.ones((cells, len(comps)), np.float32)
-            for d, p in enumerate(cfg.file_abundance):
-                if p and not p.startswith("#"):
-                    abu[:, d] = np.fromfile(p, np.float32, cells)
+        comps = build_components(cfg, freq)
+        abu = read_abundances(cfg, cells, len(comps))
         valid = absorbed[:, 0] > -1e19
         clean = np.where(valid[:, None], absorbed, 0.0).astype(np.float32)
-        emitted = mabu_mod.solve_emission_multi(comps, clean, abu)
+        emitted = emission_stage(cfg, comps, clean, abu, freq)
         emitted[~valid] = 0.0
         write_cell_frequency_array(args[2], emitted)
         print("wrote %s: %s" % (args[2], emitted.shape))
@@ -119,8 +98,9 @@ def main(argv=None):
 
     if cmd == "pipeline":
         from .pipeline.full import run_pipeline
-        run_pipeline(args[0])
-        print("soc_tpu pipeline done")
+        mode = args[1] if len(args) > 1 else None
+        run_pipeline(args[0], mode=mode)
+        print("soc_tpu pipeline done" + (" (%s)" % mode if mode else ""))
         return 0
 
     if cmd == "bench":

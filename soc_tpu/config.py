@@ -35,8 +35,29 @@ class RunConfig:
         self.file_constant_load = ""
         self.file_constant_save = ""
         self.file_savetau = ""
+        self.file_pssavetau = ""
+        self.pssavetau_freq = -1.0
         self.file_polred = ""
         self.file_external_mask = ""
+        # --- ROI save/load (reference WITH_ROI_SAVE / WITH_ROI_LOAD)
+        self.roi = None                 # [x0, x1, y0, y1, z0, z1] root cells
+        self.file_roi_save = ""
+        self.roi_step = 1
+        self.file_roi_load = ""
+        self.roi_load_scale = 1.0
+        self.roi_nside = 8
+        # --- library / NN emission surrogates
+        self.fselect = []               # reference frequencies [Hz]
+        self.lib_abs = False
+        self.lib_maps = False
+        self.file_library = ""
+        self.nn_make = ""               # train surrogate, save to this file
+        self.nn_solve = ""              # load surrogate from this file
+        self.nn_abs = []                # input wavelengths [um]
+        self.nn_emit = []               # output wavelengths [um]
+        self.nn_net = (13, 17, 13)
+        self.nn_thin = 1
+        self.abs_thin = 1
         self.b_files = []
         self.prefix = "soc"
         # --- geometry / scaling
@@ -170,10 +191,17 @@ class RunConfig:
             self.file_constant_load = a[0]
         elif key.startswith("csave"):
             self.file_constant_save = a[0]
+        elif key.startswith("pssavetau"):
+            self.file_pssavetau = a[0]
+            self.pssavetau_freq = um2f(f(1)) if len(a) > 1 else -1.0
         elif key.startswith("savetau"):
+            # savetau filename um1 um2 ...; negative um => column density
+            # (ASOC_aux.py:287-293)
             if len(a) >= 2:
                 self.file_savetau = a[0]
-                self.savetau_freq.append(um2f(f(1)) if f(1) > 0 else -um2f(-f(1)))
+                for x in a[1:]:
+                    x = float(x)
+                    self.savetau_freq.append(um2f(x) if x > 0 else 0.0)
         elif key.startswith("prefix"):
             self.prefix = a[0]
         elif key.startswith("density"):
@@ -182,10 +210,18 @@ class RunConfig:
             self.distance = f()
         elif key.startswith("levels"):
             self.max_levels = n()
+        elif key.startswith("mapum"):
+            # individual map frequencies (ASOC_aux.py:255-261)
+            self.single_map_freq = sorted(
+                set(self.single_map_freq) | {um2f(float(x)) for x in a})
         elif key.startswith("mapping"):
             self.npix = (n(0), n(1))
             if len(a) > 2:
                 self.map_dx = f(2)
+            if len(a) > 3:
+                # 4th argument = FAST_MAP; >=999 selects MAP_HIER per-level
+                # maps (ASOC_aux.py:493, ASOC.py:2903)
+                self.fast_map = n(3)
         elif key.startswith("mapcent"):
             self.mapcentre = (f(0), f(1), f(2))
         elif key.startswith("perspec"):
@@ -208,6 +244,43 @@ class RunConfig:
             self.dfpac = n()
         elif key.startswith("roipac"):
             self.roipac = n()
+        elif key.startswith("roinside"):
+            self.roi_nside = n()
+        elif key.startswith("roisave"):
+            # roisave filename step (ASOC_aux.py:448-451)
+            self.file_roi_save = a[0]
+            if len(a) > 1:
+                self.roi_step = n(1)
+        elif key.startswith("roiload"):
+            self.file_roi_load = a[0]
+            if len(a) > 1:
+                self.roi_load_scale = f(1)
+        elif key == "roi" and len(a) >= 6:
+            self.roi = [int(float(x)) for x in a[:6]]
+        elif key.startswith("libabs"):
+            self.fselect = sorted(um2f(float(x)) for x in a) if len(a) > 1 \
+                else list(np.atleast_1d(np.loadtxt(a[0])).astype(float))
+            self.lib_abs = True
+        elif key.startswith("libmap"):
+            self.fselect = sorted(um2f(float(x)) for x in a) if len(a) > 1 \
+                else list(np.atleast_1d(np.loadtxt(a[0])).astype(float))
+            self.lib_maps = True
+        elif key.startswith("library"):
+            self.file_library = a[0]
+        elif key.startswith("nnmake"):
+            self.nn_make = a[0]
+        elif key.startswith("nnsolve"):
+            self.nn_solve = a[0]
+        elif key.startswith("nnabs"):
+            self.nn_abs = sorted(float(x) for x in a)
+        elif key.startswith("nnemit"):
+            self.nn_emit = sorted(float(x) for x in a)
+        elif key.startswith("nnnet"):
+            self.nn_net = tuple(int(float(x)) for x in a)
+        elif key.startswith("nnthin"):
+            self.nn_thin = n()
+        elif key.startswith("absthin"):
+            self.abs_thin = n()
         elif key.startswith("iterations"):
             self.iterations = n()
         elif key.startswith("seed"):
@@ -238,8 +311,14 @@ class RunConfig:
         elif key.startswith("remit"):
             self.remit_f = (um2f(f(1)), um2f(f(0)))
         elif key.startswith("wavelen"):
+            # 'wavelength um_long um_short' -> map-frequency band
+            # (ASOC_aux.py:446 MAP_FREQ); a single value selects the
+            # nearest frequency only.
             freqs = sorted(um2f(float(x)) for x in a)
-            self.single_map_freq = list(freqs)
+            if len(freqs) >= 2:
+                self.map_freq = (freqs[0], freqs[-1])
+            else:
+                self.single_map_freq = list(freqs)
         elif key.startswith("threshold"):
             self.level_threshold = n()
         elif key.startswith("yshear"):

@@ -60,18 +60,28 @@ def _pool_lanes(nlanes, per_freq):
 
 def _run_over_freqs(grid, medium, kind, make_params, per_freq, tabs, intf,
                     seed, nlanes, per_freq_tally, phase=None, iteration=0,
-                    mirror_mask=0):
+                    mirror_mask=0, freq_mask=None, roi=None):
     """Run one transport pass per frequency (uniform-frequency fast path:
     scalar cross sections, [BINS] CSC row -- all frequencies share one
-    compiled executable)."""
+    compiled executable).
+
+    freq_mask : optional bool[NFREQ]; masked-out frequencies are skipped
+        entirely (the reference's `simum` band / libabs FSELECT loops,
+        ASOC.py:1126-1131).
+    roi : optional dict(nside, mask, box, dim, tally[NFREQ, NELEM*NPIX]) --
+        WITH_ROI_SAVE crossing histograms, updated in place per frequency.
+    """
     import sys
     from ..transport.sources import stream_hi_base
     progress = os.environ.get("SOC_TPU_PROGRESS", "0") != "0"
     nfreq = medium.nfreq
     hi_base = stream_hi_base(phase or kind, iteration)
-    esc_list, abs_list = [], []
+    esc_list = [0.0] * nfreq
+    abs_list = [0.0] * nfreq
     t_loop = time.time()
     for ifreq in range(nfreq):
+        if freq_mask is not None and not bool(freq_mask[ifreq]):
+            continue
         if progress:
             print("  [%s] freq %d/%d  t=%.1fs" %
                   (kind, ifreq + 1, nfreq, time.time() - t_loop),
@@ -82,21 +92,31 @@ def _run_over_freqs(grid, medium, kind, make_params, per_freq, tabs, intf,
         params["ifreq"] = jnp.int32(ifreq)
         params["per_freq"] = jnp.int32(per_freq)
         params["hi_base"] = jnp.uint32(hi_base)
-        tabs, intf, esc, absd = transport_run(
+        kwargs = {}
+        if roi is not None:
+            physics["roi_mask"] = roi["mask"]
+            physics["roi_box"] = roi["box"]
+            physics["roi_dim"] = roi["dim"]
+            kwargs = dict(roi_nside=roi["nside"],
+                          roi_tally=jnp.asarray(roi["tally"][ifreq]))
+        out = transport_run(
             grid, physics, params, jnp.int32(per_freq), tabs, intf, seed,
             source_kind=kind, nlanes=_pool_lanes(nlanes, per_freq),
             per_freq_tally=per_freq_tally,
-            mirror_mask=mirror_mask)
-        esc_list.append(esc)
-        abs_list.append(absd)
-    escaped = np.asarray([float(e[0]) for e in esc_list])
-    absorbed = np.asarray([float(a) for a in abs_list])
-    return tabs, intf, escaped, absorbed
+            mirror_mask=mirror_mask, **kwargs)
+        if roi is not None:
+            tabs, intf, esc, absd, roi_tally = out
+            roi["tally"][ifreq] = np.asarray(roi_tally)
+        else:
+            tabs, intf, esc, absd = out
+        esc_list[ifreq] = float(esc[0])
+        abs_list[ifreq] = float(absd)
+    return tabs, intf, np.asarray(esc_list), np.asarray(abs_list)
 
 
 def simulate_background(grid, medium, cfg, ibg, tabs, intf, seed,
                         lanes=DEFAULT_LANES, per_freq_tally=False,
-                        mixed=True, chunk=4 << 20):
+                        mixed=True, chunk=4 << 20, freq_mask=None, roi=None):
     """Phase-1 isotropic background over all frequencies.
 
     Packet budget: the reference sends 8*AREA*BATCH packets per frequency
@@ -117,6 +137,8 @@ def simulate_background(grid, medium, cfg, ibg, tabs, intf, seed,
                   / np.asarray(cfg.freq, np.float64)).astype(np.float32)
 
     from ..transport.sources import stream_hi_base
+    if freq_mask is not None or roi is not None:
+        mixed = False          # mask skipping / ROI tallies are per-frequency
     if mixed:
         nfreq = medium.nfreq
         physics = dict(kabs=medium.abs_gl, ksca=medium.sca_gl,
@@ -147,13 +169,17 @@ def simulate_background(grid, medium, cfg, ibg, tabs, intf, seed,
 
         tabs, intf, escaped, absorbed = _run_over_freqs(
             grid, medium, "bg", make_params, per_freq, tabs, intf, seed,
-            lanes, per_freq_tally, mirror_mask=mirror_mask_of(cfg))
+            lanes, per_freq_tally, mirror_mask=mirror_mask_of(cfg),
+            freq_mask=freq_mask, roi=roi)
     injected = np.float64(per_freq) * np.asarray(bg_photons, np.float64)
+    if freq_mask is not None:
+        injected = np.where(freq_mask, injected, 0.0)
     return tabs, intf, escaped, injected
 
 
 def simulate_hpbg(grid, medium, cfg, hpbg, tabs, intf, seed,
-                  lanes=DEFAULT_LANES, per_freq_tally=False, weighted=False):
+                  lanes=DEFAULT_LANES, per_freq_tally=False, weighted=False,
+                  freq_mask=None, roi=None):
     """Phase-1 Healpix-sky background (SimRAM_HP equivalent).
 
     hpbg : [NFREQ, NPIX] sky intensities; photons per packet =
@@ -186,12 +212,13 @@ def simulate_hpbg(grid, medium, cfg, hpbg, tabs, intf, seed,
 
     tabs, intf, escaped, absorbed = _run_over_freqs(
         grid, medium, "hpbg", make_params, per_freq, tabs, intf, seed,
-        lanes, per_freq_tally)
+        lanes, per_freq_tally, freq_mask=freq_mask, roi=roi)
     return tabs, intf, escaped, injected * per_freq
 
 
 def simulate_point_sources(grid, medium, cfg, lps, tabs, intf, seed,
-                           lanes=DEFAULT_LANES, per_freq_tally=False):
+                           lanes=DEFAULT_LANES, per_freq_tally=False,
+                           freq_mask=None, roi=None):
     """Phase-1 point sources (internal positions)."""
     if cfg.no_ps < 1 or cfg.pspac < 1:
         return tabs, intf, np.zeros(medium.nfreq), 0.0
@@ -219,8 +246,10 @@ def simulate_point_sources(grid, medium, cfg, lps, tabs, intf, seed,
 
     tabs, intf, escaped, absorbed = _run_over_freqs(
         grid, medium, "ps", make_params, per_freq, tabs, intf, seed,
-        lanes, per_freq_tally)
+        lanes, per_freq_tally, freq_mask=freq_mask, roi=roi)
     injected = np.sum(np.asarray(ps_photons, np.float64), axis=0) * pspac
+    if freq_mask is not None:
+        injected = np.where(freq_mask, injected, 0.0)
     return tabs, intf, escaped, injected
 
 
@@ -335,6 +364,96 @@ def simulate_cell_emission(grid, medium, cfg, emitted, tabs, intf, seed,
     return tabs, intf, escaped, None
 
 
+def read_diffuse_field(path, cells):
+    """Read the diffuse-emission file: int32 [CELLS, NF'] header + float32
+    payload, photons/Hz/cm^3 per cell (mmap_diffuserad, ASOC_aux.py:839-868).
+    NF' may be smaller than NFREQ; the stored values are then the HIGHEST
+    frequencies."""
+    with open(path, "rb") as fp:
+        c, nf = np.fromfile(fp, np.int32, 2)
+        if c != cells:
+            raise ValueError("%s: %d cells != model %d" % (path, c, cells))
+        data = np.fromfile(fp, np.float32).reshape(int(c), int(nf))
+    return data
+
+
+def simulate_diffuse(grid, medium, cfg, diffuserad, tabs, intf, seed,
+                     lanes=DEFAULT_LANES, per_freq_tally=False,
+                     freq_mask=None, roi=None):
+    """Phase-1 diffuse volume emission (SimRAM_CL SOURCE==2, the reference's
+    II==2 source block, ASOC.py:1250-1272).
+
+    diffuserad : [CELLS, NF'] photons/Hz/cm^3. Per frequency, the per-cell
+    photon load is DIFFUSERAD * K_DIFFUSE * GL*PARSEC / 8^level (cell-volume
+    weighting); packets per cell = DFPAC // CELLS.
+    Returns (tabs, intf, escaped[NF], injected[NF]).
+    """
+    from ..solve import equilibrium
+    nfreq = medium.nfreq
+    nf_d = diffuserad.shape[1]
+    dfpac = cfg.dfpac if cfg.dfpac > 0 else cfg.clpac
+    per_cell = max(1, int(dfpac) // grid.cells)
+    per_freq = per_cell * grid.cells
+    lev = np.asarray(equilibrium.cell_levels(grid))
+    coeff = (cfg.k_diffuse * cfg.gl * PARSEC / 8.0 ** lev).astype(np.float64)
+    injected = np.zeros(nfreq)
+    emit_cols = {}
+    for ifreq in range(nfreq):
+        dr_ind = ifreq + (nf_d - nfreq)     # highest frequencies stored
+        if dr_ind < 0:
+            continue
+        col = (np.asarray(diffuserad[:, dr_ind], np.float64) * coeff)
+        emit_cols[ifreq] = jnp.asarray((col / per_cell).astype(np.float32))
+        injected[ifreq] = col.sum()
+    mask = np.zeros(nfreq, bool)
+    mask[list(emit_cols.keys())] = True
+    if freq_mask is not None:
+        mask &= np.asarray(freq_mask, bool)
+    injected[~mask] = 0.0
+
+    def make_params(ifreq):
+        return dict(emit=emit_cols[ifreq], per_cell=jnp.int32(per_cell))
+
+    tabs, intf, escaped, absorbed = _run_over_freqs(
+        grid, medium, "cell", make_params, per_freq, tabs, intf, seed,
+        lanes, per_freq_tally, phase="diffuse", freq_mask=mask, roi=roi)
+    return tabs, intf, escaped, injected
+
+
+def simulate_roi_load(grid, medium, cfg, tabs, intf, seed,
+                      lanes=DEFAULT_LANES, per_freq_tally=False,
+                      freq_mask=None):
+    """Phase-1 ROI boundary source (SOURCE==3, kernel_ASOC.c:469-505):
+    re-inject the (surface element x healpix direction) photon histograms
+    recorded by a previous run's roisave into this (sub-)model.
+    Returns (tabs, intf, escaped[NF], injected[NF])."""
+    from ..transport.roi import read_roi_file
+    rnx, rny, rnz, nside, data = read_roi_file(cfg.file_roi_load)
+    nfreq = medium.nfreq
+    if data.shape[0] != nfreq:
+        raise ValueError("%s: %d freqs != model %d"
+                         % (cfg.file_roi_load, data.shape[0], nfreq))
+    npix = 12 * nside * nside
+    nelem = data.shape[1] // npix
+    reps = max(1, int(cfg.roipac) // (nelem * npix))
+    per_freq = reps * nelem * npix
+    scale = cfg.roi_load_scale
+    injected = np.zeros(nfreq)
+
+    def make_params(ifreq):
+        load = (np.asarray(data[ifreq], np.float64)
+                * scale).reshape(nelem, npix)
+        injected[ifreq] = load.sum()
+        return dict(roi_load=jnp.asarray(load.astype(np.float32)),
+                    roi_dim=(rnx, rny, rnz),
+                    reps=jnp.int32(reps))
+
+    tabs, intf, escaped, absorbed = _run_over_freqs(
+        grid, medium, "roi", make_params, per_freq, tabs, intf, seed,
+        lanes, per_freq_tally, freq_mask=freq_mask)
+    return tabs, intf, escaped, injected
+
+
 def run(ini_path=None, cfg=None, lanes=DEFAULT_LANES, write_files=True,
         workdir=None):
     """Full pipeline; returns RunResult. workdir defaults to the ini dir."""
@@ -361,6 +480,45 @@ def mirror_mask_of(cfg):
     return m
 
 
+def remit_mask_of(cfg, freq):
+    """bool[NFREQ]: frequencies inside the `remit` re-emission band
+    (reference REMIT_I1..REMIT_I2, ASOC.py:604-612)."""
+    return (np.asarray(freq) >= cfg.remit_f[0]) \
+        & (np.asarray(freq) <= cfg.remit_f[1])
+
+
+def _apply_remit_band(cfg, freq, emitted):
+    """Zero emission outside the remit band."""
+    mask = remit_mask_of(cfg, freq)
+    if not mask.all():
+        emitted = emitted.copy()
+        emitted[:, ~mask] = 0.0
+    return emitted
+
+
+def _scaled_absorbed(grid, intf, gl_cm):
+    """Per-frequency tallies -> absorbed.data payload: scale by
+    8^level*FACTOR/(GL*PARSEC)/DENS, mark parent cells -1e20
+    (ASOC.py:2782-2837)."""
+    from ..solve import equilibrium
+    lev = np.asarray(equilibrium.cell_levels(grid))
+    dens = np.asarray(grid.dens)
+    fabs = np.asarray(intf)
+    coeff = (8.0 ** lev) * (FACTOR / gl_cm)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        fabs = fabs * (coeff / np.maximum(dens, 1e-35))[:, None]
+    fabs[dens <= 0.0] = -1.0e20
+    return fabs
+
+
+def _write_emitted_file(cfg, freq, emitted):
+    """Write emitted.data with the reference ABI: only the REMIT-band
+    columns are stored (ASOC.py:3972-3977 EMITTED[REMIT_NFREQ])."""
+    mask = remit_mask_of(cfg, freq)
+    write_cell_frequency_array(cfg.file_emitted,
+                               np.asarray(emitted)[:, mask])
+
+
 def _run_inner(cfg, lanes, write_files, t_start):
     cfg.validate()
     res = RunResult()
@@ -381,11 +539,48 @@ def _run_inner(cfg, lanes, write_files, t_start):
     seed = np.uint32(max(0.0, cfg.seed) * 2**31) + np.uint32(12345)
     timings["input"] = time.time() - t0
 
-    # ---- map-only mode (reference: iterations 0 + existing emitted file;
-    # ASOC.py:744-769): skip simulation/solve, render maps from the file
+    # ---- loadtemp mode (reference ASOC.py:744-769): recompute EMITTED
+    # from a stored temperature file (equilibrium dust) and render maps
+    if cfg.load_temperature and cfg.iterations < 1:
+        from ..io.cloud import read_hierarchy
+        _, _, _, _, vals = read_hierarchy(cfg.file_temperature)
+        temperature = np.concatenate(vals)
+        res.temperature = temperature
+        emitted = np.asarray(equilibrium.emission(
+            freq, optics[0].abs_gl, jnp.asarray(temperature),
+            cfg.gl * PARSEC))
+        _apply_remit_band(cfg, freq, emitted)
+        res.emitted = emitted
+        res.ctabs = np.zeros(grid.cells, np.float32)
+        res.escaped = np.zeros(nfreq)
+        res.injected = np.zeros(nfreq)
+        if write_files and cfg.file_emitted:
+            _write_emitted_file(cfg, freq, res.emitted)
+        _render_phase(cfg, grid, medium, res, freq, res.emitted,
+                      write_files, timings)
+        timings["total"] = time.time() - t_start
+        return res
+
+    # ---- map-only mode (reference: iterations 0 + existing emitted file):
+    # skip simulation/solve, render maps from the file
     if cfg.iterations < 1 and os.path.exists(cfg.file_emitted):
         from ..io.fields import read_cell_frequency_array
-        res.emitted = read_cell_frequency_array(cfg.file_emitted)
+        emitted = read_cell_frequency_array(cfg.file_emitted)
+        if emitted.shape[1] != nfreq:
+            # remit-band (or libmaps) file: embed into the full grid
+            mask = remit_mask_of(cfg, freq)
+            if cfg.lib_maps and cfg.fselect:
+                mask = np.zeros(nfreq, bool)
+                for fv in cfg.fselect:
+                    mask[int(np.argmin(np.abs(freq - fv)))] = True
+            if mask.sum() != emitted.shape[1]:
+                raise ValueError(
+                    "emitted file has %d freqs; remit/libmaps selection "
+                    "has %d" % (emitted.shape[1], int(mask.sum())))
+            full = np.zeros((emitted.shape[0], nfreq), np.float32)
+            full[:, mask] = emitted
+            emitted = full
+        res.emitted = emitted
         res.ctabs = np.zeros(grid.cells, np.float32)
         res.escaped = np.zeros(nfreq)
         res.injected = np.zeros(nfreq)
@@ -393,6 +588,36 @@ def _run_inner(cfg, lanes, write_files, t_start):
                       write_files, timings)
         timings["total"] = time.time() - t_start
         return res
+
+    # ---- simulated-frequency mask: `simum` band and/or libabs FSELECT
+    # reference frequencies (ASOC.py:63-65, 1126-1131)
+    freq_mask = None
+    sim_mask = (freq >= cfg.sim_f[0]) & (freq <= cfg.sim_f[1])
+    if not sim_mask.all():
+        freq_mask = sim_mask
+    if cfg.lib_abs and cfg.fselect:
+        sel = np.zeros(nfreq, bool)
+        for fv in cfg.fselect:
+            sel[int(np.argmin(np.abs(freq - fv)))] = True
+        freq_mask = sel if freq_mask is None else (freq_mask & sel)
+
+    # ---- WITH_ROI_SAVE: histogram packets crossing into the ROI box
+    roi = None
+    if cfg.roi is not None and cfg.file_roi_save:
+        from ..transport.roi import roi_cell_mask, roi_nelem
+        step = cfg.roi_step
+        x0, x1, y0, y1, z0, z1 = cfg.roi
+        rnx = (x1 - x0 + 1) * step
+        rny = (y1 - y0 + 1) * step
+        rnz = (z1 - z0 + 1) * step
+        nelem = roi_nelem(rnx, rny, rnz)
+        roi = dict(nside=int(cfg.roi_nside),
+                   mask=jnp.asarray(roi_cell_mask(grid, cfg.roi)),
+                   box=tuple(float(v) for v in cfg.roi),
+                   dim=(rnx, rny, rnz, float(step)),
+                   tally=np.zeros(
+                       (nfreq, nelem * 12 * cfg.roi_nside ** 2),
+                       np.float32))
 
     # ---- phase 1: constant sources
     t0 = time.time()
@@ -402,34 +627,80 @@ def _run_inner(cfg, lanes, write_files, t_start):
                      jnp.float32)
     injected = np.zeros(nfreq)
     escaped = np.zeros(nfreq)
-    if cfg.bgpac > 0 and cfg.file_background:
-        ibg = read_background_intensity(cfg.file_background, nfreq)
-        ibg = ibg * cfg.scale_background
-        tabs, intf, esc, inj = simulate_background(
-            grid, medium, cfg, ibg, tabs, intf, seed, lanes, per_freq_tally)
-        escaped += np.asarray(esc)
-        injected += inj
-    if cfg.bgpac > 0 and cfg.file_hpbg:
-        hpbg = np.fromfile(cfg.file_hpbg, np.float32).reshape(nfreq, -1)
-        hpbg = hpbg * cfg.scale_background
-        tabs, intf, esc, inj = simulate_hpbg(
-            grid, medium, cfg, hpbg, tabs, intf, seed + 3, lanes,
-            per_freq_tally, weighted=cfg.has_key("hpbgw"))
-        escaped += np.asarray(esc)
-        injected += inj
-    if cfg.no_ps > 0 and cfg.pspac > 0:
-        lps = np.zeros((cfg.no_ps, nfreq), np.float32)
-        for i, f in enumerate(cfg.file_pointsource):
-            lps[i] = np.fromfile(f, np.float32, nfreq) * cfg.ps_scale[i]
-        tabs, intf, esc, inj = simulate_point_sources(
-            grid, medium, cfg, lps, tabs, intf, seed, lanes, per_freq_tally)
-        escaped += np.asarray(esc)
-        injected += inj
+    if cfg.file_constant_load:
+        # CLOAD: constant sources not simulated, integrated heating read
+        # from a previous run's csave file (ASOC.py:1013-1020)
+        tabs = jnp.asarray(np.fromfile(cfg.file_constant_load, np.float32,
+                                       grid.cells))
+    else:
+        if cfg.bgpac > 0 and cfg.file_background:
+            ibg = read_background_intensity(cfg.file_background, nfreq)
+            ibg = ibg * cfg.scale_background
+            tabs, intf, esc, inj = simulate_background(
+                grid, medium, cfg, ibg, tabs, intf, seed, lanes,
+                per_freq_tally, freq_mask=freq_mask, roi=roi)
+            escaped += np.asarray(esc)
+            injected += inj
+        if cfg.bgpac > 0 and cfg.file_hpbg:
+            hpbg = np.fromfile(cfg.file_hpbg, np.float32).reshape(nfreq, -1)
+            hpbg = hpbg * cfg.scale_background
+            tabs, intf, esc, inj = simulate_hpbg(
+                grid, medium, cfg, hpbg, tabs, intf, seed + 3, lanes,
+                per_freq_tally, weighted=cfg.has_key("hpbgw"),
+                freq_mask=freq_mask, roi=roi)
+            escaped += np.asarray(esc)
+            injected += inj
+        if cfg.no_ps > 0 and cfg.pspac > 0:
+            lps = np.zeros((cfg.no_ps, nfreq), np.float32)
+            for i, f in enumerate(cfg.file_pointsource):
+                lps[i] = np.fromfile(f, np.float32, nfreq) * cfg.ps_scale[i]
+            tabs, intf, esc, inj = simulate_point_sources(
+                grid, medium, cfg, lps, tabs, intf, seed, lanes,
+                per_freq_tally, freq_mask=freq_mask, roi=roi)
+            escaped += np.asarray(esc)
+            injected += inj
+        if cfg.file_diffuse and (cfg.dfpac > 0 or cfg.clpac > 0):
+            diffuserad = read_diffuse_field(cfg.file_diffuse, grid.cells)
+            tabs, intf, esc, inj = simulate_diffuse(
+                grid, medium, cfg, diffuserad, tabs, intf, seed + 5, lanes,
+                per_freq_tally, freq_mask=freq_mask, roi=roi)
+            escaped += np.asarray(esc)
+            injected += inj
+        if cfg.file_roi_load and cfg.roipac > 0:
+            tabs, intf, esc, inj = simulate_roi_load(
+                grid, medium, cfg, tabs, intf, seed + 9, lanes,
+                per_freq_tally, freq_mask=freq_mask)
+            escaped += np.asarray(esc)
+            injected += inj
     ctabs = tabs
     res.ctabs = np.asarray(ctabs)
     res.escaped = escaped
     res.injected = injected
+    if write_files and cfg.file_constant_save:
+        # CSAVE: bare float32 [CELLS] integrated constant heating
+        # (ASOC.py:1547-1549)
+        res.ctabs.astype(np.float32).tofile(cfg.file_constant_save)
+    if write_files and roi is not None:
+        from ..transport.roi import write_roi_file
+        rnx, rny, rnz, _ = roi["dim"]
+        write_roi_file(cfg.file_roi_save, rnx, rny, rnz, roi["nside"],
+                       roi["tally"])
     timings["constant_sources"] = time.time() - t0
+
+    # ---- libabs: write absorptions for the FSELECT frequencies only and
+    # stop -- the library build (A2E_LIB) takes over from the file
+    # (ASOC.py:63-65)
+    if cfg.lib_abs:
+        if per_freq_tally:
+            fabs = _scaled_absorbed(grid, intf, cfg.gl * PARSEC)
+            res.absorbed = fabs
+            if write_files and cfg.file_absorbed:
+                sel = np.zeros(nfreq, bool)
+                for fv in cfg.fselect:
+                    sel[int(np.argmin(np.abs(freq - fv)))] = True
+                write_cell_frequency_array(cfg.file_absorbed, fabs[:, sel])
+        timings["total"] = time.time() - t_start
+        return res
 
     # ---- phase 2: iterations (T solve + emission, optional self-heating)
     t0 = time.time()
@@ -477,6 +748,8 @@ def _run_inner(cfg, lanes, write_files, t_start):
                 cr_heating=cfg.cr_heating)
             emitted = equilibrium.emission(freq, optics[0].abs_gl,
                                            temperature, gl_cm)
+            emitted = jnp.asarray(_apply_remit_band(
+                cfg, freq, np.asarray(emitted)))
             if cfg.clpac <= 0:
                 break   # nothing changes between iterations without CLPAC
         res.temperature = np.asarray(temperature)
@@ -504,13 +777,7 @@ def _run_inner(cfg, lanes, write_files, t_start):
 
     # ---- absorbed-file output (reference end-of-run scaling)
     if per_freq_tally:
-        lev = np.asarray(equilibrium.cell_levels(grid))
-        dens = np.asarray(grid.dens)
-        fabs = np.asarray(intf)
-        coeff = (8.0 ** lev) * (FACTOR / gl_cm)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            fabs = fabs * (coeff / np.maximum(dens, 1e-35))[:, None]
-        fabs[dens <= 0.0] = -1.0e20          # parent cells marked
+        fabs = _scaled_absorbed(grid, intf, gl_cm)
         res.absorbed = fabs
         if write_files and cfg.file_absorbed:
             write_cell_frequency_array(cfg.file_absorbed, fabs)
@@ -518,7 +785,7 @@ def _run_inner(cfg, lanes, write_files, t_start):
     if write_files and temperature is not None and cfg.file_temperature:
         write_cell_field(cfg.file_temperature, grid, res.temperature)
     if write_files and emitted is not None and cfg.file_emitted:
-        write_cell_frequency_array(cfg.file_emitted, res.emitted)
+        _write_emitted_file(cfg, freq, res.emitted)
 
     _render_phase(cfg, grid, medium, res, freq, res.emitted, write_files,
                   timings)
@@ -526,21 +793,77 @@ def _run_inner(cfg, lanes, write_files, t_start):
     return res
 
 
+def map_freq_mask(cfg, freq):
+    """Map-frequency selection: the `wavelength` band, `mapum` single
+    frequencies, or libmaps FSELECT (ASOC.py:3003-3075 selection logic)."""
+    freq = np.asarray(freq)
+    if cfg.lib_maps and cfg.fselect:
+        mask = np.zeros(len(freq), bool)
+        for fv in cfg.fselect:
+            mask[int(np.argmin(np.abs(freq - fv)))] = True
+        return mask
+    if cfg.single_map_freq:
+        mask = np.zeros(len(freq), bool)
+        for fv in cfg.single_map_freq:
+            mask[int(np.argmin(np.abs(freq - fv)))] = True
+        return mask
+    return (freq >= cfg.map_freq[0]) & (freq <= cfg.map_freq[1])
+
+
 def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
                   timings):
-    """Phase 3: orthographic frequency-fused maps + polarization maps."""
+    """Phase 3: orthographic frequency-fused maps + polarization maps +
+    tau/column-density/PSTau/POLSTAT outputs."""
     t0 = time.time()
-    if not cfg.nomap and emitted is not None:
+    gl_cm = cfg.gl * PARSEC
+    fsel = map_freq_mask(cfg, freq) if emitted is not None else None
+
+    # savetau frequencies must be rendered even if outside the map band
+    savetau_idx = []
+    if cfg.file_savetau and cfg.savetau_freq and fsel is not None:
+        for fv in cfg.savetau_freq:
+            if fv > 0:
+                i = int(np.argmin(np.abs(np.asarray(freq) - fv)))
+                fsel[i] = True
+                savetau_idx.append(i)
+            else:
+                savetau_idx.append(-1)          # column density
+    sel_of_full = {}
+    if fsel is not None:
+        for k, i in enumerate(np.nonzero(fsel)[0]):
+            sel_of_full[int(i)] = k
+
+    if not cfg.nomap and emitted is not None and fsel.any():
         centre = cfg.mapcentre
         if centre[0] < -1e7:
             centre = (0.5 * grid.nx, 0.5 * grid.ny, 0.5 * grid.nz)
         kk = render_mapping.map_scale_kk(cfg.gl)
+        freq_s = np.asarray(freq)[fsel]
         emit_map = jnp.asarray(
-            (np.asarray(emitted, np.float64)
-             * (kk * freq)[None, :]).astype(np.float32))
-        ext_gl = jnp.asarray(np.asarray(medium.abs_gl) +
-                             np.asarray(medium.sca_gl))
-        if cfg.npix[1] <= 0:
+            (np.asarray(emitted, np.float64)[:, fsel]
+             * (kk * freq_s)[None, :]).astype(np.float32))
+        ext_gl = jnp.asarray((np.asarray(medium.abs_gl)
+                              + np.asarray(medium.sca_gl))[fsel])
+        if cfg.fast_map >= 999:
+            # MAP_HIER: per-hierarchy-level maps, map_dir_XX_H.bin
+            # (ASOC.py:3323-3438): [NX, NY] + [NF, LEVELS] int32 headers,
+            # then float32 [NF, LEVELS, NY, NX]
+            for idir in range(len(cfg.obs_theta)):
+                odir, ra, de = render_mapping.observer_basis(
+                    cfg.obs_theta[idir], cfg.obs_phi[idir])
+                phot = render_mapping.render_ortho_hier(
+                    grid, emit_map, ext_gl, jnp.asarray(odir),
+                    jnp.asarray(ra), jnp.asarray(de), centre, cfg.map_dx,
+                    tuple(cfg.npix))
+                hier = np.transpose(np.asarray(phot), (1, 0, 2, 3))
+                res.maps[("hier", idir)] = hier
+                if write_files:
+                    with open("map_dir_%02d_H.bin" % idir, "wb") as fp:
+                        np.asarray(cfg.npix, np.int32).tofile(fp)
+                        np.asarray([hier.shape[0], grid.levels],
+                                   np.int32).tofile(fp)
+                        hier.astype(np.float32).tofile(fp)
+        elif cfg.npix[1] <= 0:
             # all-sky Healpix map around the internal observer
             # (NPIX.x == NSIDE; reference writes headerless map.healpix)
             intobs = cfg.intobs if cfg.intobs[0] > -1e7 else centre
@@ -568,6 +891,7 @@ def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
                     tuple(cfg.npix))
                 res.maps[idir] = np.asarray(phot)
                 res.tau_maps[idir] = np.asarray(tau)
+                res.maps[("colden", idir)] = np.asarray(colden)
                 if write_files:
                     write_map_file("map_dir_%02d.bin" % idir, res.maps[idir])
                     if cfg.fits > 0:
@@ -578,11 +902,54 @@ def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
                                 cfg.gl * cfg.map_dx / cfg.distance)
                         write_fits_image("map_dir_%02d.fits" % idir,
                                          res.maps[idir], pix_deg=pix_deg)
+                if cfg.file_savetau and savetau_idx:
+                    # savetau: tau map at the requested frequency, or
+                    # column density [cm^-2] for negative um arguments;
+                    # file "%s.%d" % (file_savetau, idir)
+                    # (ASOC.py:3010-3075, 3420-3434)
+                    for k, idx in enumerate(savetau_idx):
+                        if idx < 0:
+                            payload = np.asarray(colden) * gl_cm
+                        else:
+                            payload = res.tau_maps[idir][sel_of_full[idx]]
+                        suffix = ("" if len(savetau_idx) == 1
+                                  else "_%d" % k)
+                        name = "%s%s.%d" % (cfg.file_savetau, suffix, idir)
+                        res.maps[("savetau", idir, k)] = payload
+                        if write_files:
+                            with open(name, "wb") as fp:
+                                np.asarray(cfg.npix,
+                                           np.int32).tofile(fp)
+                                payload.astype(np.float32).tofile(fp)
 
-    # ---- polarization maps (I, Q, U, N), reference PolMapping
+    # ---- PSTau: column density + optical depth from each point source
+    # toward the observer (ASOC.py:3631-3650, text output "%s_%d.dat")
+    if cfg.file_pssavetau and cfg.no_ps > 0:
+        ext_all = jnp.asarray(np.asarray(medium.abs_gl)
+                              + np.asarray(medium.sca_gl))
+        itau = int(np.argmin(np.abs(np.asarray(freq)
+                                    - max(cfg.pssavetau_freq, 0.0))))
+        for idir in range(len(cfg.obs_theta)):
+            odir, _, _ = render_mapping.observer_basis(
+                cfg.obs_theta[idir], cfg.obs_phi[idir])
+            tau, colden = render_mapping.render_pstau(
+                grid, ext_all, jnp.asarray(cfg.ps_pos, jnp.float32),
+                jnp.asarray(odir))
+            tau = np.asarray(tau)
+            colden_cm = np.asarray(colden) * gl_cm
+            res.maps[("pstau", idir)] = (colden_cm, tau[:, itau])
+            if write_files:
+                with open("%s_%d.dat" % (cfg.file_pssavetau, idir),
+                          "w") as fp:
+                    for i in range(cfg.no_ps):
+                        fp.write("%6d  %12.4e  %12.4e\n"
+                                 % (i, colden_cm[i], tau[i, itau]))
+
+    # ---- polarization maps: Stokes I/Q/U (POLSTAT 0) or LOS statistics
+    # (POLSTAT 1/3), reference PolMapping variants
     if cfg.polmap > 0 and emitted is not None and len(cfg.b_files) == 3:
         from ..io.cloud import read_hierarchy
-        from ..render.polarization import render_pol
+        from ..render.polarization import render_pol, render_polstat
         bvec = []
         for bf in cfg.b_files:
             _, _, _, _, vals = read_hierarchy(bf)
@@ -600,6 +967,27 @@ def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
         for idir in range(len(cfg.obs_theta)):
             odir, ra, de = render_mapping.observer_basis(
                 cfg.obs_theta[idir], cfg.obs_phi[idir])
+            if cfg.polstat > 0:
+                # POLSTAT 1: density-weighted (rT, rI) angle/inclination
+                # statistics; POLSTAT 3: <B>, <B_LOS>, <B_POS>, tau
+                # (ASOC.py:3906-3914). Both stat sets come from one pass;
+                # written as polstat_dir_XX.bin: [NX, NY] int32 +
+                # float32 [7, NY, NX] = rT, rI, B, B_LOS, B_POS, tau, N.
+                stats = render_polstat(
+                    grid, emit_map, ext_gl, bfield, jnp.asarray(odir),
+                    jnp.asarray(ra), jnp.asarray(de), centre, cfg.map_dx,
+                    tuple(cfg.npix),
+                    rho_weight=not cfg.has_key("polemweight"))
+                order = ("rT", "rI", "B", "B_LOS", "B_POS", "tau",
+                         "colden")
+                stack = np.stack([np.asarray(stats[k]) for k in order])
+                stack[6] *= gl_cm
+                res.maps[("polstat", idir)] = stack
+                if write_files:
+                    with open("polstat_dir_%02d.bin" % idir, "wb") as fp:
+                        np.asarray(cfg.npix, np.int32).tofile(fp)
+                        stack.astype(np.float32).tofile(fp)
+                continue
             s_i, s_q, s_u, colden = render_pol(
                 grid, emit_map, ext_gl, bfield, cfg.p0, jnp.asarray(odir),
                 jnp.asarray(ra), jnp.asarray(de), centre, cfg.map_dx,
@@ -611,7 +999,7 @@ def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
                 # binary fallback of the reference's polmap FITS output:
                 # [4, NF, NY, NX] float32 = I, Q, U, N(broadcast)
                 nf = len(freq)
-                colden_cm = np.asarray(colden) * cfg.gl * PARSEC
+                colden_cm = np.asarray(colden) * gl_cm
                 stack = np.stack([np.asarray(s_i), np.asarray(s_q),
                                   np.asarray(s_u),
                                   np.broadcast_to(colden_cm[None],

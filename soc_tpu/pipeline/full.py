@@ -66,18 +66,123 @@ def prepare_solver_files(cfg, ne=128, force=False):
     return solvers
 
 
-def run_pipeline(ini_path, lanes=driver.DEFAULT_LANES, ne=128):
-    """ASOC_driver equivalent: absorptions -> emission -> maps."""
+def build_components(cfg, freq, ne=128):
+    """DustComponent list (stochastic solvers + simple eqdusts) for the
+    A2E_MABU stage."""
+    stoch, simple = classify_dusts(cfg)
+    solvers = prepare_solver_files(cfg, ne=ne) if stoch else {}
+    comps = []
+    for path in stoch:
+        sol = solvers[path]
+        comps.append(mabu.DustComponent(
+            name=os.path.splitext(os.path.basename(path))[0], kind="gset",
+            kabs=sol.k_abs, solver=sol))
+    for path in simple:
+        opt = read_simple_dust(path, cfg.gl)
+        comps.append(mabu.DustComponent(
+            name=os.path.splitext(os.path.basename(path))[0], kind="eqdust",
+            kabs=np.asarray(opt.abs_gl, np.float64) / (cfg.gl * PARSEC),
+            freq=freq))
+    return comps
+
+
+def read_abundances(cfg, cells, ndust):
+    if not cfg.file_abundance:
+        return None
+    abu = np.ones((cells, ndust), np.float32)
+    for d, path in enumerate(cfg.file_abundance):
+        if path and not path.startswith("#"):
+            abu[:, d] = np.fromfile(path, np.float32, cells)
+    return abu
+
+
+def _nearest_indices(freq, values_um):
+    from ..constants import um2f
+    return [int(np.argmin(np.abs(np.asarray(freq) - um2f(u))))
+            for u in values_um]
+
+
+def emission_stage(cfg, comps, absorbed, abu, freq, ne=128):
+    """A2E_MABU stage with the library / NN surrogate variants
+    (ASOC_driver.py:91-133 nnmake/nnsolve; A2E_MABU.py:1017-1068 NN paths;
+    A2E_LIB solve_with_library_2).
+
+    absorbed : [CELLS, NF_ABS] cleaned payload (parents zeroed). For
+    nnsolve/uselib runs NF_ABS may be the reduced nnabs/FSELECT set.
+    Returns EMITTED [CELLS, NFREQ] (nnsolve: nnemit columns only are
+    nonzero).
+    """
+    from ..solve import nn as nnmod
+    from ..solve import library as libmod
+    cells = absorbed.shape[0]
+    nfreq = len(freq)
+
+    if cfg.nn_solve:
+        # NN-only emission: per-dust surrogates, summed with abundances
+        emitted = np.zeros((cells, nfreq), np.float32)
+        iabs = _nearest_indices(freq, cfg.nn_abs) if cfg.nn_abs else None
+        iemit = _nearest_indices(freq, cfg.nn_emit) \
+            if cfg.nn_emit else list(range(nfreq))
+        x = absorbed if iabs is None or absorbed.shape[1] != nfreq \
+            else absorbed[:, iabs]
+        for d, comp in enumerate(comps):
+            model = nnmod.nn_load("%s_%s.nn" % (cfg.nn_solve, comp.name))
+            y = nnmod.nn_solve(model, x)
+            w = abu[:, d][:, None] if abu is not None else 1.0
+            emitted[:, iemit] += y * w
+        return emitted
+
+    if cfg.file_library and os.path.exists(cfg.file_library):
+        # uselib: absorbed holds the FSELECT reference frequencies
+        lib = libmod.load_library(cfg.file_library)
+        nref = len(lib["ref_indices"])
+        if absorbed.shape[1] == nfreq:
+            absorbed = absorbed[:, lib["ref_indices"]]
+        elif absorbed.shape[1] != nref:
+            raise ValueError("library expects %d reference freqs, "
+                             "absorbed has %d" % (nref, absorbed.shape[1]))
+        lib_direct = dict(lib)
+        lib_direct["ref_indices"] = list(range(absorbed.shape[1]))
+        return libmod.solve_with_library(lib_direct, absorbed)
+
+    emitted, per_dust = mabu.solve_emission_multi(
+        comps, absorbed, abu, return_components=True)
+
+    if cfg.nn_make:
+        # train per-dust surrogates on this solve's (absorbed, emitted)
+        # pairs; nnthin subsamples training cells (A2E_MABU nnthin)
+        iabs = _nearest_indices(freq, cfg.nn_abs) if cfg.nn_abs \
+            else list(range(nfreq))
+        iemit = _nearest_indices(freq, cfg.nn_emit) if cfg.nn_emit \
+            else list(range(nfreq))
+        thin = max(1, cfg.nn_thin)
+        for comp, (absd, emit_d) in zip(comps, per_dust):
+            model = nnmod.nn_fit(absd[::thin][:, iabs],
+                                 emit_d[::thin][:, iemit],
+                                 hidden=cfg.nn_net)
+            nnmod.nn_save("%s_%s.nn" % (cfg.nn_make, comp.name), model)
+    return emitted
+
+
+def run_pipeline(ini_path, lanes=driver.DEFAULT_LANES, ne=128, mode=None):
+    """ASOC_driver equivalent: absorptions -> emission -> maps.
+
+    mode: None (plain chain), 'makelib' (full solve + build the binned
+    emission library), or 'uselib' (simulate only the FSELECT reference
+    frequencies, answer emission from the library) --
+    ASOC_driver.py:11-21 CLI modes.
+    """
     workdir = os.path.dirname(os.path.abspath(ini_path))
     orig = os.getcwd()
     os.chdir(workdir)
     try:
-        return _run_pipeline_inner(ini_path, lanes, ne)
+        return _run_pipeline_inner(ini_path, lanes, ne, mode)
     finally:
         os.chdir(orig)
 
 
-def _run_pipeline_inner(ini_path, lanes, ne):
+def _run_pipeline_inner(ini_path, lanes, ne, mode):
+    from ..solve import library as libmod
     cfg = RunConfig(ini_path).validate()
 
     # Stage 1: absorption run (nosolve; all frequencies tallied).
@@ -85,6 +190,19 @@ def _run_pipeline_inner(ini_path, lanes, ne):
     cfg_rt.nosolve = True
     cfg_rt.noabsorbed = False
     cfg_rt.nomap = True
+    if mode == "uselib":
+        cfg_rt.lib_abs = True
+        if not cfg_rt.fselect:
+            # peek at the frequency grid to pick default reference freqs
+            opt0 = read_simple_dust(cfg.file_optical[0], cfg.gl) \
+                if dust_kind(cfg.file_optical[0]) == "eqdust" else None
+            freq0 = opt0.freq if opt0 is not None else None
+            if freq0 is None:
+                from ..solve.grain_model import read_gset_dust
+                freq0 = np.asarray(read_gset_dust(cfg.file_optical[0]).qfreq)
+            idx = libmod.choose_reference_frequencies(freq0)
+            cfg_rt.fselect = [float(freq0[i]) for i in idx]
+            cfg.fselect = cfg_rt.fselect
     # stochastic dusts cannot be read as simple dust files by the RT stage:
     # the RT needs combined optical properties, which for gset dusts come
     # from the solver-file cross sections
@@ -94,33 +212,39 @@ def _run_pipeline_inner(ini_path, lanes, ne):
     freq = res_rt.freq
     cfg.freq = freq
 
-    # Stage 2: A2E_pre + A2E_MABU emission.
-    stoch, simple = classify_dusts(cfg)
-    solvers = prepare_solver_files(cfg, ne=ne)
-    comps = []
-    for path in stoch:
-        sol = solvers[path]
-        comps.append(mabu.DustComponent(
-            name=os.path.basename(path), kind="gset",
-            kabs=sol.k_abs, solver=sol))
-    for path in simple:
-        opt = read_simple_dust(path, cfg.gl)
-        comps.append(mabu.DustComponent(
-            name=os.path.basename(path), kind="eqdust",
-            kabs=np.asarray(opt.abs_gl, np.float64) / (cfg.gl * PARSEC),
-            freq=freq))
-    abu = None
-    if cfg.file_abundance:
-        abu = np.ones((cells, len(comps)), np.float32)
-        for d, path in enumerate(cfg.file_abundance):
-            if path and not path.startswith("#"):
-                abu[:, d] = np.fromfile(path, np.float32, cells)
+    # Stage 2: A2E_pre + A2E_MABU emission (or library/NN variants).
+    comps = build_components(cfg, freq, ne=ne)
+    abu = read_abundances(cfg, cells, len(comps))
     # the absorbed file payload has parent cells marked -1e20: mask them
     valid = absorbed[:, 0] > -1e19
     abs_clean = np.where(valid[:, None], absorbed, 0.0).astype(np.float32)
-    emitted = mabu.solve_emission_multi(comps, abs_clean, abu)
+    if mode == "uselib" and not cfg.file_library:
+        cfg.file_library = os.path.splitext(cfg.file_optical[0])[0] + ".lib"
+    if mode == "makelib":
+        cfg.file_library = ""      # makelib must solve for real, not lookup
+    if cfg.abs_thin > 1:
+        # absthin: only every n:th cell was saved for training purposes
+        # (ASOC.py absthin); solve those and leave the rest zero
+        abs_clean = abs_clean[::cfg.abs_thin]
+    emitted_part = emission_stage(cfg, comps, abs_clean,
+                                  abu[::cfg.abs_thin] if abu is not None
+                                  and cfg.abs_thin > 1 else abu, freq, ne=ne)
+    if cfg.abs_thin > 1:
+        emitted = np.zeros((cells, len(freq)), np.float32)
+        emitted[::cfg.abs_thin] = emitted_part
+    else:
+        emitted = emitted_part
     emitted[~valid] = 0.0
     write_cell_frequency_array(cfg.file_emitted, emitted)
+
+    if mode == "makelib":
+        # build the binned lookup library from this full solve
+        ref_idx = [int(np.argmin(np.abs(freq - fv))) for fv in cfg.fselect] \
+            if cfg.fselect else libmod.choose_reference_frequencies(freq)
+        lib = libmod.build_library(abs_clean, emitted_part, ref_idx)
+        out = cfg.file_library or \
+            os.path.splitext(cfg.file_optical[0])[0] + ".lib"
+        libmod.save_library(out, lib)
 
     # Stage 3: map run from the emitted file.
     cfg_map = copy.deepcopy(cfg)

@@ -69,13 +69,16 @@ def solve_equilibrium_eqdust(kabs, freq, absorbed, ne=30000):
     return emit.astype(np.float32), t.astype(np.float32)
 
 
-def solve_emission_multi(components, absorbed, abu=None):
+def solve_emission_multi(components, absorbed, abu=None,
+                         return_components=False):
     """Full multi-dust solve.
 
     components : list[DustComponent]
     absorbed   : [CELLS, NFREQ] total absorptions (absorbed.data payload)
     abu        : [CELLS, NDUST] abundances (default: all ones)
-    Returns EMITTED [CELLS, NFREQ] float32.
+    Returns EMITTED [CELLS, NFREQ] float32; with return_components=True,
+    (EMITTED, [per-dust (absorbed_d, emit_d)]) -- the training pairs the
+    NN surrogate path consumes (A2E_MABU.py:1017-1068).
     """
     cells, nfreq = absorbed.shape
     ndust = len(components)
@@ -89,6 +92,7 @@ def solve_emission_multi(components, absorbed, abu=None):
     rabs = np.clip(rabs, 1e-30, 1.0)
 
     emitted = np.zeros((cells, nfreq), np.float32)
+    per_dust = []
     for d, comp in enumerate(components):
         absd = split_absorbed(absorbed, rabs, abu, d)
         if comp.kind == "gset":
@@ -99,4 +103,8 @@ def solve_emission_multi(components, absorbed, abu=None):
         else:
             raise ValueError(f"unknown dust kind {comp.kind!r}")
         emitted += emit_d * abu[:, d][:, None]
+        if return_components:
+            per_dust.append((absd, emit_d))
+    if return_components:
+        return emitted, per_dust
     return emitted

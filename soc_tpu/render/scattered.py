@@ -178,9 +178,22 @@ def propagate_events(grid, physics, b, free_path, events, ecount, seed,
         ecount = ecount + jnp.sum(sc)
 
         # new direction + free path for scattered lanes
-        u_bin, u_phi, u_fp, _ = socrng.uniform4(seed, b.stream, b.counter,
-                                                b.hi)
-        cos_theta = _csc_lookup(csc, b.ifreq, u_bin, bins)
+        u_bin, u_phi, u_fp, u_sp = socrng.uniform4(seed, b.stream, b.counter,
+                                                   b.hi)
+        if "msf_csc" in physics:
+            # WITH_MSF: scattering species ~ ABU[cell]*SCA per dust
+            # (kernel_ASOC.c:786-795), then that species' CSC
+            msf_csc = physics["msf_csc"]            # [NDUST, BINS]
+            wspec = (physics["msf_abu"][gidx, :]
+                     * physics["msf_sca"][None, :])
+            cdf = jnp.cumsum(wspec, axis=1)
+            r = 0.99999 * u_sp * cdf[:, -1]
+            species = jnp.sum((cdf < r[:, None]).astype(jnp.int32), axis=1)
+            species = jnp.clip(species, 0, msf_csc.shape[0] - 1)
+            bin_idx = jnp.clip((u_bin * bins).astype(jnp.int32), 0, bins - 1)
+            cos_theta = msf_csc[species, bin_idx]
+        else:
+            cos_theta = _csc_lookup(csc, b.ifreq, u_bin, bins)
         new_dir = _deflect(b.dir, cos_theta, (2.0 * jnp.pi) * u_phi)
 
         posx = jnp.where(alive[:, None], pos_boundary, b.pos)
@@ -211,6 +224,28 @@ def propagate_events(grid, physics, b, free_path, events, ecount, seed,
     return b, free_path, events, ecount
 
 
+def _event_dsc(grid, physics, events, cos_theta):
+    """Phase-function value for the peel-off ray.
+
+    With multiple scattering functions (WITH_MSF) the reference picks a
+    random dust ~ ABU*SCA and uses its DSC (kernel_ASOC_sca.c:340-348);
+    here the expectation of that draw -- the abundance-weighted mean DSC --
+    is used directly (same mean, strictly lower variance, no extra RNG).
+    """
+    dsc = physics["dsc"]
+    bins = dsc.shape[-1]
+    bin_idx = jnp.clip(((1.0 + cos_theta) * 0.5 * bins).astype(jnp.int32),
+                       0, bins - 1)
+    if "msf_dsc" in physics:
+        gidx = jnp.clip(grid.off[jnp.clip(events.level, 0, grid.levels - 1)]
+                        + jnp.maximum(events.ind, 0), 0, grid.cells - 1)
+        w = physics["msf_abu"][gidx, :] * physics["msf_sca"][None, :]
+        vals = physics["msf_dsc"][:, bin_idx]          # [NDUST, E]
+        return jnp.sum(w.T * vals, axis=0) \
+            / jnp.maximum(jnp.sum(w, axis=1), 1e-30)
+    return dsc[bin_idx]
+
+
 @partial(jax.jit, static_argnames=("npix",))
 def peel_off(grid, physics, events, odirs, ra, de, centre, map_dx, npix,
              out):
@@ -220,8 +255,6 @@ def peel_off(grid, physics, events, odirs, ra, de, centre, map_dx, npix,
     """
     kabs = physics["kabs"]
     ksca = physics["ksca"]
-    dsc = physics["dsc"]
-    bins = dsc.shape[-1]
     nxp, nyp = npix
     ndir = odirs.shape[0]
     out_flat = out.reshape(-1)
@@ -234,9 +267,8 @@ def peel_off(grid, physics, events, odirs, ra, de, centre, map_dx, npix,
             kabs + ksca, events.valid)
         cos_theta = jnp.clip(jnp.sum(events.dir * odir[None, :], axis=-1),
                              -0.9999, 0.9999)
-        bin_idx = jnp.clip(((1.0 + cos_theta) * 0.5 * bins).astype(jnp.int32),
-                           0, bins - 1)
-        delta = events.photons * jnp.exp(-tau) * dsc[bin_idx]
+        delta = events.photons * jnp.exp(-tau) \
+            * _event_dsc(grid, physics, events, cos_theta)
         # project the exit position onto the observer's map plane
         rel = exit_pos - jnp.asarray(centre, jnp.float32)[None, :]
         i = ((0.5 * nxp - 0.00005)
@@ -266,8 +298,6 @@ def peel_off_healpix(grid, physics, events, obs_pos, nside, out):
     from ..ops.traverse import root_pos
     kabs = physics["kabs"]
     ksca = physics["ksca"]
-    dsc = physics["dsc"]
-    bins = dsc.shape[-1]
     obs_pos = jnp.asarray(obs_pos, jnp.float32)
 
     rp = root_pos(grid, events.pos, events.level, events.ind)
@@ -279,9 +309,8 @@ def peel_off_healpix(grid, physics, events, obs_pos, nside, out):
                         odir, kabs + ksca, events.valid, max_dist=dist)
     cos_theta = jnp.clip(jnp.sum(events.dir * odir, axis=-1),
                          -0.9999, 0.9999)
-    bin_idx = jnp.clip(((1.0 + cos_theta) * 0.5 * bins).astype(jnp.int32),
-                       0, bins - 1)
-    delta = (events.photons * jnp.exp(-tau) * dsc[bin_idx]
+    delta = (events.photons * jnp.exp(-tau)
+             * _event_dsc(grid, physics, events, cos_theta)
              / jnp.maximum(dist * dist, 1e-6))
     # arrival direction seen by the observer: -odir
     theta = jnp.arccos(jnp.clip(-odir[:, 2], -1.0, 1.0))
@@ -304,14 +333,23 @@ def empty_events(capacity):
 def simulate_scattering(grid, physics, source_params, total_packets,
                         odirs, ra, de, centre, map_dx, npix, seed,
                         source_kind="bg", nlanes=1 << 14, ffs=True,
-                        capacity=1 << 16):
-    """Full single-frequency scattered-light simulation -> OUT[NDIR,NY,NX]."""
-    odirs = jnp.asarray(np.atleast_2d(odirs), jnp.float32)
-    ra = jnp.asarray(np.atleast_2d(ra), jnp.float32)
-    de = jnp.asarray(np.atleast_2d(de), jnp.float32)
-    ndir = odirs.shape[0]
-    nxp, nyp = npix
-    out = jnp.zeros((ndir, nyp, nxp), jnp.float32)
+                        capacity=1 << 16, healpix_nside=0, obs_pos=None):
+    """Full single-frequency scattered-light simulation.
+
+    Returns OUT[NDIR, NY, NX], or -- with healpix_nside > 0 and obs_pos
+    set (the reference's NDIR<0 internal-observer mode, ASOCS.py:43-49) --
+    an all-sky OUT[12*nside^2] around the observer position.
+    """
+    healpix = healpix_nside > 0
+    if healpix:
+        out = jnp.zeros(12 * healpix_nside * healpix_nside, jnp.float32)
+    else:
+        odirs = jnp.asarray(np.atleast_2d(odirs), jnp.float32)
+        ra = jnp.asarray(np.atleast_2d(ra), jnp.float32)
+        de = jnp.asarray(np.atleast_2d(de), jnp.float32)
+        ndir = odirs.shape[0]
+        nxp, nyp = npix
+        out = jnp.zeros((ndir, nyp, nxp), jnp.float32)
     next_id = jnp.int32(0)
     total = jnp.int32(total_packets)
 
@@ -325,9 +363,14 @@ def simulate_scattering(grid, physics, source_params, total_packets,
             b, free_path, events, ecount = propagate_events(
                 grid, physics, b, free_path, events, ecount, seed,
                 capacity=capacity)
-            out = peel_off(grid, physics, events, odirs, ra, de,
-                           jnp.asarray(centre, jnp.float32), map_dx,
-                           tuple(npix), out)
+            if healpix:
+                out = peel_off_healpix(grid, physics, events,
+                                       jnp.asarray(obs_pos, jnp.float32),
+                                       healpix_nside, out)
+            else:
+                out = peel_off(grid, physics, events, odirs, ra, de,
+                               jnp.asarray(centre, jnp.float32), map_dx,
+                               tuple(npix), out)
             if not bool(jnp.any(b.ind >= 0)):
                 break
     return np.asarray(out)

@@ -1,0 +1,253 @@
+"""Every ini keyword must drive real behavior (no silent no-ops).
+
+End-to-end runs through driver.run / run_pipeline on a small model with the
+real soc_example dust, exercising: savetau/colden, mapum/wavelength,
+loadtemp, cload/csave, diffuse+diffpack, roi/roisave/roiload, polstat,
+MAP_HIER, pssavetau, libabs, simum, and the library pipeline modes.
+"""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from soc_tpu.config import RunConfig
+from soc_tpu.io.cloud import write_hierarchy
+from soc_tpu.pipeline import driver
+
+SOCEX = "/tmp/socex"
+N = 12          # root grid for all tests here
+LANES = 1 << 10
+
+BASE_INI = """
+gridlength      0.01
+cloud           tmp.cloud
+mapping         8 8 1.0
+density         3.0e4
+seed            1.0
+directions      0.0 0.0
+optical         tmp.dust
+dsc             tmp.dsc 2500
+background      bg_intensity.bin
+bgpackets       {bgpac}
+iterations      1
+prefix          tmp
+absorbed        absorbed.data
+emitted         emitted.data
+temperature     tmp.T
+"""
+
+
+@pytest.fixture()
+def model_dir(tmp_path):
+    for f in ("tmp.dust", "tmp.dsc", "bg_intensity.bin"):
+        shutil.copy(os.path.join(SOCEX, f), tmp_path)
+    write_hierarchy(tmp_path / "tmp.cloud", N, N, N, [N ** 3],
+                    [np.ones(N ** 3, np.float32)])
+    return tmp_path
+
+
+def run_ini(model_dir, extra="", base=None, **fmt):
+    fmt.setdefault("bgpac", 8 * 6 * N * N)
+    ini = model_dir / "run.ini"
+    ini.write_text((base or BASE_INI).format(**fmt) + extra)
+    return driver.run(str(ini), lanes=LANES)
+
+
+def test_savetau_and_colden(model_dir):
+    res = run_ini(model_dir, "savetau  taumap  250.0 -1.0\n")
+    # two outputs: tau map at 250um and a column-density map
+    t0 = np.fromfile(model_dir / "taumap_0.0", np.float32)[2:].reshape(8, 8)
+    c1 = np.fromfile(model_dir / "taumap_1.0", np.float32)[2:].reshape(8, 8)
+    assert np.all(t0 > 0)
+    # column density: N^3 uniform cells of 3e4 cm^-3 over N*GL pc
+    from soc_tpu.constants import PARSEC
+    expect = 3.0e4 * N * 0.01 * PARSEC
+    np.testing.assert_allclose(c1, expect, rtol=1e-3)
+    assert ("savetau", 0, 0) in res.maps
+
+
+def test_mapum_selects_frequencies(model_dir):
+    res = run_ini(model_dir, "mapum  250.0 500.0\n")
+    assert res.maps[0].shape[0] == 2          # only two planes rendered
+    full = np.fromfile(model_dir / "map_dir_00.bin", np.float32)
+    assert full.size == 2 + 2 * 8 * 8         # [NX, NY] header + 2 planes
+
+
+def test_wavelength_band(model_dir):
+    res = run_ini(model_dir, "wavelength  1000.0 100.0\n")
+    from soc_tpu.constants import um2f
+    freq = res.freq
+    nsel = int(np.sum((freq >= um2f(1000.0)) & (freq <= um2f(100.0))))
+    assert 0 < nsel < len(freq)
+    assert res.maps[0].shape[0] == nsel
+
+
+def test_loadtemp_reproduces_emission(model_dir):
+    res1 = run_ini(model_dir)
+    emitted1 = res1.emitted.copy()
+    res2 = run_ini(model_dir, "loadtemp\niterations 0\n")
+    np.testing.assert_allclose(res2.emitted, emitted1, rtol=1e-5)
+    assert res2.maps[0].shape == res1.maps[0].shape
+
+
+def test_csave_cload(model_dir):
+    res1 = run_ini(model_dir, "csave  ctabs.save\n")
+    assert (model_dir / "ctabs.save").exists()
+    # second run: no packets simulated at all, heating loaded from the file
+    res2 = run_ini(model_dir, "cload  ctabs.save\n", bgpac=0)
+    np.testing.assert_allclose(res2.temperature, res1.temperature,
+                               rtol=1e-6)
+
+
+def test_diffuse_source_matches_cell_emission(model_dir):
+    """A diffuse emission field must heat the cloud like an equivalent
+    cell-emission run (SimRAM_CL SOURCE==2 vs dust re-emission: same
+    generator physics, different normalization conventions)."""
+    import jax.numpy as jnp
+    from soc_tpu.constants import PARSEC
+    from soc_tpu.io.cloud import read_cloud
+    from soc_tpu.io.dust import read_simple_dust, read_scattering_function
+    from soc_tpu.transport.medium import medium_from_optics
+
+    cells = N ** 3
+    rng = np.random.default_rng(5)
+    nf = 44
+    field = np.zeros((cells, nf), np.float32)
+    field[:, 20] = rng.uniform(0.5, 1.5, cells).astype(np.float32)
+    with open(model_dir / "diffuse.bin", "wb") as fp:
+        np.asarray([cells, nf], np.int32).tofile(fp)
+        field.tofile(fp)
+
+    res = run_ini(model_dir,
+                  "diffuse  diffuse.bin\ndiffpack %d\nnosolve\n" % (4 * cells),
+                  bgpac=0)
+    assert res.injected[20] > 0
+    assert res.injected.sum() == pytest.approx(res.injected[20])
+    assert res.ctabs.sum() > 0
+
+    # equivalent run through simulate_cell_emission with the same photon
+    # loads: EMIT = field * GL*PARSEC (level 0)
+    grid = read_cloud(str(model_dir / "tmp.cloud"), 3.0e4, 999)
+    optics = [read_simple_dust(str(model_dir / "tmp.dust"), 0.01)]
+    dsc, csc = read_scattering_function(str(model_dir / "tmp.dsc"), nf, 2500)
+    medium = medium_from_optics(optics, dsc, csc, optics[0].freq)
+    cfg = RunConfig(text="cloud tmp.cloud\noptical tmp.dust\ngridlength 0.01"
+                         "\ncellpackets %d" % (4 * cells))
+    cfg.freq = optics[0].freq
+    emitted = field * np.float32(0.01 * PARSEC)
+    tabs = jnp.zeros(grid.cells, jnp.float32)
+    intf = jnp.zeros((1, 1), jnp.float32)
+    tabs, _, esc, _ = driver.simulate_cell_emission(
+        grid, medium, cfg, emitted, tabs, intf,
+        np.uint32(1.0 * 2 ** 31) + np.uint32(12345), lanes=LANES)
+    # same photon budget, same generator -> tallies equal to MC noise
+    np.testing.assert_allclose(res.ctabs.sum(), float(np.asarray(tabs).sum()),
+                               rtol=2e-2)
+
+
+def test_roi_save_then_load(model_dir):
+    res = run_ini(
+        model_dir,
+        "roi  3 8 3 8 3 8\nroisave  roi.photons 1\nroinside  4\nnosolve\n")
+    path = model_dir / "roi.photons"
+    assert path.exists()
+    from soc_tpu.transport.roi import read_roi_file
+    rnx, rny, rnz, nside, data = read_roi_file(str(path))
+    assert (rnx, rny, rnz, nside) == (6, 6, 6, 4)
+    assert data.shape[0] == 44 and data.sum() > 0
+
+    # re-inject into a sub-model spanning the ROI box
+    sub = model_dir / "sub"
+    sub.mkdir()
+    for f in ("tmp.dust", "tmp.dsc", "bg_intensity.bin"):
+        shutil.copy(model_dir / f, sub)
+    write_hierarchy(sub / "tmp.cloud", 6, 6, 6, [6 ** 3],
+                    [np.ones(6 ** 3, np.float32)])
+    shutil.copy(path, sub / "roi.photons")
+    ini = sub / "run.ini"
+    ini.write_text(BASE_INI.format(bgpac=0)
+                   + "roiload  roi.photons 1.0\nroipackets 20000\nnosolve\n")
+    res2 = driver.run(str(ini), lanes=LANES)
+    assert res2.ctabs.sum() > 0
+    assert res2.injected.sum() > 0
+    # boundary source cannot inject more photons than were recorded
+    assert res2.injected.sum() <= data.sum() * 1.0001
+
+
+def test_polstat_maps(model_dir):
+    cells = N ** 3
+    # uniform field along +Z
+    for name, val in (("Bx", 0.0), ("By", 0.0), ("Bz", 1.0)):
+        write_hierarchy(model_dir / (name + ".bin"), N, N, N, [cells],
+                        [np.full(cells, val, np.float32)])
+    res = run_ini(model_dir,
+                  "polmap 1\npolstat 1\nBfiles Bx.bin By.bin Bz.bin\n")
+    stack = np.fromfile(model_dir / "polstat_dir_00.bin", np.float32)
+    stack = stack[2:].reshape(7, 8, 8)
+    rT, rI, B, BLOS, BPOS = stack[0], stack[1], stack[2], stack[3], stack[4]
+    # observer at theta=0 looks along +Z -> B parallel to LOS:
+    # position angle is degenerate (float noise), dispersion stays tiny;
+    # inclination from the plane of sky gamma = 90 deg -> cos^2 gamma ~ 0
+    # -> rI = arccos(sqrt(<cos^2 gamma>)) ~ pi/2
+    np.testing.assert_allclose(rT, 0.0, atol=5e-3)
+    np.testing.assert_allclose(rI, np.pi / 2, atol=0.05)
+    np.testing.assert_allclose(B, 1.0, rtol=1e-5)
+    np.testing.assert_allclose(BLOS, 1.0, rtol=1e-4)
+    np.testing.assert_allclose(BPOS, 0.0, atol=1e-3)
+    assert ("polstat", 0) in res.maps
+
+
+def test_maphier_levels_sum_to_plain_map(model_dir):
+    res_h = run_ini(model_dir, base=BASE_INI.replace(
+        "mapping         8 8 1.0", "mapping         8 8 1.0 999"))
+    res_p = run_ini(model_dir)
+    hier = res_h.maps[("hier", 0)]              # [NF, LEVELS, NY, NX]
+    assert hier.shape[1] == 1
+    np.testing.assert_allclose(hier[:, 0], res_p.maps[0], rtol=1e-5)
+    raw = np.fromfile(model_dir / "map_dir_00_H.bin", np.float32)
+    nx, ny, nf, lev = raw[:4].view(np.int32)[[0, 1, 2, 3]]
+    assert (nx, ny, lev) == (8, 8, 1)
+
+
+def test_pssavetau(model_dir):
+    lum = np.full(44, 1e36, np.float32)
+    lum.tofile(model_dir / "ps.bin")
+    run_ini(model_dir,
+            "pointsource  6.0 6.0 6.0  ps.bin\npspackets 8192\n"
+            "pssavetau  pstau 250.0\n")
+    rows = np.loadtxt(model_dir / "pstau_0.dat")
+    rows = np.atleast_2d(rows)
+    assert rows.shape[1] == 3
+    assert rows[0, 1] > 0 and rows[0, 2] > 0   # colden, tau both positive
+
+
+def test_libabs_reduced_absorbed(model_dir):
+    res = run_ini(model_dir, "libabs  0.55 2.2 25.0\nnomap\n")
+    from soc_tpu.io.fields import read_cell_frequency_array
+    with open(model_dir / "absorbed.data", "rb") as fp:
+        cells, ncols = np.fromfile(fp, np.int32, 2)
+    assert (cells, ncols) == (N ** 3, 3)
+    assert res.emitted is None                 # solve skipped entirely
+    assert not (model_dir / "map_dir_00.bin").exists()
+
+
+def test_simum_band_limits_simulation(model_dir):
+    res = run_ini(model_dir, "simum  100.0 1000.0\nnosolve\n")
+    from soc_tpu.constants import um2f
+    freq = res.freq
+    inband = (freq >= um2f(1000.0)) & (freq <= um2f(100.0))
+    assert 0 < inband.sum() < len(freq)
+    col = res.absorbed.max(axis=0)
+    assert np.all(col[inband] > 0)
+    assert np.all(col[~inband] <= 0)           # nothing simulated there
+    assert res.injected[~inband].sum() == 0
+
+
+def test_remit_band_reduces_emitted_file(model_dir):
+    run_ini(model_dir, "remit  100.0 2000.0\n")
+    from soc_tpu.constants import um2f
+    with open(model_dir / "emitted.data", "rb") as fp:
+        cells, ncols = np.fromfile(fp, np.int32, 2)
+    assert cells == N ** 3 and 0 < ncols < 44

@@ -1,0 +1,94 @@
+"""ASOC_driver pipeline modes: makelib / uselib and nnmake / nnsolve.
+
+The library and NN emission surrogates must be reachable from the
+ini-driven pipeline (reference: ASOC_driver.py uselib/makelib CLI args and
+the nnmake/nnsolve ini keywords) and reproduce the full solve.
+"""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from soc_tpu.pipeline.full import run_pipeline
+
+SOCEX = "/tmp/socex"
+N = 10
+
+INI = """
+gridlength      0.01
+cloud           tmp.cloud
+mapping         8 8 1.0
+density         3.0e4
+seed            1.0
+directions      0.0 0.0
+optical         tmp.dust
+dsc             tmp.dsc 2500
+background      bg_intensity.bin
+bgpackets       {bgpac}
+iterations      1
+prefix          tmp
+absorbed        absorbed.data
+emitted         emitted.data
+{extra}
+"""
+
+
+@pytest.fixture()
+def model_dir(tmp_path):
+    for f in ("tmp.dust", "tmp.dsc", "bg_intensity.bin"):
+        shutil.copy(os.path.join(SOCEX, f), tmp_path)
+    from soc_tpu.io.cloud import write_hierarchy
+    write_hierarchy(tmp_path / "tmp.cloud", N, N, N, [N ** 3],
+                    [np.ones(N ** 3, np.float32)])
+    return tmp_path
+
+
+def write_ini(model_dir, extra=""):
+    ini = model_dir / "run.ini"
+    ini.write_text(INI.format(bgpac=8 * 6 * N * N, extra=extra))
+    return str(ini)
+
+
+def test_makelib_then_uselib(model_dir):
+    ini = write_ini(model_dir)
+    _, emitted_full, _ = run_pipeline(ini, lanes=1 << 10, mode="makelib")
+    lib_path = model_dir / "tmp.lib"
+    assert lib_path.exists()
+
+    _, emitted_lib, res_map = run_pipeline(ini, lanes=1 << 10, mode="uselib")
+    # library answers must reproduce the full solve closely on this
+    # single-phase model (every cell falls in an occupied bin)
+    sel = emitted_full > emitted_full.max() * 1e-6
+    rel = np.abs(emitted_lib[sel] - emitted_full[sel]) / emitted_full[sel]
+    assert np.median(rel) < 0.05
+    assert res_map.maps[0].shape[1:] == (8, 8)
+
+
+def test_nnmake_then_nnsolve(model_dir):
+    ini = write_ini(model_dir,
+                    "nnmake  surro\nnnabs  0.55 2.2 25.0 250.0\n"
+                    "nnemit  100.0 250.0 500.0\n")
+    _, emitted_full, _ = run_pipeline(ini, lanes=1 << 10)
+    assert (model_dir / "surro_tmp.nn").exists()
+
+    ini2 = write_ini(model_dir,
+                     "nnsolve  surro\nnnabs  0.55 2.2 25.0 250.0\n"
+                     "nnemit  100.0 250.0 500.0\n")
+    _, emitted_nn, _ = run_pipeline(ini2, lanes=1 << 10)
+    # NN emission at the nnemit wavelengths must be close to the real solve
+    from soc_tpu.constants import um2f
+    from soc_tpu.io.dust import read_simple_dust
+    freq = read_simple_dust(str(model_dir / "tmp.dust"), 0.01).freq
+    idx = [int(np.argmin(np.abs(freq - um2f(u))))
+           for u in (100.0, 250.0, 500.0)]
+    a = emitted_nn[:, idx]
+    b = emitted_full[:, idx]
+    sel = b > 0
+    rel = np.abs(a[sel] - b[sel]) / b[sel]
+    assert np.median(rel) < 0.1
+    # all other columns stay zero in an nnsolve run
+    other = np.ones(len(freq), bool)
+    other[idx] = False
+    assert np.abs(emitted_nn[:, other]).max() == 0.0
