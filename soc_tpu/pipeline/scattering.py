@@ -1,10 +1,29 @@
 """Scattered-light pipeline (the ASOCS.py workload).
 
-Per selected frequency: simulate packets from the background / point
-sources with forced first scattering and peel-off toward every observer;
-accumulate OUT[NDIR, NY, NX] and write the reference's outcoming.socs
-container: int32 [NY, NX, NFREQ] + float32 FFREQ header, then float32
-[NFREQ, NDIR, NY, NX] (ASOCS.py:385-397).
+Per selected frequency, simulate packets from every configured source with
+peel-off toward the observers and accumulate OUT:
+
+  * isotropic background   (SimRAM_PB II==1, kernel_ASOC_sca.c:471)
+  * healpix-sky background (SimRAM_HP, kernel_ASOC_sca.c:40)
+  * point sources          (SimRAM_PS, kernel_ASOC_sca.c:1462)
+  * dust cell emission     (SimRAM_CL, kernel_ASOC_sca.c:1098; reads the
+    emitted file, EMIT = EMITTED * 1e-20*GL*PARSEC/8^level * DENS,
+    ASOCS.py:790-795)
+  * diffuse volume field   (same kernel, EMIT = DIFFUSERAD * GL*PARSEC /
+    8^level * K_DIFFUSE, ASOCS.py:640-650)
+
+With `perspective x y z` (+ optional `outnside N`) the output is an
+all-sky healpix map around the internal observer (NDIR<0 mode,
+ASOCS.py:43-49); otherwise OUT[NDIR, NY, NX] orthographic maps.
+
+Output container `outcoming.socs` (ASOCS.py:385-402):
+  flat maps: int32 [NY, NX, NFREQ] + float32 FFREQ + [NFREQ, NDIR, NY, NX]
+  healpix  : int32 [NSIDE, NFREQ]  + float32 FFREQ + [NFREQ, 12*NSIDE^2]
+Values are scaled to surface brightness with k = FREQ*1e23*PLANCK/(DX^2)
+(healpix: / pixel solid angle) -- ASOCS.py:873-884.
+
+Multiple dusts get WITH_MSF treatment: per-species CSC sampling and
+abundance-weighted per-dust DSC peel-off.
 """
 
 import os
@@ -14,7 +33,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..config import RunConfig
-from ..constants import PLANCK
+from ..constants import PARSEC, PLANCK
 from ..io.cloud import read_cloud
 from ..io.dust import read_simple_dust, read_scattering_function
 from ..io.fields import read_background_intensity
@@ -49,12 +68,34 @@ def _run_inner(cfg, write_files, nlanes):
     cfg.freq = freq
     nfreq = len(freq)
     bins = cfg.dsc_bins if cfg.dsc_bins > 0 else 2500
-    dsc, csc = read_scattering_function(cfg.file_scafunc[0], nfreq, bins)
-    medium = medium_from_optics(optics, dsc, csc, freq)
+    ndust = len(optics)
+    dscs, cscs = [], []
+    for path in (cfg.file_scafunc or [cfg.file_scafunc[0]] * 1):
+        d, c = read_scattering_function(path, nfreq, bins)
+        dscs.append(d)
+        cscs.append(c)
+    medium = medium_from_optics(optics, dscs[0], cscs[0], freq)
     seed = np.uint32(max(0.0, cfg.seed) * 2**31) + np.uint32(77777)
+
+    # WITH_MSF: one scattering function per dust + abundances
+    msf = None
+    if ndust > 1 and len(dscs) == ndust:
+        abu = np.ones((grid.cells, ndust), np.float32) / ndust
+        for d, path in enumerate(cfg.file_abundance[:ndust]):
+            if path and not path.startswith("#"):
+                abu[:, d] = np.fromfile(path, np.float32, grid.cells)
+        msf = dict(abu=jnp.asarray(abu),
+                   dscs=np.stack(dscs), cscs=np.stack(cscs),
+                   sca=np.stack([np.asarray(o.sca_gl) for o in optics]))
 
     ndir = len(cfg.obs_theta)
     nxp, nyp = cfg.npix
+    healpix_nside = 0
+    obs_pos = None
+    if cfg.intobs[0] > -1e7:
+        # internal observer -> all-sky healpix output
+        healpix_nside = int(cfg.keys.get("outnside", [[128]])[0][0])
+        obs_pos = cfg.intobs
     odirs = np.zeros((ndir, 3), np.float32)
     ras = np.zeros((ndir, 3), np.float32)
     des = np.zeros((ndir, 3), np.float32)
@@ -66,16 +107,46 @@ def _run_inner(cfg, write_files, nlanes):
         centre = (0.5 * grid.nx, 0.5 * grid.ny, 0.5 * grid.nz)
 
     area = int(grid.area)
-    outcoming = np.zeros((nfreq, ndir, nyp, nxp), np.float32)
+    if healpix_nside > 0:
+        outcoming = np.zeros((nfreq, 12 * healpix_nside ** 2), np.float32)
+    else:
+        outcoming = np.zeros((nfreq, ndir, nyp, nxp), np.float32)
     ibg = None
     if cfg.bgpac > 0 and cfg.file_background:
         ibg = read_background_intensity(cfg.file_background, nfreq) \
+            * cfg.scale_background
+    hpbg = None
+    if cfg.bgpac > 0 and cfg.file_hpbg:
+        hpbg = np.fromfile(cfg.file_hpbg, np.float32).reshape(nfreq, -1) \
             * cfg.scale_background
     lps = None
     if cfg.no_ps > 0 and cfg.pspac > 0:
         lps = np.zeros((cfg.no_ps, nfreq), np.float32)
         for i, f in enumerate(cfg.file_pointsource):
             lps[i] = np.fromfile(f, np.float32, nfreq) * cfg.ps_scale[i]
+    emitted = None
+    if cfg.clpac > 0 and os.path.exists(cfg.file_emitted):
+        from ..io.fields import read_cell_frequency_array
+        emitted = read_cell_frequency_array(cfg.file_emitted)
+        if emitted.shape[1] != nfreq:
+            from .driver import remit_mask_of
+            full = np.zeros((emitted.shape[0], nfreq), np.float32)
+            full[:, remit_mask_of(cfg, freq)] = emitted
+            emitted = full
+    diffuserad = None
+    if cfg.file_diffuse and (cfg.dfpac > 0 or cfg.clpac > 0):
+        from .driver import read_diffuse_field
+        diffuserad = read_diffuse_field(cfg.file_diffuse, grid.cells)
+
+    lev = _cell_levels(grid)
+    dens = np.asarray(grid.dens)
+
+    def sim(physics, params, total, kind, ffs):
+        return simulate_scattering(
+            grid, physics, params, total, odirs, ras, des, centre,
+            cfg.map_dx, (nxp, nyp), seed, source_kind=kind,
+            nlanes=nlanes, ffs=ffs, healpix_nside=healpix_nside,
+            obs_pos=obs_pos)
 
     sim_lo, sim_hi = cfg.sim_f
     for ifreq in range(nfreq):
@@ -84,22 +155,35 @@ def _run_inner(cfg, write_files, nlanes):
         physics = dict(kabs=medium.abs_gl[ifreq], ksca=medium.sca_gl[ifreq],
                        csc=medium.csc[ifreq], dsc=medium.dsc[ifreq],
                        tw=medium.tw[ifreq])
+        if msf is not None:
+            physics.update(
+                msf_csc=jnp.asarray(msf["cscs"][:, ifreq]),
+                msf_dsc=jnp.asarray(msf["dscs"][:, ifreq]),
+                msf_abu=msf["abu"],
+                msf_sca=jnp.asarray(msf["sca"][:, ifreq]))
         if ibg is not None:
             batch = max(1, int(round(cfg.bgpac / (8.0 * area))))
             per_freq = 8 * area * batch
             wbg = np.pi / (PLANCK * 8.0 * batch)
-            bg_photons = np.float32(ibg[ifreq] * wbg / freq[ifreq])
-            params = dict(photons=jnp.float32(bg_photons),
+            params = dict(photons=jnp.float32(ibg[ifreq] * wbg
+                                              / freq[ifreq]),
                           ifreq=jnp.int32(ifreq),
                           per_freq=jnp.int32(per_freq),
                           hi_base=jnp.uint32(src.stream_hi_base("sca_bg")))
-            out = simulate_scattering(
-                grid, physics, params, per_freq, odirs, ras, des, centre,
-                cfg.map_dx, (nxp, nyp), seed + ifreq, source_kind="bg",
-                nlanes=nlanes, ffs=cfg.ffs > 0)
-            outcoming[ifreq] += out
+            outcoming[ifreq] += sim(physics, params, per_freq, "bg",
+                                    cfg.ffs > 0)
+        if hpbg is not None:
+            per_freq = max(1, int(cfg.bgpac))
+            wbg = np.pi * area / (PLANCK * per_freq)
+            vals = (np.asarray(hpbg[ifreq], np.float64)
+                    * (wbg / freq[ifreq])).astype(np.float32)
+            params = dict(hpbg=jnp.asarray(vals), cdf=None,
+                          ifreq=jnp.int32(ifreq),
+                          per_freq=jnp.int32(per_freq),
+                          hi_base=jnp.uint32(src.stream_hi_base("sca_hpbg")))
+            outcoming[ifreq] += sim(physics, params, per_freq, "hpbg",
+                                    cfg.ffs > 0)
         if lps is not None:
-            from ..constants import PARSEC
             pspac = max(1, cfg.pspac)
             wps = 1.0 / (PLANCK * pspac * (cfg.gl * PARSEC) ** 2)
             ps_photons = (lps[:, ifreq] * wps / freq[ifreq]).astype(
@@ -109,15 +193,65 @@ def _run_inner(cfg, write_files, nlanes):
                           ifreq=jnp.int32(ifreq),
                           per_freq=jnp.int32(pspac * cfg.no_ps),
                           hi_base=jnp.uint32(src.stream_hi_base("sca_ps")))
-            out = simulate_scattering(
-                grid, physics, params, pspac * cfg.no_ps, odirs, ras, des,
-                centre, cfg.map_dx, (nxp, nyp), seed + ifreq,
-                source_kind="ps", nlanes=nlanes, ffs=cfg.ffs > 0)
-            outcoming[ifreq] += out
+            outcoming[ifreq] += sim(physics, params, pspac * cfg.no_ps,
+                                    "ps", cfg.ffs > 0)
+        if emitted is not None:
+            #  EMIT = EMITTED * 1e-20 * GL*PARSEC/8^level * DENS
+            #  (ASOCS.py:790-795; 1e-20 removes the FACTOR scaling)
+            per_cell = max(1, int(cfg.clpac) // grid.cells)
+            emit = (np.asarray(emitted[:, ifreq], np.float64)
+                    * (1.0e-20 * cfg.gl * PARSEC / 8.0 ** lev) * dens)
+            emit[dens < 1e-10] = 0.0
+            params = dict(emit=jnp.asarray((emit / per_cell)
+                                           .astype(np.float32)),
+                          per_cell=jnp.int32(per_cell),
+                          ifreq=jnp.int32(ifreq),
+                          per_freq=jnp.int32(per_cell * grid.cells),
+                          hi_base=jnp.uint32(src.stream_hi_base("sca_cell")))
+            outcoming[ifreq] += sim(physics, params, per_cell * grid.cells,
+                                    "cell", False)
+        if diffuserad is not None:
+            dfpac = cfg.dfpac if cfg.dfpac > 0 else cfg.clpac
+            per_cell = max(1, int(dfpac) // grid.cells)
+            dr_ind = ifreq + (diffuserad.shape[1] - nfreq)
+            if dr_ind >= 0:
+                emit = (np.asarray(diffuserad[:, dr_ind], np.float64)
+                        * (cfg.k_diffuse * cfg.gl * PARSEC / 8.0 ** lev))
+                emit[dens < 1e-10] = 0.0
+                params = dict(emit=jnp.asarray((emit / per_cell)
+                                               .astype(np.float32)),
+                              per_cell=jnp.int32(per_cell),
+                              ifreq=jnp.int32(ifreq),
+                              per_freq=jnp.int32(per_cell * grid.cells),
+                              hi_base=jnp.uint32(
+                                  src.stream_hi_base("diffuse")))
+                outcoming[ifreq] += sim(physics, params,
+                                        per_cell * grid.cells, "cell",
+                                        False)
+
+    # final surface-brightness scaling (ASOCS.py:873-884)
+    for ifreq in range(nfreq):
+        if healpix_nside > 0:
+            k = freq[ifreq] * 1.0e23 * PLANCK \
+                / (4.0 * np.pi / (12.0 * healpix_nside ** 2))
+        else:
+            k = freq[ifreq] * 1.0e23 * PLANCK / (cfg.map_dx ** 2)
+        outcoming[ifreq] *= k
 
     if write_files:
         with open("outcoming.socs", "wb") as fp:
-            np.asarray([nyp, nxp, nfreq], np.int32).tofile(fp)
+            if healpix_nside > 0:
+                np.asarray([healpix_nside, nfreq], np.int32).tofile(fp)
+            else:
+                np.asarray([nyp, nxp, nfreq], np.int32).tofile(fp)
             np.asarray(freq, np.float32).tofile(fp)
             outcoming.tofile(fp)
     return outcoming
+
+
+def _cell_levels(grid):
+    lev = np.zeros(grid.cells, np.int32)
+    off = np.asarray(grid.off)
+    for l in range(1, grid.levels):
+        lev[off[l]:] = l
+    return lev

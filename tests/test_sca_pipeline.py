@@ -1,0 +1,120 @@
+"""ASOCS-equivalent scattering pipeline: all source blocks + outputs.
+
+Covers the reference source set (bg, point source, cell emission from the
+emitted file, diffuse field) and both output modes (orthographic maps,
+internal-observer healpix) through the ini-driven `scattering.run`.
+"""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from soc_tpu.pipeline import driver, scattering
+
+SOCEX = "/tmp/socex"
+N = 10
+
+INI = """
+gridlength      0.01
+cloud           tmp.cloud
+mapping         8 8 1.0
+density         3.0e4
+seed            1.0
+directions      0.0 0.0
+optical         tmp.dust
+dsc             tmp.dsc 2500
+background      bg_intensity.bin
+bgpackets       {bgpac}
+iterations      1
+emitted         emitted.data
+simum           0.2 1.0
+{extra}
+"""
+
+
+@pytest.fixture()
+def model_dir(tmp_path):
+    for f in ("tmp.dust", "tmp.dsc", "bg_intensity.bin"):
+        shutil.copy(os.path.join(SOCEX, f), tmp_path)
+    from soc_tpu.io.cloud import write_hierarchy
+    write_hierarchy(tmp_path / "tmp.cloud", N, N, N, [N ** 3],
+                    [np.ones(N ** 3, np.float32)])
+    return tmp_path
+
+
+def write_ini(model_dir, extra="", bgpac=None):
+    ini = model_dir / "sca.ini"
+    ini.write_text(INI.format(bgpac=8 * 6 * N * N if bgpac is None
+                              else bgpac, extra=extra))
+    return str(ini)
+
+
+def test_bg_scattering_scaled_container(model_dir):
+    ini = write_ini(model_dir)
+    out = scattering.run(ini, nlanes=1 << 11)
+    assert out.shape == (44, 1, 8, 8)
+    with open(model_dir / "outcoming.socs", "rb") as fp:
+        ny, nx, nf = np.fromfile(fp, np.int32, 3)
+        ffreq = np.fromfile(fp, np.float32, nf)
+        data = np.fromfile(fp, np.float32).reshape(nf, 1, ny, nx)
+    assert (ny, nx, nf) == (8, 8, 44)
+    assert np.all(np.diff(ffreq) > 0)      # frequency header, increasing
+    # only the simum band (0.2-1 um) is simulated
+    from soc_tpu.constants import um2f
+    band = (ffreq >= um2f(1.0)) & (ffreq <= um2f(0.2))
+    assert data[band].sum() > 0
+    assert data[~band].sum() == 0
+    # surface-brightness scaling applied (k ~ freq*1e23*h -> O(1e4) values)
+    assert data.max() > 1.0
+
+
+def test_cell_emission_scattering(model_dir):
+    """SimRAM_CL source block: scattering of in-cloud emission read from
+    the emitted file. Uses a synthetic emitted.data with power in one
+    optical channel (where k_sca is significant; real dust emission peaks
+    in the FIR where nothing scatters)."""
+    from soc_tpu.constants import um2f
+    from soc_tpu.io.dust import read_simple_dust
+    from soc_tpu.io.fields import write_cell_frequency_array
+    freq = read_simple_dust(str(model_dir / "tmp.dust"), 0.01).freq
+    ich = int(np.argmin(np.abs(freq - um2f(0.55))))
+    cells = N ** 3
+    emitted = np.zeros((cells, 44), np.float32)
+    emitted[:, ich] = 1.0e10
+    write_cell_frequency_array(model_dir / "emitted.data", emitted)
+
+    ini = write_ini(model_dir, extra="cellpackets %d\n" % (2 * cells),
+                    bgpac=0)
+    out = scattering.run(ini, nlanes=1 << 11)
+    assert out[ich].sum() > 0
+    assert out.sum() == pytest.approx(out[ich].sum())
+
+
+def test_diffuse_scattering(model_dir):
+    cells = N ** 3
+    field = np.zeros((cells, 44), np.float32)
+    field[:, 40] = 1.0                   # one high-frequency channel
+    with open(model_dir / "diffuse.bin", "wb") as fp:
+        np.asarray([cells, 44], np.int32).tofile(fp)
+        field.tofile(fp)
+    ini = write_ini(model_dir,
+                    extra="diffuse  diffuse.bin\ndiffpack %d\n" % (2 * cells),
+                    bgpac=0)
+    ini2 = model_dir / "sca3.ini"
+    ini2.write_text(open(ini).read().replace("simum           0.2 1.0", ""))
+    out = scattering.run(str(ini2), nlanes=1 << 11)
+    assert out[40].sum() > 0
+    assert out.sum() == pytest.approx(out[40].sum())
+
+
+def test_internal_observer_healpix(model_dir):
+    ini = write_ini(model_dir,
+                    extra="perspective  5.0 5.0 5.0\noutnside  8\n")
+    out = scattering.run(ini, nlanes=1 << 11)
+    assert out.shape == (44, 12 * 8 * 8)
+    assert out.sum() > 0
+    with open(model_dir / "outcoming.socs", "rb") as fp:
+        nside, nf = np.fromfile(fp, np.int32, 2)
+    assert (nside, nf) == (8, 44)
