@@ -1,0 +1,424 @@
+"""Live spatial domain decomposition: grid slabs + ppermute halo exchange.
+
+The reference's only domain coupling is the offline ROI photon file
+(kernel_ASOC.c:469-505, 617-660: record boundary-crossing packets, re-inject
+them in a second run). Here that becomes a LIVE exchange over the 'dp' mesh
+axis: the root grid is split into Z-slabs, every device steps the packets
+inside its slab, and packets crossing a slab face are packed into fixed-size
+buffers and handed to the neighbor with ``lax.ppermute`` between stepping
+super-steps -- communication rides ICI and overlaps with the next block of
+local stepping that XLA schedules around it.
+
+Key invariants:
+  * RNG streams are the global (hi, lo) packet ids, and a packet carries its
+    stream + draw counter across the exchange -- the random sequence each
+    packet consumes is IDENTICAL to the single-device run, so domain
+    decomposition changes results only through boundary-epsilon geometry.
+  * Source ownership: every device evaluates the shared counter-based
+    source for every packet id but keeps only the ids whose entry position
+    falls in its slab; ids are owned by exactly one device.
+  * Fixed shapes everywhere: emigrant buffers hold at most ``nlanes``
+    packets per direction per super-step; a pending queue (capacity
+    4*nlanes) absorbs arrivals that do not fit into free lanes immediately.
+"""
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from ..constants import MAX_SCATTERINGS, PEPS, PHOTON_LIMIT, TAULIM
+from ..grid import Grid, decode_link_np, encode_link_np, build_parents
+from ..ops import traverse
+from ..transport.propagate import _csc_lookup, _deflect
+from ..transport.sources import background_entry, stream_hi_base
+from .. import rng as socrng
+
+
+@dataclass
+class SlabSet:
+    """Host-side container of S stacked slab grids (Z-decomposition)."""
+
+    dens: np.ndarray        # [S, CELLS_PAD]
+    lcells: np.ndarray      # [S, LEVELS]
+    off: np.ndarray         # [LEVELS] shared (levels padded to max size)
+    par: np.ndarray         # [S, CELLS_PAD]
+    gidx: np.ndarray        # [S, CELLS_PAD] global cell index, -1 = padding
+    nx: int = 0
+    ny: int = 0
+    nz: int = 0             # GLOBAL z extent
+    nz_local: int = 0
+    levels: int = 0
+    cells_pad: int = 0
+    n_slabs: int = 0
+
+
+def split_grid_slabs(grid, n_slabs):
+    """Split an octree grid into Z-slabs of nz/S root planes each.
+
+    Slab boundaries align with root-cell planes, so every sub-octree is
+    fully contained in one slab; child links are renumbered per slab.
+    """
+    nx, ny, nz = grid.nx, grid.ny, grid.nz
+    assert nz % n_slabs == 0, "NZ must divide the slab count"
+    nzl = nz // n_slabs
+    dens = np.asarray(grid.dens)
+    off = np.asarray(grid.off)
+    lcells = np.asarray(grid.lcells)
+    levels = grid.levels
+
+    per_slab = []       # per slab: list of (values, global_level_indices)
+    for s in range(n_slabs):
+        sel = np.arange(s * nx * ny * nzl, (s + 1) * nx * ny * nzl)
+        level_vals = [dens[off[0] + sel].copy()]
+        level_gidx = [off[0] + sel]
+        for level in range(1, levels):
+            vals_prev = level_vals[level - 1]
+            parents = np.nonzero(vals_prev <= 0.0)[0]
+            if len(parents) == 0:
+                level_vals.append(np.zeros(0, np.float32))
+                level_gidx.append(np.zeros(0, np.int64))
+                continue
+            first_old = decode_link_np(vals_prev[parents])
+            child_old = (first_old[:, None]
+                         + np.arange(8)[None, :]).reshape(-1)
+            level_vals.append(dens[off[level] + child_old].copy())
+            level_gidx.append(off[level] + child_old)
+            # renumber: children of parent j occupy [8j, 8j+8)
+            vals_prev[parents] = encode_link_np(8 * np.arange(len(parents)))
+        per_slab.append((level_vals, level_gidx))
+
+    # pad every level to the max size over slabs -> shared off[]
+    max_l = [max(len(per_slab[s][0][l]) for s in range(n_slabs))
+             for l in range(levels)]
+    off_new = np.zeros(levels, np.int32)
+    off_new[1:] = np.cumsum(max_l)[:-1]
+    cells_pad = int(np.sum(max_l))
+    dens_s = np.zeros((n_slabs, cells_pad), np.float32)
+    lcells_s = np.zeros((n_slabs, levels), np.int32)
+    par_s = np.full((n_slabs, cells_pad), -1, np.int32)
+    gidx_s = np.full((n_slabs, cells_pad), -1, np.int32)
+    max_l = np.asarray(max_l, np.int32)
+    for s in range(n_slabs):
+        level_vals, level_gidx = per_slab[s]
+        lc = np.asarray([len(v) for v in level_vals], np.int32)
+        lcells_s[s] = lc
+        # padding cells carry a tiny positive density so they read as
+        # (unreachable) leaves, never as child links
+        flat = np.full(cells_pad, 1e-30, np.float32)
+        for l in range(levels):
+            flat[off_new[l]:off_new[l] + lc[l]] = level_vals[l]
+            gidx_s[s, off_new[l]:off_new[l] + lc[l]] = level_gidx[l]
+        dens_s[s] = flat
+        par_s[s] = build_parents(flat, max_l, off_new, nx, ny, nzl)
+    return SlabSet(dens=dens_s, lcells=lcells_s, off=off_new, par=par_s,
+                   gidx=gidx_s, nx=nx, ny=ny, nz=nz, nz_local=nzl,
+                   levels=levels, cells_pad=cells_pad, n_slabs=n_slabs)
+
+
+# packet payload layout for the exchange buffers: 13 float32 words
+# [pos3 | dir3 | photons | free_path | tau | stream | hi | counter | scat]
+_PK = 13
+
+
+def _pack(pos, dir, photons, free_path, tau, stream, hi, counter, scat):
+    as_f = lambda x: lax.bitcast_convert_type(x, jnp.float32)
+    return jnp.concatenate([
+        pos, dir,
+        photons[:, None], free_path[:, None], tau[:, None],
+        as_f(stream)[:, None], as_f(hi)[:, None], as_f(counter)[:, None],
+        as_f(scat.astype(jnp.uint32))[:, None]], axis=1)
+
+
+def _unpack(buf):
+    as_u = lambda x: lax.bitcast_convert_type(x, jnp.uint32)
+    pos = buf[:, 0:3]
+    dir = buf[:, 3:6]
+    photons = buf[:, 6]
+    free_path = buf[:, 7]
+    tau = buf[:, 8]
+    stream = as_u(buf[:, 9])
+    hi = as_u(buf[:, 10])
+    counter = as_u(buf[:, 11])
+    scat = as_u(buf[:, 12]).astype(jnp.int32)
+    return pos, dir, photons, free_path, tau, stream, hi, counter, scat
+
+
+def domain_background_run(slabs, physics, bg_photons, total_packets, seed,
+                          mesh, nlanes=1 << 10, k_inner=32,
+                          max_super=1 << 20):
+    """Isotropic-background transport over Z-slab domains on the dp axis.
+
+    physics : uniform-frequency dict (scalar kabs/ksca/tw, csc [BINS])
+    Returns (tabs [GLOBAL CELLS] on host order, escaped scalar).
+    """
+    S = slabs.n_slabs
+    assert mesh.shape["dp"] == S, "dp axis must equal the slab count"
+    assert mesh.shape.get("freq", 1) == 1, "freq axis unused here"
+    nx, ny, nz, nzl = slabs.nx, slabs.ny, slabs.nz, slabs.nz_local
+    levels, cells_pad = slabs.levels, slabs.cells_pad
+    kabs = physics["kabs"]
+    ksca = physics["ksca"]
+    csc = physics["csc"]
+    tw = physics["tw"]
+    bins = csc.shape[-1]
+    seed = jnp.uint32(seed)
+    hi_base = jnp.uint32(stream_hi_base("bg"))
+    PCAP = 4 * nlanes
+    fwd = [(i, (i + 1) % S) for i in range(S)]       # to upper neighbor
+    bwd = [(i, (i - 1) % S) for i in range(S)]       # to lower neighbor
+
+    off_c = jnp.asarray(slabs.off)
+
+    def local_grid(dens_l, lcells_l, par_l):
+        return Grid(dens=dens_l, lcells=lcells_l, off=off_c, par=par_l,
+                    nx=nx, ny=ny, nz=nzl, levels=levels, cells=cells_pad)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P("dp"), P("dp"), P("dp")),
+             out_specs=(P("dp"), P()), check_vma=False)
+    def run(dens_s, lcells_s, par_s):
+        rank = lax.axis_index("dp")
+        grid = local_grid(dens_s[0], lcells_s[0], par_s[0])
+
+        def spawn_from_ids(ids, can):
+            """Global source eval + slab-ownership filter."""
+            stream = ids.astype(jnp.uint32)
+            hi = hi_base
+            pos_g, dir = background_entry(nx, ny, nz, stream,
+                                          jnp.full_like(stream, hi), seed)
+            own = (jnp.floor(pos_g[:, 2] / nzl).astype(jnp.int32)
+                   == rank)
+            ok = can & own
+            pos_l = pos_g.at[:, 2].add(-(rank * nzl).astype(jnp.float32))
+            pos_l = pos_l.at[:, 2].set(
+                jnp.clip(pos_l[:, 2], PEPS, nzl - PEPS))
+            p, lev, ind = traverse.index_global(grid, pos_l)
+            ind = jnp.where(ok, ind, -1)
+            fp_u = socrng.uniform1(seed, stream,
+                                   jnp.full_like(stream, 2),
+                                   jnp.full_like(stream, hi))
+            return (p, dir, lev, ind,
+                    jnp.full(ids.shape, bg_photons, jnp.float32),
+                    stream, jnp.full_like(stream, hi),
+                    jnp.full_like(stream, 3),          # counter
+                    jnp.zeros(ids.shape, jnp.int32),   # scatterings
+                    -jnp.log(fp_u))
+
+        def step_once(st):
+            (pos, dir, lev, ind, photons, stream, hi, counter, scat,
+             free_path, tau, emig, tabs, esc) = st
+            alive = (ind >= 0) & (emig == 0)
+            ci = jnp.clip(off_c[jnp.clip(lev, 0, levels - 1)]
+                          + jnp.maximum(ind, 0), 0, cells_pad - 1)
+            dens = grid.dens[ci]
+            ds_local, pos_boundary = traverse.boundary_step(pos, dir)
+            ds_gl = ds_local * jnp.exp2(-lev.astype(jnp.float32))
+            tau_abs_full = ds_gl * dens * kabs
+            dtau_sca = ds_gl * dens * ksca
+            scatter_now = alive & (free_path < tau + dtau_sca)
+            dx_gl = (free_path - tau) / jnp.maximum(ksca * dens, 1e-30)
+            tau_abs_part = dx_gl * dens * kabs
+            dx_local = jnp.maximum(
+                0.0, dx_gl * jnp.exp2(lev.astype(jnp.float32))
+                - 2.0 * PEPS)
+            pos_scatter = pos + dx_local[:, None] * dir
+            tau_abs = jnp.where(scatter_now, tau_abs_part, tau_abs_full)
+            att = jnp.exp(-tau_abs)
+            delta = jnp.where(tau_abs > TAULIM,
+                              photons * (1.0 - att),
+                              photons * tau_abs * (1.0 - 0.5 * tau_abs))
+            didx = jnp.where(alive, ci, cells_pad)
+            tabs = tabs.at[didx].add(delta * tw, mode="drop")
+            photons = jnp.where(alive, photons * att, photons)
+
+            u_bin, u_phi, u_fp, _ = socrng.uniform4(seed, stream, counter,
+                                                    hi)
+            cos_theta = _csc_lookup(csc, jnp.zeros_like(ind), u_bin, bins)
+            new_dir = _deflect(dir, cos_theta, (2.0 * jnp.pi) * u_phi)
+
+            posx = jnp.where(alive[:, None], pos_boundary, pos)
+            cross = alive & ~scatter_now
+            npos, nlev, nind = traverse.index_update(grid, posx, lev, ind,
+                                                     cross)
+            failed = cross & (nlev == lev) & (nind == ind)
+            npos = jnp.where(failed[:, None], npos + PEPS * dir, npos)
+
+            # slab-boundary crossing: exits via the Z faces with a live
+            # neighbor become emigrants instead of escapes; exits via the
+            # global X/Y faces always escape
+            exited = cross & (nind < 0)
+            out_xy = ((npos[:, 0] <= 0.0) | (npos[:, 0] >= nx)
+                      | (npos[:, 1] <= 0.0) | (npos[:, 1] >= ny))
+            z = npos[:, 2]
+            go_up = exited & ~out_xy & (z >= 0.5 * nzl) & (rank < S - 1)
+            go_dn = exited & ~out_xy & (z < 0.5 * nzl) & (rank > 0)
+            new_emig = jnp.where(go_up, 1, jnp.where(go_dn, -1, 0))
+            escaped_now = exited & (new_emig == 0)
+
+            posm = jnp.where(scatter_now[:, None], pos_scatter, npos)
+            levm = jnp.where(scatter_now, lev, nlev)
+            indm = jnp.where(scatter_now, ind, nind)
+            dirm = jnp.where(scatter_now[:, None], new_dir, dir)
+            scatm = scat + scatter_now.astype(jnp.int32)
+            over = scatter_now & (scatm > MAX_SCATTERINGS)
+            faint = alive & (photons < PHOTON_LIMIT)
+            esc = esc + jnp.sum(jnp.where((escaped_now | over) & alive,
+                                          photons, 0.0))
+            indm = jnp.where(over | faint, -1, indm)
+            free_path = jnp.where(scatter_now, -jnp.log(u_fp), free_path)
+            tau = jnp.where(scatter_now, 0.0,
+                            jnp.where(cross, tau + dtau_sca, tau))
+            # advance the draw counter only on real packet steps so a
+            # packet's random sequence is identical to the single-device
+            # run even while its lane idles before/after the exchange
+            counter = counter + alive.astype(jnp.uint32)
+            emig = jnp.where(alive, new_emig, emig)
+            # emigrant lanes freeze at the boundary position
+            return (posm, dirm, levm, indm, photons, stream, hi, counter,
+                    scatm, free_path, tau, emig, tabs, esc)
+
+        def superstep(carry):
+            (it, pos, dir, lev, ind, photons, stream, hi, counter, scat,
+             free_path, tau, emig, pend, pend_n, next_id, tabs, esc,
+             g_active) = carry
+
+            # ---- drain pending queue into free lanes
+            free = (ind < 0) & (emig == 0)
+            fi = free.astype(jnp.int32)
+            rankf = jnp.cumsum(fi) - fi
+            take = free & (rankf < pend_n)
+            slot = jnp.where(take, pend_n - 1 - rankf, 0)
+            (ppos, pdir, pph, pfp, ptau, pstream, phi, pctr,
+             pscat) = _unpack(pend[slot])
+            p2, plev, pind = traverse.index_global(grid, ppos)
+            pos = jnp.where(take[:, None], p2, pos)
+            dir = jnp.where(take[:, None], pdir, dir)
+            lev = jnp.where(take, plev, lev)
+            ind = jnp.where(take, jnp.where(pind >= 0, pind, -1), ind)
+            photons = jnp.where(take, pph, photons)
+            free_path = jnp.where(take, pfp, free_path)
+            tau = jnp.where(take, ptau, tau)
+            stream = jnp.where(take, pstream, stream)
+            hi = jnp.where(take, phi, hi)
+            counter = jnp.where(take, pctr, counter)
+            scat = jnp.where(take, pscat, scat)
+            pend_n = pend_n - jnp.sum(take.astype(jnp.int32))
+
+            # ---- refill remaining free lanes from the shared id budget
+            free = (ind < 0) & (emig == 0)
+            fi = free.astype(jnp.int32)
+            rankf = jnp.cumsum(fi) - fi
+            ids = next_id + rankf
+            can = free & (ids < total_packets)
+            (spos, sdir, slev, sind, sph, sstream, shi, sctr, sscat,
+             sfp) = spawn_from_ids(jnp.where(can, ids, 0), can)
+            pos = jnp.where(can[:, None], spos, pos)
+            dir = jnp.where(can[:, None], sdir, dir)
+            lev = jnp.where(can, slev, lev)
+            ind = jnp.where(can, sind, ind)
+            photons = jnp.where(can, sph, photons)
+            stream = jnp.where(can, sstream, stream)
+            hi = jnp.where(can, shi, hi)
+            counter = jnp.where(can, sctr, counter)
+            scat = jnp.where(can, sscat, scat)
+            free_path = jnp.where(can, sfp, free_path)
+            tau = jnp.where(can, 0.0, tau)
+            next_id = next_id + jnp.sum(can.astype(jnp.int32))
+
+            # ---- k_inner local steps
+            st = (pos, dir, lev, ind, photons, stream, hi, counter, scat,
+                  free_path, tau, emig, tabs, esc)
+            st = lax.fori_loop(0, k_inner, lambda _, s: step_once(s), st)
+            (pos, dir, lev, ind, photons, stream, hi, counter, scat,
+             free_path, tau, emig, tabs, esc) = st
+
+            # ---- pack + exchange emigrants (z shifted to neighbor frame)
+            def pack_dirn(sign):
+                sel = emig == sign
+                si = sel.astype(jnp.int32)
+                ranks = jnp.cumsum(si) - si
+                slot = jnp.where(sel, ranks, nlanes)
+                zshift = jnp.where(sign > 0, -float(nzl), float(nzl))
+                posz = pos.at[:, 2].add(zshift)
+                posz = posz.at[:, 2].set(
+                    jnp.clip(posz[:, 2], PEPS, nzl - PEPS))
+                payload = _pack(posz, dir, photons, free_path, tau,
+                                stream, hi, counter, scat)
+                buf = jnp.zeros((nlanes + 1, _PK), jnp.float32)
+                buf = buf.at[slot].set(payload, mode="drop")
+                return buf[:nlanes], jnp.sum(si)
+
+            up_buf, n_up = pack_dirn(1)
+            dn_buf, n_dn = pack_dirn(-1)
+            ind = jnp.where(emig != 0, -1, ind)
+            emig = jnp.zeros_like(emig)
+            # ring permute; the wrap-around entries carry count 0
+            r_up = lax.ppermute(up_buf, "dp", fwd)
+            c_up = lax.ppermute(jnp.where(rank == S - 1, 0, n_up), "dp",
+                                fwd)
+            r_dn = lax.ppermute(dn_buf, "dp", bwd)
+            c_dn = lax.ppermute(jnp.where(rank == 0, 0, n_dn), "dp", bwd)
+
+            # ---- append arrivals to the pending queue
+            idx = pend_n + jnp.arange(nlanes)
+            okl = jnp.arange(nlanes) < c_up
+            pend = pend.at[jnp.where(okl, jnp.minimum(idx, PCAP - 1),
+                                     PCAP)].set(r_up, mode="drop")
+            pend_n = jnp.minimum(pend_n + c_up, PCAP)
+            idx = pend_n + jnp.arange(nlanes)
+            okl = jnp.arange(nlanes) < c_dn
+            pend = pend.at[jnp.where(okl, jnp.minimum(idx, PCAP - 1),
+                                     PCAP)].set(r_dn, mode="drop")
+            pend_n = jnp.minimum(pend_n + c_dn, PCAP)
+
+            active = (jnp.any(ind >= 0) | (next_id < total_packets)
+                      | (pend_n > 0))
+            g_active = lax.psum(active.astype(jnp.int32), "dp")
+            return (it + 1, pos, dir, lev, ind, photons, stream, hi,
+                    counter, scat, free_path, tau, emig, pend, pend_n,
+                    next_id, tabs, esc, g_active)
+
+        def cond(carry):
+            return (carry[0] < max_super) & (carry[-1] > 0)
+
+        n = nlanes
+        carry = (jnp.int32(0),
+                 jnp.zeros((n, 3), jnp.float32),                  # pos
+                 jnp.full((n, 3), 1.0 / np.sqrt(3.0), jnp.float32),
+                 jnp.zeros(n, jnp.int32),                         # lev
+                 jnp.full(n, -1, jnp.int32),                      # ind
+                 jnp.zeros(n, jnp.float32),                       # photons
+                 jnp.zeros(n, jnp.uint32),                        # stream
+                 jnp.zeros(n, jnp.uint32),                        # hi
+                 jnp.zeros(n, jnp.uint32),                        # counter
+                 jnp.zeros(n, jnp.int32),                         # scat
+                 jnp.zeros(n, jnp.float32),                       # free_path
+                 jnp.zeros(n, jnp.float32),                       # tau
+                 jnp.zeros(n, jnp.int32),                         # emig
+                 jnp.zeros((PCAP, _PK), jnp.float32),             # pend
+                 jnp.int32(0),                                    # pend_n
+                 jnp.int32(0),                                    # next_id
+                 jnp.zeros(cells_pad, jnp.float32),               # tabs
+                 jnp.float32(0.0),                                # esc
+                 jnp.int32(1))                                    # g_active
+        carry = lax.while_loop(cond, superstep, carry)
+        tabs = carry[16]
+        esc = lax.psum(carry[17], "dp")
+        return tabs[None, :], esc
+
+    tabs_s, esc = run(jnp.asarray(slabs.dens), jnp.asarray(slabs.lcells),
+                      jnp.asarray(slabs.par))
+    # assemble global tallies from per-slab local cells
+    tabs_s = np.asarray(tabs_s).reshape(S, cells_pad)
+    total_cells = int(np.sum(np.asarray(slabs.lcells)))
+    tabs = np.zeros(total_cells, np.float32)
+    for s in range(S):
+        m = slabs.gidx[s] >= 0
+        tabs[slabs.gidx[s][m]] = tabs_s[s][m]
+    return tabs, float(np.asarray(esc))

@@ -60,7 +60,8 @@ def _pool_lanes(nlanes, per_freq):
 
 def _run_over_freqs(grid, medium, kind, make_params, per_freq, tabs, intf,
                     seed, nlanes, per_freq_tally, phase=None, iteration=0,
-                    mirror_mask=0, freq_mask=None, roi=None):
+                    mirror_mask=0, freq_mask=None, roi=None,
+                    physics_extra=None):
     """Run one transport pass per frequency (uniform-frequency fast path:
     scalar cross sections, [BINS] CSC row -- all frequencies share one
     compiled executable).
@@ -88,6 +89,8 @@ def _run_over_freqs(grid, medium, kind, make_params, per_freq, tabs, intf,
                   file=sys.stderr, flush=True)
         physics = dict(kabs=medium.abs_gl[ifreq], ksca=medium.sca_gl[ifreq],
                        csc=medium.csc[ifreq], tw=medium.tw[ifreq])
+        if physics_extra is not None:
+            physics.update(physics_extra(ifreq))
         params = make_params(ifreq)
         params["ifreq"] = jnp.int32(ifreq)
         params["per_freq"] = jnp.int32(per_freq)
@@ -116,7 +119,8 @@ def _run_over_freqs(grid, medium, kind, make_params, per_freq, tabs, intf,
 
 def simulate_background(grid, medium, cfg, ibg, tabs, intf, seed,
                         lanes=DEFAULT_LANES, per_freq_tally=False,
-                        mixed=True, chunk=4 << 20, freq_mask=None, roi=None):
+                        mixed=True, chunk=4 << 20, freq_mask=None, roi=None,
+                        physics_extra=None):
     """Phase-1 isotropic background over all frequencies.
 
     Packet budget: the reference sends 8*AREA*BATCH packets per frequency
@@ -137,8 +141,8 @@ def simulate_background(grid, medium, cfg, ibg, tabs, intf, seed,
                   / np.asarray(cfg.freq, np.float64)).astype(np.float32)
 
     from ..transport.sources import stream_hi_base
-    if freq_mask is not None or roi is not None:
-        mixed = False          # mask skipping / ROI tallies are per-frequency
+    if freq_mask is not None or roi is not None or physics_extra is not None:
+        mixed = False    # mask/ROI/per-cell-OPT handling is per-frequency
     if mixed:
         nfreq = medium.nfreq
         physics = dict(kabs=medium.abs_gl, ksca=medium.sca_gl,
@@ -170,7 +174,7 @@ def simulate_background(grid, medium, cfg, ibg, tabs, intf, seed,
         tabs, intf, escaped, absorbed = _run_over_freqs(
             grid, medium, "bg", make_params, per_freq, tabs, intf, seed,
             lanes, per_freq_tally, mirror_mask=mirror_mask_of(cfg),
-            freq_mask=freq_mask, roi=roi)
+            freq_mask=freq_mask, roi=roi, physics_extra=physics_extra)
     injected = np.float64(per_freq) * np.asarray(bg_photons, np.float64)
     if freq_mask is not None:
         injected = np.where(freq_mask, injected, 0.0)
@@ -179,7 +183,7 @@ def simulate_background(grid, medium, cfg, ibg, tabs, intf, seed,
 
 def simulate_hpbg(grid, medium, cfg, hpbg, tabs, intf, seed,
                   lanes=DEFAULT_LANES, per_freq_tally=False, weighted=False,
-                  freq_mask=None, roi=None):
+                  freq_mask=None, roi=None, physics_extra=None):
     """Phase-1 Healpix-sky background (SimRAM_HP equivalent).
 
     hpbg : [NFREQ, NPIX] sky intensities; photons per packet =
@@ -212,13 +216,14 @@ def simulate_hpbg(grid, medium, cfg, hpbg, tabs, intf, seed,
 
     tabs, intf, escaped, absorbed = _run_over_freqs(
         grid, medium, "hpbg", make_params, per_freq, tabs, intf, seed,
-        lanes, per_freq_tally, freq_mask=freq_mask, roi=roi)
+        lanes, per_freq_tally, freq_mask=freq_mask, roi=roi,
+        physics_extra=physics_extra)
     return tabs, intf, escaped, injected * per_freq
 
 
 def simulate_point_sources(grid, medium, cfg, lps, tabs, intf, seed,
                            lanes=DEFAULT_LANES, per_freq_tally=False,
-                           freq_mask=None, roi=None):
+                           freq_mask=None, roi=None, physics_extra=None):
     """Phase-1 point sources (internal positions)."""
     if cfg.no_ps < 1 or cfg.pspac < 1:
         return tabs, intf, np.zeros(medium.nfreq), 0.0
@@ -246,7 +251,8 @@ def simulate_point_sources(grid, medium, cfg, lps, tabs, intf, seed,
 
     tabs, intf, escaped, absorbed = _run_over_freqs(
         grid, medium, "ps", make_params, per_freq, tabs, intf, seed,
-        lanes, per_freq_tally, freq_mask=freq_mask, roi=roi)
+        lanes, per_freq_tally, freq_mask=freq_mask, roi=roi,
+        physics_extra=physics_extra)
     injected = np.sum(np.asarray(ps_photons, np.float64), axis=0) * pspac
     if freq_mask is not None:
         injected = np.where(freq_mask, injected, 0.0)
@@ -280,7 +286,7 @@ def emweight_allocation(emit_col, clpac, lims=(0.0, 1e10), rng=None):
 
 def simulate_cell_emission(grid, medium, cfg, emitted, tabs, intf, seed,
                            lanes=DEFAULT_LANES, per_freq_tally=False,
-                           iteration=0):
+                           iteration=0, physics_extra=None):
     """Phase-2 dust re-emission (SimRAM_CL equivalent).
 
     emitted : [CELLS, NFREQ] photons/Hz/H per cell. Uniform allocation:
@@ -360,7 +366,8 @@ def simulate_cell_emission(grid, medium, cfg, emitted, tabs, intf, seed,
 
     tabs, intf, escaped, absorbed = _run_over_freqs(
         grid, medium, "cell", make_params, per_freq, tabs, intf, seed,
-        lanes, per_freq_tally, iteration=iteration)
+        lanes, per_freq_tally, iteration=iteration,
+        physics_extra=physics_extra)
     return tabs, intf, escaped, None
 
 
@@ -379,7 +386,7 @@ def read_diffuse_field(path, cells):
 
 def simulate_diffuse(grid, medium, cfg, diffuserad, tabs, intf, seed,
                      lanes=DEFAULT_LANES, per_freq_tally=False,
-                     freq_mask=None, roi=None):
+                     freq_mask=None, roi=None, physics_extra=None):
     """Phase-1 diffuse volume emission (SimRAM_CL SOURCE==2, the reference's
     II==2 source block, ASOC.py:1250-1272).
 
@@ -416,7 +423,8 @@ def simulate_diffuse(grid, medium, cfg, diffuserad, tabs, intf, seed,
 
     tabs, intf, escaped, absorbed = _run_over_freqs(
         grid, medium, "cell", make_params, per_freq, tabs, intf, seed,
-        lanes, per_freq_tally, phase="diffuse", freq_mask=mask, roi=roi)
+        lanes, per_freq_tally, phase="diffuse", freq_mask=mask, roi=roi,
+        physics_extra=physics_extra)
     return tabs, intf, escaped, injected
 
 
@@ -533,10 +541,42 @@ def _run_inner(cfg, lanes, write_files, t_start):
     cfg.nfreq = len(freq)
     nfreq = len(freq)
     bins = cfg.dsc_bins if cfg.dsc_bins > 0 else 2500
-    dsc, csc = read_scattering_function(cfg.file_scafunc[0], nfreq, bins)
-    medium = medium_from_optics(optics, dsc, csc, freq)
+    dscs, cscs = [], []
+    for path in cfg.file_scafunc:
+        d, c = read_scattering_function(path, nfreq, bins)
+        dscs.append(d)
+        cscs.append(c)
+    medium = medium_from_optics(optics, dscs[0], cscs[0], freq)
     res.grid, res.freq = grid, freq
     seed = np.uint32(max(0.0, cfg.seed) * 2**31) + np.uint32(12345)
+
+    # ---- WITH_ABU / WITH_MSF: spatially varying abundances build per-cell
+    # cross sections per frequency (the reference's OPT array,
+    # ASOC.py:1146-1175), and one scattering function per dust species
+    # drives per-species CSC sampling (kernel_ASOC.c:786-795)
+    ndust = len(optics)
+    abu = None
+    if ndust > 1 and cfg.file_abundance:
+        abu = np.ones((grid.cells, ndust), np.float32)
+        for d, path in enumerate(cfg.file_abundance[:ndust]):
+            if path and not path.startswith("#"):
+                abu[:, d] = np.fromfile(path, np.float32, grid.cells)
+    physics_extra = None
+    if abu is not None:
+        abs_d = np.stack([np.asarray(o.abs_gl) for o in optics])  # [D, NF]
+        sca_d = np.stack([np.asarray(o.sca_gl) for o in optics])
+        abu_j = jnp.asarray(abu)
+        msf = (len(cscs) == ndust)
+        msf_csc = jnp.asarray(np.stack(cscs)) if msf else None
+
+        def physics_extra(ifreq):
+            extra = dict(
+                opt_abs=abu_j @ jnp.asarray(abs_d[:, ifreq]),
+                opt_sca=abu_j @ jnp.asarray(sca_d[:, ifreq]))
+            if msf:
+                extra.update(msf_csc=msf_csc[:, ifreq], msf_abu=abu_j,
+                             msf_sca=jnp.asarray(sca_d[:, ifreq]))
+            return extra
     timings["input"] = time.time() - t0
 
     # ---- loadtemp mode (reference ASOC.py:744-769): recompute EMITTED
@@ -638,7 +678,8 @@ def _run_inner(cfg, lanes, write_files, t_start):
             ibg = ibg * cfg.scale_background
             tabs, intf, esc, inj = simulate_background(
                 grid, medium, cfg, ibg, tabs, intf, seed, lanes,
-                per_freq_tally, freq_mask=freq_mask, roi=roi)
+                per_freq_tally, freq_mask=freq_mask, roi=roi,
+                physics_extra=physics_extra)
             escaped += np.asarray(esc)
             injected += inj
         if cfg.bgpac > 0 and cfg.file_hpbg:
@@ -647,7 +688,8 @@ def _run_inner(cfg, lanes, write_files, t_start):
             tabs, intf, esc, inj = simulate_hpbg(
                 grid, medium, cfg, hpbg, tabs, intf, seed + 3, lanes,
                 per_freq_tally, weighted=cfg.has_key("hpbgw"),
-                freq_mask=freq_mask, roi=roi)
+                freq_mask=freq_mask, roi=roi,
+                physics_extra=physics_extra)
             escaped += np.asarray(esc)
             injected += inj
         if cfg.no_ps > 0 and cfg.pspac > 0:
@@ -656,14 +698,16 @@ def _run_inner(cfg, lanes, write_files, t_start):
                 lps[i] = np.fromfile(f, np.float32, nfreq) * cfg.ps_scale[i]
             tabs, intf, esc, inj = simulate_point_sources(
                 grid, medium, cfg, lps, tabs, intf, seed, lanes,
-                per_freq_tally, freq_mask=freq_mask, roi=roi)
+                per_freq_tally, freq_mask=freq_mask, roi=roi,
+                physics_extra=physics_extra)
             escaped += np.asarray(esc)
             injected += inj
         if cfg.file_diffuse and (cfg.dfpac > 0 or cfg.clpac > 0):
             diffuserad = read_diffuse_field(cfg.file_diffuse, grid.cells)
             tabs, intf, esc, inj = simulate_diffuse(
                 grid, medium, cfg, diffuserad, tabs, intf, seed + 5, lanes,
-                per_freq_tally, freq_mask=freq_mask, roi=roi)
+                per_freq_tally, freq_mask=freq_mask, roi=roi,
+                physics_extra=physics_extra)
             escaped += np.asarray(esc)
             injected += inj
         if cfg.file_roi_load and cfg.roipac > 0:
@@ -728,7 +772,8 @@ def _run_inner(cfg, lanes, write_files, t_start):
                 tabs_it = jnp.zeros(grid.cells, jnp.float32)
                 tabs_it, intf, _, xab = simulate_cell_emission(
                     grid, medium, cfg, sim_emit, tabs_it, intf,
-                    seed, lanes, per_freq_tally, iteration=iteration)
+                    seed, lanes, per_freq_tally, iteration=iteration,
+                    physics_extra=physics_extra)
                 if cfg.with_reference and oemitted is not None:
                     tabs_it = tabs_it + otabs
                 if cfg.with_reference:
@@ -787,8 +832,11 @@ def _run_inner(cfg, lanes, write_files, t_start):
     if write_files and emitted is not None and cfg.file_emitted:
         _write_emitted_file(cfg, freq, res.emitted)
 
+    ext_cells = None
+    if abu is not None:
+        ext_cells = (abu @ (abs_d + sca_d)).astype(np.float32)
     _render_phase(cfg, grid, medium, res, freq, res.emitted, write_files,
-                  timings)
+                  timings, ext_cells=ext_cells)
     timings["total"] = time.time() - t_start
     return res
 
@@ -811,9 +859,11 @@ def map_freq_mask(cfg, freq):
 
 
 def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
-                  timings):
+                  timings, ext_cells=None):
     """Phase 3: orthographic frequency-fused maps + polarization maps +
-    tau/column-density/PSTau/POLSTAT outputs."""
+    tau/column-density/PSTau/POLSTAT outputs.
+
+    ext_cells : optional [CELLS, NFREQ] per-cell extinction (WITH_ABU)."""
     t0 = time.time()
     gl_cm = cfg.gl * PARSEC
     fsel = map_freq_mask(cfg, freq) if emitted is not None else None
@@ -842,8 +892,11 @@ def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
         emit_map = jnp.asarray(
             (np.asarray(emitted, np.float64)[:, fsel]
              * (kk * freq_s)[None, :]).astype(np.float32))
-        ext_gl = jnp.asarray((np.asarray(medium.abs_gl)
-                              + np.asarray(medium.sca_gl))[fsel])
+        if ext_cells is not None:
+            ext_gl = jnp.asarray(ext_cells[:, fsel])
+        else:
+            ext_gl = jnp.asarray((np.asarray(medium.abs_gl)
+                                  + np.asarray(medium.sca_gl))[fsel])
         if cfg.fast_map >= 999:
             # MAP_HIER: per-hierarchy-level maps, map_dir_XX_H.bin
             # (ASOC.py:3323-3438): [NX, NY] + [NF, LEVELS] int32 headers,

@@ -66,27 +66,34 @@ def _front_surface(pos, odir, nx, ny, nz):
     return pos - smin[:, None] * odir
 
 
-@partial(jax.jit, static_argnames=("npix", "max_steps"))
+@partial(jax.jit, static_argnames=("npix", "max_steps", "nrows"))
 def render_ortho(grid, emit_map, ext_gl, odir, ra, de, centre, map_dx,
-                 npix, max_steps=100000):
+                 npix, max_steps=100000, row0=0, nrows=None):
     """Orthographic multi-frequency map.
 
     emit_map : [CELLS, NF] emission pre-scaled by KK*freq (Jy/sr units out)
     ext_gl   : [NF] extinction (abs+sca) / unit density / GL
     Returns (photons [NF, NY, NX], tau [NF, NY, NX], colden [NY, NX]).
     colden is in GL units (caller multiplies by GL*PARSEC).
+
+    row0/nrows render only map rows [row0, row0+nrows) -- the pixel-sharding
+    hook for multi-chip map rendering (NY := nrows in the outputs).
     """
     nxp, nyp = npix
+    if nrows is None:
+        nrows = nyp
     nf = emit_map.shape[1]
     i = jnp.arange(nxp, dtype=jnp.float32)
-    j = jnp.arange(nyp, dtype=jnp.float32)
-    ii, jj = jnp.meshgrid(i, j, indexing="xy")          # [NY, NX]
+    j = jnp.arange(nrows, dtype=jnp.float32) \
+        + jnp.asarray(row0, jnp.float32)
+    ii, jj = jnp.meshgrid(i, j, indexing="xy")          # [NROWS, NX]
     ii = ii.reshape(-1)
     jj = jj.reshape(-1)
     centre = jnp.asarray(centre, jnp.float32)
     pos = (centre[None, :]
            + ((ii - 0.5 * (nxp - 1)) * map_dx)[:, None] * ra[None, :]
            + ((jj - 0.5 * (nyp - 1)) * map_dx)[:, None] * de[None, :])
+    nyp = nrows          # outputs cover only the rendered rows
     pos = pos + (grid.nx + grid.ny + grid.nz) * odir[None, :]
     pos = _front_surface(pos, odir, grid.nx, grid.ny, grid.nz)
 
@@ -117,7 +124,9 @@ def render_ortho(grid, emit_map, ext_gl, odir, ra, de, centre, map_dx,
         npos = jnp.where(failed[:, None], npos + 1e-4 * step_dir, npos)
 
         w = jnp.where(active, ds, 0.0)
-        dtau = (w * dens)[:, None] * ext_gl[None, :]
+        # ext_gl [NF] (constant abundances) or [CELLS, NF] (WITH_ABU OPT)
+        ext_row = ext_gl[gidx, :] if ext_gl.ndim == 2 else ext_gl[None, :]
+        dtau = (w * dens)[:, None] * ext_row
         emit = emit_map[gidx, :]                       # [P, NF]
         attw = jnp.where(dtau < 1.0e-3,
                          1.0 - 0.5 * dtau,

@@ -121,10 +121,19 @@ def gen_background(grid, ids_local, seed, params):
     Pure select-chain arithmetic (no table gathers): this generator runs
     inside the refill step of the transport loop, so it must be cheap.
     """
-    nx, ny, nz = grid.nx, grid.ny, grid.nz
+    stream, ifreq, hi = packet_identity(ids_local, params)
+    pos, dir = background_entry(grid.nx, grid.ny, grid.nz, stream, hi, seed)
+    return _finish(grid, pos, dir, _photons_of(ifreq, params), ifreq,
+                   stream, hi)
+
+
+def background_entry(nx, ny, nz, stream, hi, seed):
+    """Entry (position, direction) of isotropic-background packet
+    (stream, hi) on the nx*ny*nz surface -- pure geometry, shared by the
+    single-grid generator and the domain-decomposed transport (which
+    evaluates it against the GLOBAL grid dimensions)."""
     a_yz, a_xz, a_xy = ny * nz, nx * nz, nx * ny
     area = 2 * (a_yz + a_xz + a_xy)
-    stream, ifreq, hi = packet_identity(ids_local, params)
     elem = (stream % jnp.uint32(area)).astype(jnp.int32)
 
     u1, u2, u3, u4 = socrng.uniform4(jnp.uint32(seed), stream,
@@ -171,9 +180,7 @@ def gen_background(grid, ids_local, seed, params):
     dir = jnp.stack([dx, dy, dz], -1)
     dir = jnp.where(jnp.abs(dir) < 1e-5, 1e-5, dir)
     dir = dir / jnp.linalg.norm(dir, axis=-1, keepdims=True)
-
-    return _finish(grid, pos, dir, _photons_of(ifreq, params), ifreq,
-                   stream, hi)
+    return pos, dir
 
 
 def _surface_step(grid, pos, dir):
