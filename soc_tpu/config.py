@@ -345,6 +345,8 @@ class RunConfig:
             self.map_interpolation = n()
         elif key.startswith("FITS") or key.startswith("fits"):
             self.fits = n() if a else 1
+        elif key.startswith("externalm"):
+            self.file_external_mask = a[0]
         elif key.startswith("interpol"):
             self.interpolate = f()
         elif key.startswith("CR_HEATING"):

@@ -755,17 +755,43 @@ def _run_inner(cfg, lanes, write_files, t_start):
         table = equilibrium.build_temperature_table(freq, optics[0].abs_gl,
                                                     cfg.gl)
     # WITH_REFERENCE control variate: simulate only the CHANGE in emission
-    # between iterations and carry the previous tally (ASOC.py:1599-1633,
-    # 1975-1985) -- negative packet weights propagate through the linear
-    # tally math unchanged.
+    # between iterations and carry the previous tally, with the reference
+    # ramp k and .save continuation files (ASOC.py:1599-1633, 2251-2257).
+    # WITH_REFERENCE == 1: plain ramp k = iteration/ITERATIONS within this
+    # run. Values > 1 encode AABB: AA = total iterations over ALL runs,
+    # BB = first iteration of THIS run -> k = (iteration+BB)/AA, and
+    # OEMITTED/OTABS persist in OEMITTED.save / OTABS.save.
+    wr = int(cfg.with_reference)
+    wr_fir, wr_tot = 0, max(1, cfg.iterations)
     oemitted = None
     otabs = None
-    if not cfg.nosolve:
+    if wr > 1:
+        wr_fir = wr % 100
+        wr_tot = max(1, wr // 100)
+        if os.path.exists("OEMITTED.save") and os.path.exists("OTABS.save"):
+            oemitted = jnp.asarray(np.fromfile(
+                "OEMITTED.save", np.float32).reshape(grid.cells, nfreq))
+            otabs = jnp.asarray(np.fromfile("OTABS.save", np.float32,
+                                            grid.cells))
+    oxab = None
+    if cfg.with_ali and wr % 100 > 0 and os.path.exists("OXAB.save"):
+        # continuation of the ALI accounting from a previous run
+        oxab = np.fromfile("OXAB.save", np.float32, grid.cells)
+    if not cfg.nosolve and cfg.has_key("SUBITERATIONS"):
+        temperature, emitted, intf = _subiterations(
+            cfg, grid, medium, optics, table, ctabs, intf, seed, lanes,
+            per_freq_tally, physics_extra, freq, gl_cm, write_files)
+    elif not cfg.nosolve:
         emit_total = ctabs
+        xab = None
         for iteration in range(max(1, cfg.iterations)):
             beta = 1.0
             if cfg.clpac > 0 and emitted is not None:
-                if cfg.with_reference and oemitted is not None:
+                if wr and oemitted is not None:
+                    k = ((iteration + wr_fir) / float(wr_tot)) if wr > 1 \
+                        else (iteration / float(max(1, cfg.iterations)))
+                    oemitted = oemitted * np.float32(k)
+                    otabs = otabs * np.float32(k)
                     sim_emit = jnp.asarray(emitted) - oemitted
                 else:
                     sim_emit = emitted
@@ -774,9 +800,9 @@ def _run_inner(cfg, lanes, write_files, t_start):
                     grid, medium, cfg, sim_emit, tabs_it, intf,
                     seed, lanes, per_freq_tally, iteration=iteration,
                     physics_extra=physics_extra)
-                if cfg.with_reference and oemitted is not None:
+                if wr and oemitted is not None:
                     tabs_it = tabs_it + otabs
-                if cfg.with_reference:
+                if wr:
                     otabs = tabs_it
                     oemitted = jnp.asarray(emitted)
                 emit_total = tabs_it + ctabs
@@ -784,6 +810,8 @@ def _run_inner(cfg, lanes, write_files, t_start):
                     # escape probability beta = (XEM - XAB)/XEM per cell
                     tw = np.asarray(medium.tw, np.float64)
                     xem = (np.asarray(emitted, np.float64) @ tw)
+                    if oxab is not None:
+                        xab = np.asarray(xab) + oxab
                     beta_np = np.clip(
                         (xem - xab) / np.maximum(xem, 1e-30), 1e-2, 1.0)
                     beta_np[xem <= 0] = 1.0
@@ -791,12 +819,34 @@ def _run_inner(cfg, lanes, write_files, t_start):
             temperature = equilibrium.solve_temperature(
                 grid, table, emit_total, gl_cm, beta=beta,
                 cr_heating=cfg.cr_heating)
+            if cfg.has_key("alibeta") and cfg.with_ali \
+                    and temperature is not None and not np.isscalar(beta):
+                # optional beta(T, tau) spline refinement of the escape
+                # probability (ASOC_aux.py:1446-1502; the reference builds
+                # the interpolator but ships the refinement disabled)
+                from ..solve.ali import refine_beta
+                beta2 = refine_beta(np.asarray(beta), np.asarray(temperature),
+                                    freq, np.asarray(medium.abs_gl),
+                                    np.asarray(grid.dens))
+                temperature = equilibrium.solve_temperature(
+                    grid, table, emit_total, gl_cm,
+                    beta=jnp.asarray(beta2), cr_heating=cfg.cr_heating)
             emitted = equilibrium.emission(freq, optics[0].abs_gl,
                                            temperature, gl_cm)
             emitted = jnp.asarray(_apply_remit_band(
                 cfg, freq, np.asarray(emitted)))
             if cfg.clpac <= 0:
                 break   # nothing changes between iterations without CLPAC
+        if write_files and wr > 1 and oemitted is not None:
+            np.asarray(oemitted, np.float32).tofile("OEMITTED.save")
+            np.asarray(otabs, np.float32).tofile("OTABS.save")
+        if write_files and cfg.with_ali and xab is not None \
+                and emitted is not None:
+            tw = np.asarray(medium.tw, np.float64)
+            np.asarray(xab, np.float32).tofile("OXAB.save")
+            (np.asarray(emitted, np.float64) @ tw).astype(
+                np.float32).tofile("OXEM.save")
+    if temperature is not None:
         res.temperature = np.asarray(temperature)
         res.emitted = np.asarray(emitted)
     timings["solve"] = time.time() - t0
@@ -839,6 +889,104 @@ def _run_inner(cfg, lanes, write_files, t_start):
                   timings, ext_cells=ext_cells)
     timings["total"] = time.time() - t_start
     return res
+
+
+def _subiterations(cfg, grid, medium, optics, table, ctabs, intf, seed,
+                   lanes, per_freq_tally, physics_extra, freq, gl_cm,
+                   write_files):
+    """SUBITERATIONS: hot/cold cell splitting with the reference field
+    (ASOC.py:2261-2420).
+
+    Schedule over ITERATIONS rounds:
+      0            : full simulation (all cells), no reference
+      1            : COLD cells only, half budget -> PTABS (T not solved)
+      2..N-2       : HOT cells only + reference field ramp
+                     k = (it-2)/(N-3); total heating = TABS + OTABS + PTABS
+      N-1          : full again (reference keeps only hot-cell emission)
+    Cells are 'hot' when T >= 30 K (HOT_LIMIT), or per the user's
+    external mask file (1 = emitting cell).
+    """
+    hot_limit = 30.0
+    iters = max(4, cfg.iterations)
+    external = None
+    if cfg.file_external_mask:
+        external = np.fromfile(cfg.file_external_mask, np.int32,
+                               grid.cells) > 0
+    oemitted = jnp.zeros((grid.cells, len(freq)), jnp.float32)
+    otabs = jnp.zeros(grid.cells, jnp.float32)
+    ptabs = jnp.zeros(grid.cells, jnp.float32)
+    temperature = None
+    emitted = None
+    told = np.zeros(grid.cells, np.float32)
+    cfg_it = cfg
+    for iteration in range(iters):
+        k = np.float32(np.clip((iteration - 2.0) / max(1.0, iters - 3.0),
+                               0.0, 1.0))
+        solve_t = True
+        use_ptabs = False
+        if iteration == 0:
+            ignore = np.zeros(grid.cells, bool)
+            oemitted = oemitted * 0
+            otabs = otabs * 0
+        elif iteration == 1:
+            # simulate the COLD cells once -> PTABS; skip the T update
+            ignore = (external if external is not None
+                      else (told >= hot_limit))
+            oemitted = oemitted * 0
+            otabs = otabs * 0
+            solve_t = False
+        elif iteration == 2:
+            ignore = (~external if external is not None
+                      else (told < hot_limit))
+            oemitted = oemitted * 0
+            otabs = otabs * 0
+            use_ptabs = True
+        elif iteration == iters - 1:
+            # final full iteration: drop cold cells from the reference
+            cold = (~external if external is not None
+                    else (told < hot_limit))
+            oemitted = jnp.asarray(np.where(cold[:, None],
+                                            0.0, np.asarray(oemitted)))
+            ignore = np.zeros(grid.cells, bool)
+        else:
+            ignore = (~external if external is not None
+                      else (told < hot_limit))
+            use_ptabs = True
+        oemitted = oemitted * k
+        otabs = otabs * k
+
+        if emitted is not None:
+            sim_emit = jnp.asarray(emitted) - oemitted
+            sim_emit = jnp.where(jnp.asarray(ignore)[:, None], 0.0,
+                                 sim_emit)
+            tabs_it = jnp.zeros(grid.cells, jnp.float32)
+            tabs_it, intf, _, _ = simulate_cell_emission(
+                grid, medium, cfg_it, sim_emit, tabs_it, intf, seed,
+                lanes, per_freq_tally, iteration=iteration,
+                physics_extra=physics_extra)
+            if iteration == 1:
+                ptabs = tabs_it
+            else:
+                tabs_it = tabs_it + otabs
+                otabs = tabs_it
+                oemitted = jnp.asarray(emitted)
+                if iteration == iters - 1:
+                    emit_total = tabs_it + ctabs      # no PTABS on the last
+                elif use_ptabs:
+                    emit_total = tabs_it + ptabs + ctabs
+                else:
+                    emit_total = tabs_it + ctabs
+        else:
+            emit_total = ctabs
+        if solve_t:
+            temperature = equilibrium.solve_temperature(
+                grid, table, emit_total, gl_cm, cr_heating=cfg.cr_heating)
+            told = np.asarray(temperature)
+            emitted = equilibrium.emission(freq, optics[0].abs_gl,
+                                           temperature, gl_cm)
+            emitted = jnp.asarray(_apply_remit_band(
+                cfg, freq, np.asarray(emitted)))
+    return temperature, emitted, intf
 
 
 def map_freq_mask(cfg, freq):
