@@ -102,7 +102,7 @@ def _nearest_indices(freq, values_um):
             for u in values_um]
 
 
-def emission_stage(cfg, comps, absorbed, abu, freq, ne=128):
+def emission_stage(cfg, comps, absorbed, abu, freq, ne=128, dens=None):
     """A2E_MABU stage with the library / NN surrogate variants
     (ASOC_driver.py:91-133 nnmake/nnsolve; A2E_MABU.py:1017-1068 NN paths;
     A2E_LIB solve_with_library_2).
@@ -146,7 +146,8 @@ def emission_stage(cfg, comps, absorbed, abu, freq, ne=128):
         return libmod.solve_with_library(lib_direct, absorbed)
 
     emitted, per_dust = mabu.solve_emission_multi(
-        comps, absorbed, abu, return_components=True)
+        comps, absorbed, abu, return_components=True,
+        cr_mode=int(cfg.cr_heating), dens=dens)
 
     if cfg.nn_make:
         # train per-dust surrogates on this solve's (absorbed, emitted)
@@ -226,9 +227,12 @@ def _run_pipeline_inner(ini_path, lanes, ne, mode):
         # absthin: only every n:th cell was saved for training purposes
         # (ASOC.py absthin); solve those and leave the rest zero
         abs_clean = abs_clean[::cfg.abs_thin]
+    dens_full = np.asarray(res_rt.grid.dens)
     emitted_part = emission_stage(cfg, comps, abs_clean,
                                   abu[::cfg.abs_thin] if abu is not None
-                                  and cfg.abs_thin > 1 else abu, freq, ne=ne)
+                                  and cfg.abs_thin > 1 else abu, freq, ne=ne,
+                                  dens=dens_full[::cfg.abs_thin]
+                                  if cfg.abs_thin > 1 else dens_full)
     if cfg.abs_thin > 1:
         emitted = np.zeros((cells, len(freq)), np.float32)
         emitted[::cfg.abs_thin] = emitted_part

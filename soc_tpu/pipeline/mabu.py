@@ -43,9 +43,36 @@ def split_absorbed(absorbed, rabs, abu, idust):
     return absorbed * rabs[None, :, idust] / np.maximum(den, 1e-40)
 
 
-def solve_equilibrium_eqdust(kabs, freq, absorbed, ne=30000):
+def cr_heating_channel(mode, dens, cells):
+    """Extra per-cell heating rate [erg/s/H * FACTOR] injected through the
+    LAST frequency channel of the absorbed array (A2E_MABU.py:795-817):
+      1 : full cosmic-ray rate 1e-27 erg/s/H
+      2 : 2x that (deliberate upper limit)
+      3 : gas-dust coupling 9e-34 * n(H) * sqrt(Tgas) * (Tgas - Tdust)
+          with the reference's ad hoc Tgas(n), dT(n) interpolations
+    """
+    if mode == 1:
+        return np.full(cells, 1.0e-27 * FACTOR, np.float32)
+    if mode == 2:
+        return np.full(cells, 2.0e-27 * FACTOR, np.float32)
+    if mode == 3:
+        logn = np.log10(np.clip(np.asarray(dens, np.float64), 1e-8, 1e20))
+        xs = [-8.0, 0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 20.0]
+        tg = np.interp(logn, xs, [15, 15, 15, 15, 14, 12, 10, 7, 6, 6, 6])
+        dt = np.interp(logn, xs, [5, 5, 5, 5, 5, 5, 3, 1, 0, 0, 0])
+        return (9.0e-34 * np.asarray(dens, np.float64) * np.sqrt(tg) * dt
+                * FACTOR).astype(np.float32)
+    raise ValueError("CR_HEATING mode %r" % mode)
+
+
+def solve_equilibrium_eqdust(kabs, freq, absorbed, ne=30000,
+                             cr_channel=False):
     """SolveEquilibriumDust (A2E_MABU.py:436-560 + kernel_eqsolver.c):
-    per-cell T from the E<->T table, emission per unit density."""
+    per-cell T from the E<->T table, emission per unit density.
+
+    cr_channel=True: the last frequency channel holds a direct heating
+    rate (erg/s/H * FACTOR), excluded from the photon integration and
+    added to Ein as-is (kernel_eqsolver.c:27-33)."""
     freq = np.asarray(freq, np.float64)
     kabs = np.asarray(kabs, np.float64)
     tstep = 1600.0 / ne
@@ -58,9 +85,14 @@ def solve_equilibrium_eqdust(kabs, freq, absorbed, ne=30000):
     eout = 4.0 * np.pi * FACTOR * 0.5 * res
     # per-cell Ein: trapezoid of ABS * h nu (kernel_eqsolver.c EqTemperature)
     absorbed = np.asarray(absorbed, np.float64)
+    ein_extra = 0.0
+    if cr_channel:
+        absorbed = absorbed.copy()
+        ein_extra = absorbed[:, -1]
+        absorbed[:, -1] = 0.0
     integ = absorbed * (PLANCK * freq)[None, :]
-    ein = 0.5 * np.sum((integ[:, 1:] + integ[:, :-1])
-                       * (freq[1:] - freq[:-1])[None, :], axis=1)
+    ein = ein_extra + 0.5 * np.sum((integ[:, 1:] + integ[:, :-1])
+                                   * (freq[1:] - freq[:-1])[None, :], axis=1)
     t = np.interp(ein, eout, tt)
     x = np.clip(H_K * freq[None, :] / np.maximum(t[:, None], 1e-3),
                 1e-10, 500)
@@ -70,12 +102,17 @@ def solve_equilibrium_eqdust(kabs, freq, absorbed, ne=30000):
 
 
 def solve_emission_multi(components, absorbed, abu=None,
-                         return_components=False):
+                         return_components=False, cr_mode=0, dens=None):
     """Full multi-dust solve.
 
     components : list[DustComponent]
     absorbed   : [CELLS, NFREQ] total absorptions (absorbed.data payload)
     abu        : [CELLS, NDUST] abundances (default: all ones)
+    cr_mode    : CR_HEATING 1/2/3 -- inject the extra heating rate through
+                 the last frequency channel and split it between dusts like
+                 any absorption (ratio of cross sections at the highest
+                 frequency ~ physical grain cross sections,
+                 A2E_MABU.py:780-817); mode 3 needs dens [CELLS].
     Returns EMITTED [CELLS, NFREQ] float32; with return_components=True,
     (EMITTED, [per-dust (absorbed_d, emit_d)]) -- the training pairs the
     NN surrogate path consumes (A2E_MABU.py:1017-1068).
@@ -84,6 +121,9 @@ def solve_emission_multi(components, absorbed, abu=None,
     ndust = len(components)
     if abu is None:
         abu = np.ones((cells, ndust), np.float32)
+    if cr_mode > 0:
+        absorbed = np.asarray(absorbed).copy()
+        absorbed[:, -1] = cr_heating_channel(cr_mode, dens, cells)
     # normalized relative cross sections (A2E_MABU.py:338-342)
     rabs = np.zeros((nfreq, ndust))
     for d, comp in enumerate(components):
@@ -96,10 +136,14 @@ def solve_emission_multi(components, absorbed, abu=None,
     for d, comp in enumerate(components):
         absd = split_absorbed(absorbed, rabs, abu, d)
         if comp.kind == "gset":
+            # stochastic grains: with CR heating the reference feeds the
+            # extra channel to A2E as highest-frequency absorptions (the
+            # split file keeps it); identical here
             emit_d = stochastic.solve_emission(comp.solver, absd,
                                                nstoch=comp.nstoch)
         elif comp.kind == "eqdust":
-            emit_d, _ = solve_equilibrium_eqdust(comp.kabs, comp.freq, absd)
+            emit_d, _ = solve_equilibrium_eqdust(comp.kabs, comp.freq, absd,
+                                                 cr_channel=cr_mode > 0)
         else:
             raise ValueError(f"unknown dust kind {comp.kind!r}")
         emitted += emit_d * abu[:, d][:, None]

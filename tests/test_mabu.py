@@ -64,3 +64,33 @@ def test_multi_dust_total_energy():
     emitted_g = mabu.solve_emission_multi(comps, absorbed, abu)
     e_out_g = np.trapezoid(emitted_g[0] * PLANCK * freq, freq)
     assert abs(e_out_g - e_in) / e_in < 0.1
+
+
+def test_cr_heating_modes():
+    """CR_HEATING 1/2/3: the extra heating raises equilibrium temperatures
+    in cold cells; mode 2 heats more than mode 1; mode 3 scales with
+    density."""
+    from soc_tpu.pipeline.mabu import (DustComponent, cr_heating_channel,
+                                       solve_emission_multi)
+    rng = np.random.default_rng(4)
+    freq = np.logspace(10.5, 15.5, 24)
+    kabs = (freq / freq[-1]) ** 1.6 * 1e-21
+    cells = 64
+    dens = np.logspace(2, 7, cells).astype(np.float32)
+    absorbed = rng.uniform(0.0, 1e-8, (cells, 24)).astype(np.float32)
+    absorbed[:, -1] = 0.0     # the CR channel replaces this slot
+    comp = [DustComponent(name="d", kind="eqdust", kabs=kabs, freq=freq)]
+    e0 = solve_emission_multi(comp, absorbed)
+    e1 = solve_emission_multi(comp, absorbed, cr_mode=1)
+    e2 = solve_emission_multi(comp, absorbed, cr_mode=2)
+    e3 = solve_emission_multi(comp, absorbed, cr_mode=3, dens=dens)
+    # total emitted energy balances total heating: CR modes add energy
+    assert e1.sum() > e0.sum()
+    assert e2.sum() > e1.sum()
+    assert e3.sum() > 0
+    # mode 3 coupling grows with density (rate/H ~ n(H))
+    r = cr_heating_channel(3, dens, cells)
+    assert r[-1] > r[0] * 100
+    # modes 1/2 are density-independent constants
+    assert np.allclose(cr_heating_channel(1, None, cells),
+                       1e-27 * 1e20)
