@@ -88,7 +88,7 @@ def solve_equilibrium_eqdust(kabs, freq, absorbed, ne=30000,
     ein_extra = 0.0
     if cr_channel:
         absorbed = absorbed.copy()
-        ein_extra = absorbed[:, -1]
+        ein_extra = absorbed[:, -1].copy()
         absorbed[:, -1] = 0.0
     integ = absorbed * (PLANCK * freq)[None, :]
     ein = ein_extra + 0.5 * np.sum((integ[:, 1:] + integ[:, :-1])
