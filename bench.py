@@ -1,16 +1,18 @@
 #!/usr/bin/env python
 """Benchmark: the reference soc_example workload on real TPU hardware.
 
-Runs the BASELINE config-1 workload (64^3 uniform cloud, 44 frequencies,
-isotropic background, ~1e6 packets per frequency = 43.3M packets total,
-equilibrium T solve + emission + 64x64 orthographic map) and reports photon
-packets/sec through the transport phase.
+Reports every BASELINE.md metric:
+  * bg transport packets/s (headline; baseline 4.7e5 pkt/s from the
+    reference's ~2.5 s / 1e6-packet frequency iteration, ASOC.py:1176-1177)
+  * speed-of-light fraction: achieved packet rate vs the pure-traversal
+    stepping bound (march_path_lengths on the same cloud/entries)
+  * A2E stochastic solve cells/s (baseline 7006 cells/s @ BATCH 8192,
+    A2E.py:90)
+  * orthographic map render time (64^3 cloud, 44 freqs, 512x512)
+  * full-pipeline wall time on the soc_example config
 
-vs_baseline: the reference reports ~2.5 s per frequency iteration for a
-~1e6-packet frequency step on a discrete GPU (ASOC.py:1176-1177 notes 0.43 s
-of 2.5 s is host staging) => ~4.7e5 packets/s. We report the ratio to that.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Transport/SoL are best-of-3 against the shared-tunnel run-to-run variance.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "detail"}.
 """
 
 import json
@@ -23,6 +25,7 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 REFERENCE_PACKETS_PER_SEC = 4.7e5
+REFERENCE_A2E_CELLS_PER_SEC = 7006.0
 
 
 def prepare_workdir(workdir):
@@ -40,6 +43,128 @@ def prepare_workdir(workdir):
     return os.path.join(workdir, "my.ini")
 
 
+def bench_transport(workdir, lanes, repeats=3):
+    """Best-of-N phase-1 background transport throughput."""
+    import jax.numpy as jnp
+    from soc_tpu.config import RunConfig
+    from soc_tpu.io.cloud import read_cloud
+    from soc_tpu.io.dust import read_simple_dust, read_scattering_function
+    from soc_tpu.io.fields import read_background_intensity
+    from soc_tpu.pipeline import driver
+    from soc_tpu.transport.medium import medium_from_optics
+
+    cfg = RunConfig(os.path.join(workdir, "my.ini"))
+    orig = os.getcwd()
+    os.chdir(workdir)
+    try:
+        grid = read_cloud(cfg.file_cloud, cfg.kdensity, cfg.max_levels)
+        optics = [read_simple_dust(f, cfg.gl) for f in cfg.file_optical]
+        freq = optics[0].freq
+        cfg.freq = freq
+        nfreq = len(freq)
+        dsc, csc = read_scattering_function(cfg.file_scafunc[0], nfreq,
+                                            2500)
+        medium = medium_from_optics(optics, dsc, csc, freq)
+        ibg = read_background_intensity(cfg.file_background, nfreq)
+
+        area = int(grid.area)
+        batch = max(1, int(round(cfg.bgpac / (8.0 * area))))
+        per_freq = 8 * area * batch
+        total_packets = per_freq * nfreq
+
+        best = None
+        times = []
+        for rep in range(repeats):
+            tabs = jnp.zeros(grid.cells, jnp.float32)
+            intf = jnp.zeros((1, 1), jnp.float32)
+            t0 = time.time()
+            tabs, intf, esc, inj = driver.simulate_background(
+                grid, medium, cfg, ibg, tabs, intf,
+                np.uint32(12345 + rep), lanes=lanes,
+                per_freq_tally=False)
+            tabs.block_until_ready()
+            dt = time.time() - t0
+            times.append(dt)
+            closure = abs((inj - np.asarray(esc)).sum() / inj.sum())
+            sane = bool(np.isfinite(np.asarray(tabs)).all()
+                        and 0 < closure < 1)
+            if best is None or dt < best[0]:
+                best = (dt, sane)
+        return dict(packets=total_packets, times=[round(t, 2) for t in times],
+                    best_s=round(best[0], 2),
+                    pps=total_packets / best[0], sane=best[1],
+                    grid=grid, medium=medium)
+    finally:
+        os.chdir(orig)
+
+
+def bench_speed_of_light(grid, total_packets, repeats=3, nrays=1 << 17):
+    """Pure-traversal stepping bound on the same cloud: march rays from
+    random surface entries to exit, no physics."""
+    import jax
+    import jax.numpy as jnp
+    from soc_tpu.ops.traverse import march_path_lengths
+    from soc_tpu.transport.sources import background_entry
+
+    rng = np.random.default_rng(7)
+    stream = jnp.asarray(
+        rng.integers(0, 2**31, nrays, dtype=np.int64).astype(np.uint32))
+    pos, dirs = background_entry(grid.nx, grid.ny, grid.nz, stream,
+                                 jnp.uint32(1), 99)
+    march = jax.jit(lambda p, d: march_path_lengths(grid, p, d))
+    total = march(pos, dirs)
+    total.block_until_ready()          # compile + warm
+    best = None
+    rounds = max(1, total_packets // nrays)
+    for rep in range(repeats):
+        t0 = time.time()
+        for _ in range(min(rounds, 8)):
+            total = march(pos, dirs)
+        total.block_until_ready()
+        dt = (time.time() - t0) / min(rounds, 8)
+        if best is None or dt < best:
+            best = dt
+    return nrays / best
+
+
+def bench_a2e(cells=65536, ne=128, nfreq=44, nsize=4):
+    """Stochastic-heating solve throughput on a production-shaped solver."""
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from test_a2e import random_solver
+    from soc_tpu.solve import stochastic
+    solver = random_solver(ne=ne, nfreq=nfreq, nsize=nsize, seed=3)
+    rng = np.random.default_rng(0)
+    absorbed = rng.random((cells, nfreq)).astype(np.float32)
+    t0 = time.time()
+    emitted = stochastic.solve_emission(solver, absorbed)
+    dt = time.time() - t0
+    # warm second pass (first includes compile)
+    t0 = time.time()
+    emitted = stochastic.solve_emission(solver, absorbed)
+    dt = time.time() - t0
+    assert np.isfinite(emitted).all()
+    return cells / dt
+
+
+def bench_map(grid, medium, freq, npix=512):
+    import jax.numpy as jnp
+    from soc_tpu.render.mapping import observer_basis, render_ortho
+    nf = len(freq)
+    emit = jnp.ones((grid.cells, nf), jnp.float32)
+    ext = medium.abs_gl + medium.sca_gl
+    odir, ra, de = observer_basis(0.3, 0.4)
+    centre = (grid.nx / 2, grid.ny / 2, grid.nz / 2)
+    args = (grid, emit, ext, jnp.asarray(odir), jnp.asarray(ra),
+            jnp.asarray(de), jnp.asarray(centre, jnp.float32), 0.125,
+            (npix, npix))
+    phot, tau, colden = render_ortho(*args)
+    phot.block_until_ready()           # compile
+    t0 = time.time()
+    phot, tau, colden = render_ortho(*args)
+    phot.block_until_ready()
+    return time.time() - t0
+
+
 def main():
     from soc_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()
@@ -51,24 +176,19 @@ def main():
     # iteration (gather/scatter cost grows faster than occupancy gains)
     lanes = int(os.environ.get("SOC_BENCH_LANES", 1 << 14))
 
+    tr = bench_transport(workdir, lanes)
+    grid, medium = tr.pop("grid"), tr.pop("medium")
+    pps = tr["pps"]
+
+    sol_pps = bench_speed_of_light(grid, tr["packets"])
+    a2e_cps = bench_a2e()
+    freq = np.loadtxt(os.path.join(workdir, "freq.dat"))
+    map_s = bench_map(grid, medium, freq)
+
+    # end-to-end pipeline wall time (the full soc_example run)
     t0 = time.time()
     res = driver.run(ini, lanes=lanes)
-    wall = time.time() - t0
-
-    # packet budget actually simulated (reference normalization)
-    area = 2 * 3 * 64 * 64
-    batch = max(1, int(round(999999 / (8.0 * area))))
-    per_freq = 8 * area * batch
-    nfreq = len(res.freq)
-    total_packets = per_freq * nfreq
-
-    transport_time = res.timings["constant_sources"]
-    pps = total_packets / transport_time
-
-    # sanity: energy conservation must hold or the number is meaningless
-    closure = abs((res.injected - res.escaped).sum()
-                  / max(res.injected.sum(), 1e-30))
-    ok = np.isfinite(res.temperature).all() and 0 < closure < 1
+    e2e = time.time() - t0
 
     result = {
         "metric": "bg_transport_packets_per_sec",
@@ -76,12 +196,18 @@ def main():
         "unit": "packets/s/chip",
         "vs_baseline": round(pps / REFERENCE_PACKETS_PER_SEC, 3),
         "detail": {
-            "total_packets": total_packets,
-            "transport_s": round(transport_time, 2),
-            "solve_s": round(res.timings.get("solve", 0), 2),
-            "maps_s": round(res.timings.get("maps", 0), 2),
-            "wall_s": round(wall, 2),
-            "sane": bool(ok),
+            "total_packets": tr["packets"],
+            "transport_s_best_of_3": tr["best_s"],
+            "transport_s_all": tr["times"],
+            "speed_of_light_pps": round(sol_pps, 1),
+            "speed_of_light_fraction": round(pps / sol_pps, 3),
+            "a2e_cells_per_sec": round(a2e_cps, 1),
+            "a2e_vs_baseline": round(a2e_cps / REFERENCE_A2E_CELLS_PER_SEC,
+                                     2),
+            "map_render_s_512x512x44": round(map_s, 3),
+            "pipeline_e2e_s": round(e2e, 2),
+            "sane": tr["sane"] and bool(
+                np.isfinite(res.temperature).all()),
         },
     }
     print(json.dumps(result))

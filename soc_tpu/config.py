@@ -30,7 +30,8 @@ class RunConfig:
         self.file_absorbed = "absorbed.data"
         self.file_emitted = "emitted.data"
         self.file_temperature = ""
-        self.file_intensity = ""
+        self.file_intensity = "ISRF.DAT"
+        self.save_intensity = 0
         self.file_diffuse = ""
         self.file_constant_load = ""
         self.file_constant_save = ""
@@ -73,6 +74,8 @@ class RunConfig:
         self.obs_phi = []
         self.level_threshold = 0
         self.y_shear = 0.0
+        self.minlos = -1.0
+        self.maxlos = 1.0e10
         self.mirror = ""
         # --- packets
         self.bgpac = 0
@@ -319,6 +322,11 @@ class RunConfig:
                 self.map_freq = (freqs[0], freqs[-1])
             else:
                 self.single_map_freq = list(freqs)
+        elif key.startswith("split"):
+            # packet splitting at refinement boundaries (reference
+            # SimBgSplit); here: stratified per-element budgets, arg =
+            # boost factor (default 8)
+            self.do_split = n() if a else 8
         elif key.startswith("threshold"):
             self.level_threshold = n()
         elif key.startswith("yshear"):
@@ -332,7 +340,18 @@ class RunConfig:
         elif key.startswith("verbose"):
             self.verbose = n()
         elif key.startswith("polmap"):
-            self.polmap = max(1, n() if a else 1)
+            # 'polmap Bx By Bz [minlos] [maxlos]' (ASOC_aux.py:466-474) or
+            # the bare flag form 'polmap [1]' with a separate Bfiles line
+            if len(a) >= 3:
+                self.polmap = 1
+                self.b_files = list(a[:3])
+                if len(a) == 4:
+                    self.maxlos = f(3)
+                elif len(a) > 4:
+                    self.minlos = f(3)
+                    self.maxlos = f(4)
+            else:
+                self.polmap = max(1, n() if a else 1)
         elif key.startswith("polstat"):
             self.polstat = n()
         elif key.startswith("polred"):
@@ -345,6 +364,12 @@ class RunConfig:
             self.map_interpolation = n()
         elif key.startswith("FITS") or key.startswith("fits"):
             self.fits = n() if a else 1
+        elif key.startswith("saveint"):
+            # saveint mode [file]: 1 = scalar intensity, 2 = (I,Ix,Iy,Iz)
+            # (ASOC_aux.py:404-407)
+            self.save_intensity = n() if a else 1
+            if len(a) > 1:
+                self.file_intensity = a[1]
         elif key.startswith("externalm"):
             self.file_external_mask = a[0]
         elif key.startswith("interpol"):

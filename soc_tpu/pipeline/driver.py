@@ -61,7 +61,7 @@ def _pool_lanes(nlanes, per_freq):
 def _run_over_freqs(grid, medium, kind, make_params, per_freq, tabs, intf,
                     seed, nlanes, per_freq_tally, phase=None, iteration=0,
                     mirror_mask=0, freq_mask=None, roi=None,
-                    physics_extra=None):
+                    physics_extra=None, split_max=0):
     """Run one transport pass per frequency (uniform-frequency fast path:
     scalar cross sections, [BINS] CSC row -- all frequencies share one
     compiled executable).
@@ -106,7 +106,7 @@ def _run_over_freqs(grid, medium, kind, make_params, per_freq, tabs, intf,
             grid, physics, params, jnp.int32(per_freq), tabs, intf, seed,
             source_kind=kind, nlanes=_pool_lanes(nlanes, per_freq),
             per_freq_tally=per_freq_tally,
-            mirror_mask=mirror_mask, **kwargs)
+            mirror_mask=mirror_mask, split_max=split_max, **kwargs)
         if roi is not None:
             tabs, intf, esc, absd, roi_tally = out
             roi["tally"][ifreq] = np.asarray(roi_tally)
@@ -140,6 +140,8 @@ def simulate_background(grid, medium, cfg, ibg, tabs, intf, seed,
     bg_photons = (np.asarray(ibg, np.float64) * wbg
                   / np.asarray(cfg.freq, np.float64)).astype(np.float32)
 
+    split_max = int(cfg.do_split) if grid.levels > 1 else 0
+
     from ..transport.sources import stream_hi_base
     if freq_mask is not None or roi is not None or physics_extra is not None:
         mixed = False    # mask/ROI/per-cell-OPT handling is per-frequency
@@ -164,7 +166,7 @@ def simulate_background(grid, medium, cfg, ibg, tabs, intf, seed,
                 grid, physics, params, jnp.int32(n), tabs, intf, seed,
                 source_kind="bg", nlanes=nlanes,
                 per_freq_tally=per_freq_tally, esc_bins=nfreq,
-                mirror_mask=mirror_mask_of(cfg))
+                mirror_mask=mirror_mask_of(cfg), split_max=split_max)
             escaped = escaped + esc
         escaped = np.asarray(escaped)
     else:
@@ -174,8 +176,12 @@ def simulate_background(grid, medium, cfg, ibg, tabs, intf, seed,
         tabs, intf, escaped, absorbed = _run_over_freqs(
             grid, medium, "bg", make_params, per_freq, tabs, intf, seed,
             lanes, per_freq_tally, mirror_mask=mirror_mask_of(cfg),
-            freq_mask=freq_mask, roi=roi, physics_extra=physics_extra)
-    injected = np.float64(per_freq) * np.asarray(bg_photons, np.float64)
+            freq_mask=freq_mask, roi=roi, physics_extra=physics_extra,
+            split_max=split_max)
+    # weighted injection total: with splitting the extra packets carry
+    # 1/boost weight, so the expectation stays 8*AREA*batch per frequency
+    injected = np.float64(8 * area * batch) \
+        * np.asarray(bg_photons, np.float64)
     if freq_mask is not None:
         injected = np.where(freq_mask, injected, 0.0)
     return tabs, intf, escaped, injected
@@ -661,10 +667,15 @@ def _run_inner(cfg, lanes, write_files, t_start):
 
     # ---- phase 1: constant sources
     t0 = time.time()
-    per_freq_tally = not cfg.noabsorbed
+    per_freq_tally = (not cfg.noabsorbed) or cfg.save_intensity > 0
+    if cfg.save_intensity == 2:
+        tally_shape = (grid.cells, nfreq, 4)      # (I, Ix, Iy, Iz)
+    elif per_freq_tally:
+        tally_shape = (grid.cells, nfreq)
+    else:
+        tally_shape = (1, 1)
     tabs = jnp.zeros(grid.cells, jnp.float32)
-    intf = jnp.zeros((grid.cells, nfreq) if per_freq_tally else (1, 1),
-                     jnp.float32)
+    intf = jnp.zeros(tally_shape, jnp.float32)
     injected = np.zeros(nfreq)
     escaped = np.zeros(nfreq)
     if cfg.file_constant_load:
@@ -851,28 +862,44 @@ def _run_inner(cfg, lanes, write_files, t_start):
         res.emitted = np.asarray(emitted)
     timings["solve"] = time.time() - t0
 
-    # ---- intensity output for DustEM coupling (SAVE_INTENSITY==1,
-    # ASOC.py:1496-1505): I[cell,f] = (PLANCK*FREQ/ABS_f)*8^level*INT/DENS,
-    # written as ISRF.DAT [CELLS, NFREQ]
-    if per_freq_tally and cfg.has_key("saveint"):
+    # ---- intensity output for DustEM coupling (SAVE_INTENSITY modes,
+    # ASOC.py:1496-1505, 2733-2760): I[cell,f] =
+    # (PLANCK*FREQ/ABS_f)*8^level*INT/DENS; mode 2 additionally stores the
+    # direction moments (Ix, Iy, Iz), normalized by the total intensity
+    if per_freq_tally and cfg.save_intensity > 0:
         lev = np.asarray(equilibrium.cell_levels(grid))
         dens = np.asarray(grid.dens)
         absf = np.asarray(medium.abs_gl, np.float64)
         coeff = (PLANCK * np.asarray(freq, np.float64)[None, :]
                  / np.maximum(absf, 1e-300)[None, :]
                  * (8.0 ** lev)[:, None])
-        with np.errstate(divide="ignore", invalid="ignore"):
-            intensity = (coeff * np.asarray(intf)
-                         / np.maximum(dens, 1e-35)[:, None])
-        intensity[dens <= 0.0] = 0.0
-        if write_files:
-            path = cfg.keys.get("saveint", [[None]])[0]
-            fname = path[1] if path and len(path) > 1 else "ISRF.DAT"
-            write_cell_frequency_array(fname, intensity.astype(np.float32))
+        raw = np.asarray(intf)
+        if cfg.save_intensity == 2:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                intensity = (coeff[:, :, None] * raw
+                             / np.maximum(dens, 1e-35)[:, None, None])
+            intensity[dens <= 0.0] = 0.0
+            # IX/IY/IZ normalized with total intensity (ASOC.py:2735-2738)
+            for k in (1, 2, 3):
+                intensity[:, :, k] /= intensity[:, :, 0] + 1e-33
+            if write_files:
+                with open(cfg.file_intensity, "wb") as fp:
+                    np.asarray([grid.cells, nfreq, 4], np.int32).tofile(fp)
+                    intensity.astype(np.float32).tofile(fp)
+        else:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                intensity = (coeff * raw
+                             / np.maximum(dens, 1e-35)[:, None])
+            intensity[dens <= 0.0] = 0.0
+            if write_files:
+                write_cell_frequency_array(cfg.file_intensity,
+                                           intensity.astype(np.float32))
 
     # ---- absorbed-file output (reference end-of-run scaling)
-    if per_freq_tally:
-        fabs = _scaled_absorbed(grid, intf, gl_cm)
+    if per_freq_tally and not cfg.noabsorbed:
+        fabs = _scaled_absorbed(
+            grid, intf[:, :, 0] if cfg.save_intensity == 2 else intf,
+            gl_cm)
         res.absorbed = fabs
         if write_files and cfg.file_absorbed:
             write_cell_frequency_array(cfg.file_absorbed, fabs)
@@ -1089,7 +1116,10 @@ def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
                 phot, tau, colden = render_mapping.render_ortho(
                     grid, emit_map, ext_gl, jnp.asarray(odir),
                     jnp.asarray(ra), jnp.asarray(de), centre, cfg.map_dx,
-                    tuple(cfg.npix))
+                    tuple(cfg.npix),
+                    use_shear=cfg.y_shear != 0.0, y_shear=cfg.y_shear,
+                    maxlos=cfg.maxlos,
+                    map_interp=int(cfg.map_interpolation))
                 res.maps[idir] = np.asarray(phot)
                 res.tau_maps[idir] = np.asarray(tau)
                 res.maps[("colden", idir)] = np.asarray(colden)

@@ -66,9 +66,11 @@ def _front_surface(pos, odir, nx, ny, nz):
     return pos - smin[:, None] * odir
 
 
-@partial(jax.jit, static_argnames=("npix", "max_steps", "nrows"))
+@partial(jax.jit, static_argnames=("npix", "max_steps", "nrows",
+                                   "use_shear", "map_interp"))
 def render_ortho(grid, emit_map, ext_gl, odir, ra, de, centre, map_dx,
-                 npix, max_steps=100000, row0=0, nrows=None):
+                 npix, max_steps=100000, row0=0, nrows=None,
+                 use_shear=False, y_shear=0.0, maxlos=1e10, map_interp=0):
     """Orthographic multi-frequency map.
 
     emit_map : [CELLS, NF] emission pre-scaled by KK*freq (Jy/sr units out)
@@ -78,6 +80,16 @@ def render_ortho(grid, emit_map, ext_gl, odir, ra, de, centre, map_dx,
 
     row0/nrows render only map rows [row0, row0+nrows) -- the pixel-sharding
     hook for multi-chip map rendering (NY := nrows in the outputs).
+
+    use_shear: shearing-box continuation (kernel_ASOC_map_H.c:800-830,
+    YSHEAR keyword): rays exiting through the X faces re-enter on the
+    opposite side with y shifted -/+ y_shear root cells (Y faces wrap
+    periodically), until the accumulated LOS exceeds maxlos [GL].
+
+    map_interp > 0: cross-ray interpolation (MAP_INTERPOLATION,
+    kernel_ASOC_map.c:656-760): per step, sample the two cells
+    perpendicular to the ray at mid-step and blend
+    dens/emit = (0.5-a)*A + (0.5-b)*B + (a+b)*C (triangle weights).
     """
     nxp, nyp = npix
     if nrows is None:
@@ -106,38 +118,98 @@ def render_ortho(grid, emit_map, ext_gl, odir, ra, de, centre, map_dx,
     tau = jnp.zeros((npixels, nf), jnp.float32)
     phot = jnp.zeros((npixels, nf), jnp.float32)
     colden = jnp.zeros(npixels, jnp.float32)
+    los = jnp.zeros(npixels, jnp.float32)
 
     def cond(state):
-        it, pos, level, ind, tau, phot, colden = state
+        it, pos, level, ind, tau, phot, colden, los = state
         return (it < max_steps) & jnp.any(ind >= 0)
 
     def body(state):
-        it, pos, level, ind, tau, phot, colden = state
+        it, pos, level, ind, tau, phot, colden, los = state
         active = ind >= 0
         gidx = jnp.clip(grid.off[jnp.clip(level, 0, grid.levels - 1)]
                         + jnp.maximum(ind, 0), 0, grid.cells - 1)
         dens = grid.dens[gidx]
+        emit = emit_map[gidx, :]                       # [P, NF]
         ds, npos, nlevel, nind = traverse.get_step(
             grid, pos, step_dir, level, ind, active)
         # failed-step recovery
         failed = active & (nlevel == level) & (nind == ind)
         npos = jnp.where(failed[:, None], npos + 1e-4 * step_dir, npos)
 
+        if map_interp > 0:
+            # cross-ray triangle interpolation: neighbors along the
+            # (ra, de) axes at the step midpoint (kernel_ASOC_map.c
+            # MAP_INTERPOLATION==2 weights)
+            k = jnp.exp2(-level.astype(jnp.float32))
+            mid = pos + (0.5 * ds / k)[:, None] * step_dir
+
+            def neighbor(adir):
+                d = jnp.broadcast_to(adir, pos.shape)
+                sa, _, sl, si = traverse.get_step(grid, mid, d, level,
+                                                  ind, active)
+                sa = sa / k
+                ok = (sa <= 0.52) & (si >= 0)
+                # try the opposite direction when no near neighbor
+                sb, _, sl2, si2 = traverse.get_step(grid, mid, -d, level,
+                                                    ind, active)
+                sb = sb / k
+                ok2 = ~ok & (sb <= 0.52) & (si2 >= 0)
+                sl = jnp.where(ok, sl, sl2)
+                si = jnp.where(ok, si, si2)
+                dist = jnp.where(ok, sa, jnp.where(ok2, sb, 0.5))
+                any_ok = ok | ok2
+                gi = jnp.clip(grid.off[jnp.clip(sl, 0, grid.levels - 1)]
+                              + jnp.maximum(si, 0), 0, grid.cells - 1)
+                nd = jnp.where(any_ok, grid.dens[gi], 0.0)
+                nemit = jnp.where(any_ok[:, None], emit_map[gi, :], 0.0)
+                return jnp.clip(dist, 0.0, 0.51), nd, nemit
+
+            a, adens, aemit = neighbor(ra)
+            bdist, bdens, bemit = neighbor(de)
+            dens = ((0.5 - a) * adens + (0.5 - bdist) * bdens
+                    + (a + bdist) * dens)
+            emit = ((0.5 - a)[:, None] * aemit
+                    + (0.5 - bdist)[:, None] * bemit
+                    + (a + bdist)[:, None] * emit)
+
         w = jnp.where(active, ds, 0.0)
         # ext_gl [NF] (constant abundances) or [CELLS, NF] (WITH_ABU OPT)
         ext_row = ext_gl[gidx, :] if ext_gl.ndim == 2 else ext_gl[None, :]
         dtau = (w * dens)[:, None] * ext_row
-        emit = emit_map[gidx, :]                       # [P, NF]
         attw = jnp.where(dtau < 1.0e-3,
                          1.0 - 0.5 * dtau,
                          (1.0 - jnp.exp(-dtau)) / jnp.maximum(dtau, 1e-30))
         phot = phot + jnp.exp(-tau) * attw * (w * dens)[:, None] * emit
         tau = tau + dtau
         colden = colden + w * dens
-        return it + 1, npos, nlevel, nind, tau, phot, colden
+        los = los + w
 
-    state = (jnp.int32(0), pos, level, ind, tau, phot, colden)
-    _, _, _, _, tau, phot, colden = lax.while_loop(cond, body, state)
+        if use_shear:
+            # shearing-box continuation through the X/Y faces
+            nx_, ny_, nz_ = (jnp.float32(grid.nx), jnp.float32(grid.ny),
+                             jnp.float32(grid.nz))
+            exited = active & (nind < 0)
+            zin = (npos[:, 2] > 0.0) & (npos[:, 2] < nz_)
+            cont = exited & zin & (los < maxlos)
+            xlo = npos[:, 0] <= 0.0
+            xhi = npos[:, 0] >= nx_
+            newx = jnp.where(xlo, nx_ - 2.0 * EPS,
+                             jnp.where(xhi, 2.0 * EPS, npos[:, 0]))
+            yshift = jnp.where(xlo, -jnp.float32(y_shear),
+                               jnp.where(xhi, jnp.float32(y_shear), 0.0))
+            newy = jnp.mod(npos[:, 1] + ny_ + yshift, ny_)
+            newy = jnp.clip(newy, 2.0 * EPS, ny_ - 2.0 * EPS)
+            wpos = jnp.stack([newx, newy, npos[:, 2]], axis=1)
+            wp, wl, wi = traverse.index_global(grid, wpos)
+            npos = jnp.where(cont[:, None], wp, npos)
+            nlevel = jnp.where(cont, wl, nlevel)
+            nind = jnp.where(cont, wi, nind)
+
+        return it + 1, npos, nlevel, nind, tau, phot, colden, los
+
+    state = (jnp.int32(0), pos, level, ind, tau, phot, colden, los)
+    _, _, _, _, tau, phot, colden, _ = lax.while_loop(cond, body, state)
     phot = phot.T.reshape(nf, nyp, nxp)
     tau = tau.T.reshape(nf, nyp, nxp)
     colden = colden.reshape(nyp, nxp)

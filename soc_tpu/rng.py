@@ -22,8 +22,15 @@ def _rotl(x, d):
     return (x << d) | (x >> (32 - d))
 
 
-def threefry2x32(k0, k1, c0, c1):
-    """Threefry-2x32, 20 rounds. All args uint32 arrays; returns (x0, x1)."""
+def threefry2x32(k0, k1, c0, c1, rounds=13):
+    """Threefry-2x32. All args uint32 arrays; returns (x0, x1).
+
+    Default 13 rounds: the Random123 paper's recommended minimum for
+    Threefry-2x32 (passes the full BigCrush battery); the hot transport
+    loop consumes one evaluation per packet step, so the 20->13 round cut
+    is a direct ~35% saving on the RNG share of the step cost. Pass
+    rounds=20 for the conservative full-strength variant.
+    """
     k0 = jnp.asarray(k0, jnp.uint32)
     k1 = jnp.asarray(k1, jnp.uint32)
     x0 = jnp.asarray(c0, jnp.uint32)
@@ -33,15 +40,19 @@ def threefry2x32(k0, k1, c0, c1):
 
     x0 = x0 + k0
     x1 = x1 + k1
-    for r in range(5):
+    done = 0
+    r = 0
+    while done < rounds:
         rots = _ROTATIONS[r % 2]
-        for d in rots:
+        for d in rots[: rounds - done]:
             x0 = x0 + x1
             x1 = _rotl(x1, jnp.uint32(d))
             x1 = x1 ^ x0
-        # key injection every 4 rounds
+        done += min(4, rounds - done)
+        # key injection every 4 rounds (and after a final partial block)
         x0 = x0 + keys[(r + 1) % 3]
         x1 = x1 + keys[(r + 2) % 3] + jnp.uint32(r + 1)
+        r += 1
     return x0, x1
 
 
@@ -89,3 +100,20 @@ def uniform1(seed, stream, counter, hi=0):
     c1 = jnp.asarray(counter, jnp.uint32) * jnp.uint32(2)
     b0, _ = threefry2x32(seed, hi, stream, c1)
     return _bits_to_unit(b0)
+
+
+def step_uniforms(seed, stream, counter, hi):
+    """(u_fp, u_bin, u_phi) from ONE threefry evaluation -- the transport
+    hot path. The free-path draw keeps full 32-bit resolution (it feeds a
+    log); the phase-function bin index and azimuth each get 16 bits of the
+    second word, far finer than the <=2^12 CSC bins and the float32 angle
+    arithmetic they feed."""
+    hi = jnp.asarray(hi, jnp.uint32)
+    c1 = jnp.asarray(counter, jnp.uint32) * jnp.uint32(2)
+    b0, b1 = threefry2x32(seed, hi, stream, c1)
+    u_fp = _bits_to_unit(b0)
+    u_bin = (b1 >> jnp.uint32(16)).astype(jnp.float32) \
+        * jnp.float32(1.0 / 65536.0)
+    u_phi = (b1 & jnp.uint32(0xFFFF)).astype(jnp.float32) \
+        * jnp.float32(1.0 / 65536.0)
+    return u_fp, u_bin, u_phi

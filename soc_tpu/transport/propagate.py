@@ -34,6 +34,7 @@ from jax import lax
 from ..constants import (ADHOC, DEPS, MAX_SCATTERINGS, PEPS, PHOTON_LIMIT,
                          TAULIM)
 from ..ops import traverse
+from ..ops.traverse import _suboct as _suboct_of
 from .. import rng as socrng
 
 
@@ -91,13 +92,13 @@ def _csc_lookup(csc_table, ifreq, u_bin, bins):
 @partial(jax.jit, static_argnames=("source_kind", "nlanes", "max_iters",
                                    "per_freq_tally", "refill_period",
                                    "esc_bins", "with_ali", "roi_nside",
-                                   "mirror_mask"),
+                                   "mirror_mask", "split_max"),
          donate_argnums=(4, 5))
 def transport_run(grid, physics, source_params, total_packets, tabs, intf,
                   seed, source_kind="bg", nlanes=1 << 17,
                   max_iters=1 << 30, per_freq_tally=False, refill_period=8,
                   esc_bins=1, with_ali=False, xab=None, roi_nside=0,
-                  roi_tally=None, mirror_mask=0):
+                  roi_tally=None, mirror_mask=0, split_max=0):
     """Drain ``total_packets`` packets through the grid with lane refill.
 
     physics : dict with
@@ -125,6 +126,23 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
     (physics['roi_mask'] per-cell flags, physics['roi_box'] root-cell
     limits, physics['roi_dim'] (rnx,rny,rnz,step)) are histogrammed into
     roi_tally [NELEM * 12 * nside^2] (kernel_ASOC.c:617-660).
+
+    split_max > 0 enables in-flight packet splitting at octree refinement
+    boundaries -- the fixed-shape equivalent of the reference's
+    SimBgSplit/SimHpSplit ray stacks (kernel_ASOC.c:2121-3554). A packet
+    crossing into a FINER level halves its weight and posts a clone
+    request (its post-crossing state) that the lane-refill step serves
+    into dead lanes before drawing fresh source packets. Like the
+    reference's sub-rays (spawned across the leading face of the entered
+    octet, kernel_ASOC.c:3263-3360), the clone re-samples its entry point
+    uniformly over that face -- the beam interpretation that lets the
+    refined sub-structure be sampled below the parent packet density; the
+    parent keeps its exact position, so the pair samples both the true
+    point and the face average. The clone gets a fresh stream from a
+    dedicated id space and a fresh free path (valid: the remaining
+    exponential path is memoryless; splitting is therefore disabled when
+    STEP_WEIGHT stretching is on). A packet splits at most split_max
+    times.
     """
     from .sources import GENERATORS
     gen = GENERATORS[source_kind]
@@ -140,6 +158,11 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
     # STEP_WEIGHT==1 free-path stretching: p(tau) = A exp(-A tau), weight
     # exp((A-1) tau)/A (kernel_ASOC.c:524-536). sw_a in physics enables it.
     sw_a = physics.get("sw_a", None)
+    if sw_a is not None:
+        split_max = 0          # splitting assumes memoryless free paths
+    do_split = split_max > 0
+    from .sources import stream_hi_base
+    split_hi = int(stream_hi_base("split")) if do_split else 0
 
     def draw_fp_weighted(u):
         if sw_a is None:
@@ -170,12 +193,14 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
         it = state[0]
         b = state[1]
         next_id = state[4]
-        return (it < max_iters) & (jnp.any(b.ind >= 0)
-                                   | (next_id < total_packets))
+        active = jnp.any(b.ind >= 0) | (next_id < total_packets)
+        if do_split:
+            active = active | jnp.any(state[12]["pending"])
+        return (it < max_iters) & active
 
     def body(state):
         (it, b, free_path, tau, next_id, tabs, intf, esc, esc_pending,
-         absd, xab_c, roi_c) = state
+         absd, xab_c, roi_c, sp) = state
 
         # ---- flush per-lane escaped weight of dead lanes into the
         # per-frequency bins (one-hot reduction: no scatter serialization)
@@ -189,6 +214,68 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
             esc = esc + jnp.einsum("n,nk->k", flush,
                                    onehot.astype(jnp.float32))
         esc_pending = jnp.where(dead, 0.0, esc_pending)
+
+        # ---- serve pending split-clone requests into dead lanes first
+        if do_split:
+            di = dead.astype(jnp.int32)
+            drank = jnp.cumsum(di) - di
+            pend = sp["pending"]
+            pi = pend.astype(jnp.int32)
+            prank = jnp.cumsum(pi) - pi
+            n_pend = jnp.sum(pi)
+            n_dead = jnp.sum(di)
+            lanes_idx = jnp.arange(nlanes, dtype=jnp.int32)
+            donor_map = jnp.zeros(nlanes, jnp.int32).at[
+                jnp.where(pend, prank, nlanes)].set(lanes_idx, mode="drop")
+            adopt = dead & (drank < n_pend)
+            donor = donor_map[jnp.clip(drank, 0, nlanes - 1)]
+            new_stream = sp["clones"] + drank.astype(jnp.uint32)
+            hi_clone = jnp.uint32(split_hi) \
+                + sp["ifreq"][donor].astype(jnp.uint32)
+            # re-sample the clone's entry point over the crossed octet
+            # face (tangential coords uniform in [PEPS, 2-PEPS])
+            u1, u2 = socrng.uniform2(seed, new_stream,
+                                     jnp.zeros_like(new_stream), hi_clone)
+            dpos = sp["pos"][donor]
+            axis = sp["face"][donor]                  # 0/1/2 crossing axis
+            span = jnp.float32(2.0 - 2.0 * PEPS)
+            t1 = PEPS + span * u1
+            t2 = PEPS + span * u2
+            jpos = jnp.stack([
+                jnp.where(axis == 0, dpos[:, 0],
+                          jnp.where(axis == 1, t1, t1)),
+                jnp.where(axis == 1, dpos[:, 1],
+                          jnp.where(axis == 0, t1, t2)),
+                jnp.where(axis == 2, dpos[:, 2], t2)], axis=1)
+            # deepest-level octets only: at level 0 keep the exact position
+            jpos = jnp.where((sp["level"][donor] > 0)[:, None], jpos, dpos)
+            # recompute the sub-cell index within the same octet
+            first = sp["ind"][donor] - _suboct_of(dpos)
+            jind = jnp.where(sp["level"][donor] > 0,
+                             first + _suboct_of(jpos), sp["ind"][donor])
+            al = adopt[..., None]
+            b = PacketBatch(
+                pos=jnp.where(al, jpos, b.pos),
+                dir=jnp.where(al, sp["dir"][donor], b.dir),
+                level=jnp.where(adopt, sp["level"][donor], b.level),
+                ind=jnp.where(adopt, jind, b.ind),
+                photons=jnp.where(adopt, sp["photons"][donor], b.photons),
+                ifreq=jnp.where(adopt, sp["ifreq"][donor], b.ifreq),
+                stream=jnp.where(adopt, new_stream, b.stream),
+                hi=jnp.where(adopt, hi_clone, b.hi),
+                counter=jnp.where(adopt, jnp.uint32(3), b.counter),
+                scatterings=jnp.where(adopt, 0, b.scatterings),
+                e_cell=jnp.where(adopt, -1, b.e_cell))
+            fp_c, _ = draw_birth_fp(b.stream, b.hi)
+            free_path = jnp.where(adopt, fp_c, free_path)
+            tau = jnp.where(adopt, 0.0, tau)
+            sp = {**sp,
+                  "lane_depth": jnp.where(adopt, sp["depth"][donor],
+                                          sp["lane_depth"]),
+                  "pending": pend & ~(prank < n_dead),
+                  "clones": sp["clones"]
+                  + jnp.sum(adopt.astype(jnp.uint32))}
+            dead = b.ind < 0
 
         # ---- refill dead lanes from the remaining packet budget
         deadi = dead.astype(jnp.int32)
@@ -212,6 +299,8 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
             e_cell=jnp.where(can, nb.e_cell, b.e_cell))
         fp_new, w_new = draw_birth_fp(nb.stream, nb.hi)
         free_path = jnp.where(can, fp_new, free_path)
+        if do_split:
+            sp = {**sp, "lane_depth": jnp.where(can, 0, sp["lane_depth"])}
         if sw_a is not None:
             b = PacketBatch(pos=b.pos, dir=b.dir, level=b.level, ind=b.ind,
                             photons=jnp.where(can, b.photons * w_new,
@@ -228,15 +317,15 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
             return step(*st)
 
         (b, free_path, tau, tabs, intf, esc_pending, absd, xab_c,
-         roi_c) = lax.fori_loop(
+         roi_c, sp) = lax.fori_loop(
             0, refill_period, phys,
             (b, free_path, tau, tabs, intf, esc_pending, absd, xab_c,
-             roi_c))
+             roi_c, sp))
         return (it + 1, b, free_path, tau, next_id, tabs, intf, esc,
-                esc_pending, absd, xab_c, roi_c)
+                esc_pending, absd, xab_c, roi_c, sp)
 
     def step(b, free_path, tau, tabs, intf, esc_pending, absd, xab_c,
-             roi_c):
+             roi_c, sp):
         alive = b.ind >= 0
         gidx = jnp.clip(grid.off[jnp.clip(b.level, 0, grid.levels - 1)]
                         + jnp.maximum(b.ind, 0), 0, cells - 1)
@@ -286,13 +375,27 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
             tabs = tabs.at[didx].add(delta * tw * ADHOC, mode="drop")
             new_xab = xab_c
         if per_freq_tally:
-            intf = intf.at[didx, b.ifreq].add(delta, mode="drop")
+            if intf.ndim == 3:
+                # SAVE_INTENSITY==2: (I, Ix, Iy, Iz) component tallies
+                # (reference INT/INTX/INTY/INTZ buffers, ASOC.py:35)
+                w4 = jnp.concatenate([jnp.ones_like(delta)[:, None],
+                                      b.dir], axis=1)
+                intf = intf.at[didx, b.ifreq].add(delta[:, None] * w4,
+                                                  mode="drop")
+            else:
+                intf = intf.at[didx, b.ifreq].add(delta, mode="drop")
         absd = absd + jnp.sum(jnp.where(alive, delta, 0.0))
         photons = jnp.where(alive, b.photons * att, b.photons)
 
-        # ---- RNG draws for this iteration (consumed by scatter lanes)
-        u_bin, u_phi, u_fp, u_sp = socrng.uniform4(seed, b.stream, b.counter,
-                                                   b.hi)
+        # ---- RNG draws for this iteration (consumed by scatter lanes):
+        # one threefry evaluation on the fast path, two under WITH_MSF
+        # (the species roulette needs a fourth uniform)
+        if "msf_csc" in physics:
+            u_bin, u_phi, u_fp, u_sp = socrng.uniform4(
+                seed, b.stream, b.counter, b.hi)
+        else:
+            u_fp, u_bin, u_phi = socrng.step_uniforms(
+                seed, b.stream, b.counter, b.hi)
         if "msf_csc" in physics:
             # multiple scattering functions (WITH_MSF): pick the scattering
             # species with probability ABU[cell,d]*SCA_d / sum
@@ -370,6 +473,29 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
                              roi_c.shape[0])
             roi_c = roi_c.at[slot].add(photons, mode="drop")
 
+        # ---- packet splitting at refinement-boundary crossings
+        if do_split:
+            deeper = cross & (nlevel > b.level) & (nind >= 0)
+            want = deeper & ~sp["pending"] \
+                & (sp["lane_depth"] < split_max)
+            photons = jnp.where(want, 0.5 * photons, photons)
+            depth_new = sp["lane_depth"] + want.astype(jnp.int32)
+            # crossing axis: the octet coordinate closest to a face
+            fdist = jnp.minimum(npos, 2.0 - npos)
+            face = jnp.argmin(fdist, axis=1).astype(jnp.int32)
+            wl = want[..., None]
+            sp = {**sp,
+                  "pos": jnp.where(wl, npos, sp["pos"]),
+                  "dir": jnp.where(wl, dirx, sp["dir"]),
+                  "level": jnp.where(want, nlevel, sp["level"]),
+                  "ind": jnp.where(want, nind, sp["ind"]),
+                  "photons": jnp.where(want, photons, sp["photons"]),
+                  "ifreq": jnp.where(want, b.ifreq, sp["ifreq"]),
+                  "depth": jnp.where(want, depth_new, sp["depth"]),
+                  "face": jnp.where(want, face, sp["face"]),
+                  "pending": sp["pending"] | want,
+                  "lane_depth": depth_new}
+
         # ---- merge
         pos = jnp.where(scatter_now[..., None], pos_scatter, npos)
         level = jnp.where(scatter_now, b.level, nlevel)
@@ -395,21 +521,35 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
                          hi=b.hi, counter=b.counter + jnp.uint32(1),
                          scatterings=scat, e_cell=b.e_cell)
         return (nb, free_path, tau, tabs, intf, esc_pending, absd, new_xab,
-                roi_c)
+                roi_c, sp)
 
     if xab is None:
         xab = jnp.zeros(1, jnp.float32)
     if roi_tally is None:
         roi_tally = jnp.zeros(1, jnp.float32)
     b0 = make_dead(nlanes)
+    if do_split:
+        sp0 = dict(pos=jnp.zeros((nlanes, 3), jnp.float32),
+                   dir=jnp.zeros((nlanes, 3), jnp.float32),
+                   level=jnp.zeros(nlanes, jnp.int32),
+                   ind=jnp.zeros(nlanes, jnp.int32),
+                   photons=jnp.zeros(nlanes, jnp.float32),
+                   ifreq=jnp.zeros(nlanes, jnp.int32),
+                   depth=jnp.zeros(nlanes, jnp.int32),
+                   face=jnp.zeros(nlanes, jnp.int32),
+                   lane_depth=jnp.zeros(nlanes, jnp.int32),
+                   pending=jnp.zeros(nlanes, bool),
+                   clones=jnp.uint32(0))
+    else:
+        sp0 = {}
     state = (jnp.int32(0), b0, jnp.zeros(nlanes, jnp.float32),
              jnp.zeros(nlanes, jnp.float32), jnp.int32(0), tabs, intf,
              jnp.zeros(esc_bins, jnp.float32),
              jnp.zeros(nlanes, jnp.float32), jnp.float32(0.0), xab,
-             roi_tally)
+             roi_tally, sp0)
     state = lax.while_loop(cond, body, state)
     (_, b, _, _, _, tabs, intf, esc, esc_pending, absd, xab,
-     roi_tally) = state
+     roi_tally, sp_out) = state
     # final flush: lanes that died in the last block
     if esc_bins == 1:
         esc = esc + jnp.sum(esc_pending)[None]
@@ -423,6 +563,8 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
         extras.append(xab)
     if roi_nside > 0:
         extras.append(roi_tally)
+    if do_split:
+        extras.append(sp_out["clones"])
     if extras:
         return (tabs, intf, esc, absd, *extras)
     return tabs, intf, esc, absd

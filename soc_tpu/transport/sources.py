@@ -41,7 +41,8 @@ BIRTH_COUNTER = 3   # first counter slot used by the propagation loop
 # stream-id high-word phase tags: hi = (phase << 24) | (iteration << 16)
 # + ifreq.  Supports 256 phases, 256 iterations, 65536 frequencies.
 PHASES = {"bg": 1, "hpbg": 2, "ps": 3, "cell": 4, "roi": 5, "diffuse": 6,
-          "sca_bg": 9, "sca_ps": 10, "sca_cell": 11, "sca_hpbg": 12}
+          "split": 7, "sca_bg": 9, "sca_ps": 10, "sca_cell": 11,
+          "sca_hpbg": 12}
 
 
 def stream_hi_base(phase, iteration=0):
@@ -132,9 +133,14 @@ def background_entry(nx, ny, nz, stream, hi, seed):
     (stream, hi) on the nx*ny*nz surface -- pure geometry, shared by the
     single-grid generator and the domain-decomposed transport (which
     evaluates it against the GLOBAL grid dimensions)."""
-    a_yz, a_xz, a_xy = ny * nz, nx * nz, nx * ny
-    area = 2 * (a_yz + a_xz + a_xy)
+    area = 2 * (ny * nz + nx * nz + nx * ny)
     elem = (stream % jnp.uint32(area)).astype(jnp.int32)
+    return background_entry_at(nx, ny, nz, elem, stream, hi, seed)
+
+
+def background_entry_at(nx, ny, nz, elem, stream, hi, seed):
+    """Entry (position, direction) on a GIVEN surface element."""
+    a_yz, a_xz, a_xy = ny * nz, nx * nz, nx * ny
 
     u1, u2, u3, u4 = socrng.uniform4(jnp.uint32(seed), stream,
                                      jnp.zeros_like(stream), hi)

@@ -251,3 +251,52 @@ def test_remit_band_reduces_emitted_file(model_dir):
     with open(model_dir / "emitted.data", "rb") as fp:
         cells, ncols = np.fromfile(fp, np.int32, 2)
     assert cells == N ** 3 and 0 < ncols < 44
+
+
+def test_saveint_four_component(model_dir):
+    """SAVE_INTENSITY==2: ISRF.DAT holds (I, Ix, Iy, Iz) with the direction
+    moments normalized by the total intensity."""
+    res = run_ini(model_dir, "saveint 2\nnosolve\nnomap\n")
+    with open(model_dir / "ISRF.DAT", "rb") as fp:
+        cells, nf, k = np.fromfile(fp, np.int32, 3)
+        data = np.fromfile(fp, np.float32).reshape(cells, nf, k)
+    assert (cells, nf, k) == (N ** 3, 44, 4)
+    assert np.all(data[:, :, 0] >= 0)
+    # isotropic external illumination: net direction moments ~ 0 in the
+    # cloud interior, and always within [-1, 1] after normalization
+    assert np.all(np.abs(data[:, :, 1:]) <= 1.0 + 1e-5)
+    mid = data[:, 10, 1:]      # a well-populated frequency channel
+    assert np.abs(mid.mean(axis=0)).max() < 0.15
+
+
+def test_saveint_scalar(model_dir):
+    res = run_ini(model_dir, "saveint 1 isrf.bin\nnosolve\nnomap\n")
+    with open(model_dir / "isrf.bin", "rb") as fp:
+        cells, nf = np.fromfile(fp, np.int32, 2)
+    assert (cells, nf) == (N ** 3, 44)
+
+
+def test_yshear_periodic_continuation(model_dir):
+    """yshear: rays exiting through the X faces re-enter with a sheared y
+    coordinate until maxlos; column density grows accordingly. Observer
+    along +X so the LOS crosses the sheared faces."""
+    from soc_tpu.constants import PARSEC
+    base = BASE_INI.replace("directions      0.0 0.0",
+                            "directions      90.0 0.0")
+    res1 = run_ini(model_dir, base=base)
+    res3 = run_ini(model_dir, "yshear  2.0\n", base=base)
+    cfg = RunConfig(str(model_dir / "run.ini"))
+    assert cfg.y_shear == 2.0
+    c1 = res1.maps[("colden", 0)]
+    c3 = res3.maps[("colden", 0)]
+    # with shear the ray wraps until maxlos (default huge, so bounded by
+    # max_steps); the column must grow several-fold over the plain LOS
+    assert c3.mean() > 2.5 * c1.mean()
+
+
+def test_map_interpolation_uniform_invariant(model_dir):
+    """MAP_INTERPOLATION on a uniform cloud must reproduce the plain map
+    (the triangle weights sum to one)."""
+    res0 = run_ini(model_dir)
+    res1 = run_ini(model_dir, "mapint 2\n")
+    np.testing.assert_allclose(res1.maps[0], res0.maps[0], rtol=5e-3)
