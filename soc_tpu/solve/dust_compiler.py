@@ -117,15 +117,37 @@ def size_distribution(typ, amin, amax, params, nsize):
         if "-cv" in typ:
             au, z, eta = p[k], p[k + 1], p[k + 2]
             dnda = dnda * (1.0 + np.abs(z) * (a / au) ** eta) ** np.sign(z)
+    elif typ.startswith("size"):
+        # tabulated dn/da from a SIZE_<name>.DAT file (DustLib.py:149-163):
+        # two columns, a [um] and dn/da/H; interpolated onto the log grid
+        if not params or not isinstance(params[-1], str):
+            raise ValueError("'size' distribution needs the SIZE file path")
+        tab = np.loadtxt(params[-1])
+        ta = np.asarray(tab[:, 0], np.float64) * 1.0e-4      # um -> cm
+        tf = np.asarray(tab[:, 1], np.float64)
+        dnda = np.exp(np.interp(np.log(a), np.log(ta),
+                                np.log(np.maximum(tf, 1e-300))))
     else:
         raise ValueError(f"unsupported size-distribution type {typ!r}")
     return a, dnda
 
 
-def parse_grain_line(line, nsize=None):
+def apply_mix(a, sfrac, mix_path):
+    """Multiply per-size grain counts by the MIX_<name>.DAT factors
+    (DustLib.py:1186-1220): factors given on logspace(amin, amax, len(mix)),
+    log-size interpolated onto our grid, applied AFTER normalization."""
+    mix = np.ravel(np.loadtxt(mix_path))
+    x = np.logspace(np.log10(a[0]), np.log10(a[-1]), len(mix))
+    fac = np.interp(np.log(a), np.log(x), mix, left=1.0, right=1.0)
+    return sfrac * fac
+
+
+def parse_grain_line(line, nsize=None, size_path=None, mix_path=None):
     """One GRAIN.DAT row -> (name, normalized size grid + per-bin grain
     counts). Columns: name, nsize, type, Mdust/MH, rho, amin, amax, params
-    (DustLib.py:1050-1066)."""
+    (DustLib.py:1050-1066). Types: plaw[-ed][-cv], logn, size (tabulated
+    dn/da from size_path); a '-mix' suffix applies MIX factors from
+    mix_path after the mass normalization."""
     s = line.split()
     name = s[0]
     nsize_file = int(s[1])
@@ -135,18 +157,26 @@ def parse_grain_line(line, nsize=None):
     amin, amax = float(s[5]), float(s[6])
     params = [float(x) for x in s[7:]]
     n = nsize or nsize_file
+    if typ.lower().startswith("size"):
+        params = params + [size_path]
     a, dnda = size_distribution(typ, amin, amax, params, n)
     dln = np.log(a[1] / a[0]) if n > 1 else 1.0
     sfrac = dnda * a * dln                  # grains per H (unnormalized)
     mass = np.sum(sfrac * (4.0 * np.pi / 3.0) * a**3 * rho)
     sfrac = sfrac * (M_H * rmass / mass)    # dust mass = rmass * m_H
+    if "mix" in typ.lower():
+        if not mix_path:
+            raise ValueError("'-mix' distribution needs the MIX file path")
+        sfrac = apply_mix(a, sfrac, mix_path)
     return name, rho, a, sfrac
 
 
 def compile_dust(grain_line, lambda_path, q_path, g_path, c_path=None,
-                 nsize=None, g_skiprows=9):
+                 nsize=None, g_skiprows=9, size_path=None, mix_path=None):
     """Full DustEM -> DustemDust compilation for one species."""
-    name, rho, a, sfrac = parse_grain_line(grain_line, nsize)
+    name, rho, a, sfrac = parse_grain_line(grain_line, nsize,
+                                           size_path=size_path,
+                                           mix_path=mix_path)
     qfreq_dec = read_lambda(lambda_path)     # decreasing with row index
     nfreq = len(qfreq_dec)
     qsize, qabs, qsca = read_q(q_path, nfreq)
@@ -221,3 +251,128 @@ def to_gset(dust, tmin=3.0, tmax=2000.0):
         qsize=dust.qsize, qfreq=dust.qfreq,
         qabs=dust.qabs, qsca=dust.qsca, g=dust.g,
         c_size=csz, c_temp=ct, c_e=c_e)
+
+
+def _hg(g, mu):
+    """Henyey-Greenstein pdf per unit solid angle at cos(theta)=mu."""
+    g = np.asarray(g, np.float64)[..., None]
+    return (1.0 - g * g) / (4.0 * np.pi
+                            * (1.0 + g * g - 2.0 * g * mu) ** 1.5)
+
+
+def tabulated_scattering_function(dust, freq, bins=2500):
+    """Size-weighted tabulated phase function (DustLib DSF/DSF2 role).
+
+    The per-frequency phase function is the Ksca(a)-weighted MIXTURE of
+    HG(g(a)) over the size distribution -- genuinely non-HG in shape
+    (broader wings than HG at the effective <g>), unlike the effective-g
+    fallback. Returns (DSC[NFREQ, BINS] pdf over a uniform cos-theta grid,
+    CSC[NFREQ, BINS] inverse-CDF lookup), the *.dsc table pair
+    (combined_scattering_function* + SFlookupCT_CRT, DustLib.py:1358-1601).
+    """
+    freq = np.asarray(freq, np.float64)
+    nf = len(freq)
+    mu = np.linspace(-1.0 + 1.0 / bins, 1.0 - 1.0 / bins, bins)
+    u = (np.arange(bins) + 0.5) / bins
+    qsca = _q_on_sizes(dust.qsca, dust.qsize, dust.size_a)
+    gtab = _q_on_sizes(dust.g, dust.qsize, dust.size_a)
+    area = np.pi * dust.size_a ** 2
+    dsc = np.zeros((nf, bins), np.float32)
+    csc = np.zeros((nf, bins), np.float32)
+    for i, f in enumerate(freq):
+        w = dust.sfrac * area * np.asarray(
+            [np.interp(f, dust.qfreq, qsca[k]) for k in range(dust.nsize)])
+        g = np.asarray(
+            [np.interp(f, dust.qfreq, gtab[k]) for k in range(dust.nsize)])
+        pdf = (w[:, None] * _hg(g, mu)).sum(axis=0) / max(w.sum(), 1e-300)
+        dsc[i] = pdf
+        cdf = np.cumsum(pdf)
+        cdf = cdf / cdf[-1]
+        csc[i] = np.interp(u, cdf, mu)
+    return dsc, csc
+
+
+def combined_scattering_function(dusts, freq, bins=2500):
+    """Multi-species combined DSC/CSC, Ksca-weighted over the dust list
+    (combined_scattering_function2, DustLib.py:1389-1402)."""
+    freq = np.asarray(freq, np.float64)
+    nf = len(freq)
+    num = np.zeros((nf, bins), np.float64)
+    wtot = np.zeros(nf, np.float64)
+    u = (np.arange(bins) + 0.5) / bins
+    mu = np.linspace(-1.0 + 1.0 / bins, 1.0 - 1.0 / bins, bins)
+    for dust in dusts:
+        d, _ = tabulated_scattering_function(dust, freq, bins)
+        qsca = _q_on_sizes(dust.qsca, dust.qsize, dust.size_a)
+        area = np.pi * dust.size_a ** 2
+        ksca_q = (dust.sfrac[:, None] * area[:, None] * qsca).sum(axis=0)
+        w = np.interp(freq, dust.qfreq, ksca_q)
+        num += w[:, None] * d
+        wtot += w
+    dsc = (num / np.maximum(wtot, 1e-300)[:, None]).astype(np.float32)
+    csc = np.zeros_like(dsc)
+    for i in range(nf):
+        cdf = np.cumsum(dsc[i].astype(np.float64))
+        cdf = cdf / cdf[-1]
+        csc[i] = np.interp(u, cdf, mu)
+    return dsc, csc
+
+
+def write_scattering_file(path, dsc, csc):
+    """Write the reference *.dsc container: float32 DSC then CSC
+    (ASOC_aux.py:639-647)."""
+    with open(path, "wb") as fp:
+        np.asarray(dsc, np.float32).tofile(fp)
+        np.asarray(csc, np.float32).tofile(fp)
+
+
+def write_polarized_dust_aux(dust, freq, prefix="tmp", qgamma=None):
+    """Grain-alignment auxiliary files (write_simple_dust_pol,
+    DustLib.py:2569-2666): <prefix>.size (grain sizes), <prefix>.qabs
+    (Qabs per size per frequency) and <prefix>.rpol (the RAT polarization
+    reduction: the fraction of total absorption contributed by grains with
+    a >= a_j, per frequency). qgamma, if given, is a [NSIZE_Q, NFREQ_Q]
+    table written interpolated onto `freq` as <prefix>.qgam.
+    """
+    freq = np.asarray(freq, np.float64)
+    nf = len(freq)
+    nsz = dust.nsize
+    qabs_s = _q_on_sizes(dust.qabs, dust.qsize, dust.size_a)  # [NS, QNF]
+    area = np.pi * dust.size_a ** 2
+    # per-size, per-freq absorption cross sections on the target grid
+    kabs_sf = np.zeros((nsz, nf))
+    for k in range(nsz):
+        kabs_sf[k] = np.interp(freq, dust.qfreq, qabs_s[k]) \
+            * dust.sfrac[k] * area[k]
+    ktot = kabs_sf.sum(axis=0)
+
+    np.savetxt("%s.size" % prefix, dust.size_a)
+    qabs_out = np.zeros((nf + 1, nsz + 1), np.float32)
+    qabs_out[0, 0] = dust.rho
+    qabs_out[1:, 0] = freq
+    qabs_out[0, 1:] = dust.size_a
+    for k in range(nsz):
+        qabs_out[1:, k + 1] = np.interp(freq, dust.qfreq, qabs_s[k])
+    np.savetxt("%s.qabs" % prefix, qabs_out)
+
+    rpol = np.zeros((nsz + 1, nf + 1), np.float32)
+    rpol[1:, 0] = dust.size_a
+    rpol[0, 1:] = freq
+    for j in range(nsz):
+        # fraction of the total absorption from grains with a >= a_j
+        rpol[j + 1, 1:] = kabs_sf[j:].sum(axis=0) / np.maximum(ktot, 1e-300)
+    np.savetxt("%s.rpol" % prefix, rpol)
+
+    if qgamma is not None:
+        qg = np.zeros((nsz + 1, nf + 1), np.float32)
+        qg[0, 0] = dust.rho
+        qg[1:, 0] = dust.size_a
+        qg[0, 1:] = freq
+        qgamma = np.asarray(qgamma, np.float64)
+        for k in range(nsz):
+            ks = min(int(k * qgamma.shape[0] / nsz), qgamma.shape[0] - 1)
+            qg[k + 1, 1:] = np.interp(
+                freq, np.linspace(freq[0], freq[-1], qgamma.shape[1]),
+                qgamma[ks])
+        np.savetxt("%s.qgam" % prefix, qg)
+    return rpol
