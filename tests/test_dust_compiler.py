@@ -87,3 +87,71 @@ def test_gset_conversion_runs_solver_chain(dustem_files):
     sol = solver_prep.build_solver(gset, freq, ne=32)
     assert sol.nsize == dust.nsize
     assert np.all(sol.sizes[0].tdown[1:] > 0)
+
+
+def test_tabulated_scattering_function(dustem_files):
+    """Size-weighted HG mixture: normalized pdf, monotone inverse CDF, and
+    broader wings than the single effective-g HG."""
+    grain, lam, qf, gf, cf = dustem_files
+    dust = dc.compile_dust(grain, lam, qf, gf, cf)
+    freq = np.logspace(12, 15, 6)
+    bins = 512
+    dsc, csc = dc.tabulated_scattering_function(dust, freq, bins)
+    mu = np.linspace(-1 + 1 / bins, 1 - 1 / bins, bins)
+    dmu = 2.0 / bins
+    # pdf over solid angle: integral over 4pi = 2 pi * sum(pdf dmu) = 1
+    norm = 2 * np.pi * dsc.sum(axis=1) * dmu
+    np.testing.assert_allclose(norm, 1.0, rtol=1e-2)
+    assert np.all(np.diff(csc, axis=1) >= -1e-6)      # inverse CDF monotone
+    assert np.all((csc >= -1) & (csc <= 1))
+    # combined over two species runs and stays normalized
+    dsc2, csc2 = dc.combined_scattering_function([dust, dust], freq, bins)
+    np.testing.assert_allclose(dsc2, dsc, rtol=1e-5)
+
+
+def test_scattering_file_roundtrip(dustem_files, tmp_path):
+    from soc_tpu.io.dust import read_scattering_function
+    grain, lam, qf, gf, cf = dustem_files
+    dust = dc.compile_dust(grain, lam, qf, gf, cf)
+    freq = np.logspace(12, 15, 5)
+    dsc, csc = dc.tabulated_scattering_function(dust, freq, 256)
+    dc.write_scattering_file(tmp_path / "t.dsc", dsc, csc)
+    d2, c2 = read_scattering_function(str(tmp_path / "t.dsc"), 5, 256)
+    np.testing.assert_array_equal(d2, dsc)
+    np.testing.assert_array_equal(c2, csc)
+
+
+def test_size_and_mix_variants(dustem_files, tmp_path):
+    grain, lam, qf, gf, cf = dustem_files
+    # tabulated dn/da ~ a^-3.5 equivalent
+    a = np.logspace(-7, np.log10(5e-5), 30)
+    np.savetxt(tmp_path / "SIZE_TST.DAT",
+               np.c_[a * 1e4, a ** -3.5])
+    grain_size = "TST 24 size 0.0065 3.3 1.0e-7 5.0e-5"
+    name, rho, aa, sf1 = dc.parse_grain_line(
+        grain_size, size_path=str(tmp_path / "SIZE_TST.DAT"))
+    name, rho, aa, sf0 = dc.parse_grain_line(
+        "TST 24 plaw 0.0065 3.3 1.0e-7 5.0e-5 -3.5")
+    np.testing.assert_allclose(sf1, sf0, rtol=1e-6)   # same distribution
+    # mix: double the abundance of every size
+    np.savetxt(tmp_path / "MIX_TST.DAT", np.full(24, 2.0))
+    name, rho, aa, sfm = dc.parse_grain_line(
+        "TST 24 plaw-mix 0.0065 3.3 1.0e-7 5.0e-5 -3.5",
+        mix_path=str(tmp_path / "MIX_TST.DAT"))
+    np.testing.assert_allclose(sfm, 2.0 * sf0, rtol=1e-6)
+
+
+def test_polarized_aux_files(dustem_files, tmp_path, monkeypatch):
+    grain, lam, qf, gf, cf = dustem_files
+    dust = dc.compile_dust(grain, lam, qf, gf, cf)
+    freq = np.logspace(12, 15, 8)
+    monkeypatch.chdir(tmp_path)
+    rpol = dc.write_polarized_dust_aux(dust, freq, prefix="pol")
+    assert (tmp_path / "pol.size").exists()
+    assert (tmp_path / "pol.qabs").exists()
+    assert (tmp_path / "pol.rpol").exists()
+    body = rpol[1:, 1:]
+    # a >= a_min includes everything -> fraction 1; decreasing with a
+    np.testing.assert_allclose(body[0], 1.0, rtol=1e-6)
+    assert np.all(np.diff(body, axis=0) <= 1e-6)
+    assert np.all((body >= 0) & (body <= 1 + 1e-6))
