@@ -32,6 +32,8 @@ class RunConfig:
         self.file_temperature = ""
         self.file_intensity = "ISRF.DAT"
         self.save_intensity = 0
+        self.file_checkpoint = ""
+        self.checkpoint_every = 1
         self.file_diffuse = ""
         self.file_constant_load = ""
         self.file_constant_save = ""
@@ -364,6 +366,11 @@ class RunConfig:
             self.map_interpolation = n()
         elif key.startswith("FITS") or key.startswith("fits"):
             self.fits = n() if a else 1
+        elif key.startswith("checkpoint"):
+            # checkpoint file [every_n_units]: mid-run preemption recovery
+            self.file_checkpoint = a[0]
+            if len(a) > 1:
+                self.checkpoint_every = n(1)
         elif key.startswith("saveint"):
             # saveint mode [file]: 1 = scalar intensity, 2 = (I,Ix,Iy,Iz)
             # (ASOC_aux.py:404-407)

@@ -61,7 +61,8 @@ def _pool_lanes(nlanes, per_freq):
 def _run_over_freqs(grid, medium, kind, make_params, per_freq, tabs, intf,
                     seed, nlanes, per_freq_tally, phase=None, iteration=0,
                     mirror_mask=0, freq_mask=None, roi=None,
-                    physics_extra=None, split_max=0):
+                    physics_extra=None, split_max=0, ckpt=None,
+                    ckpt_key=""):
     """Run one transport pass per frequency (uniform-frequency fast path:
     scalar cross sections, [BINS] CSC row -- all frequencies share one
     compiled executable).
@@ -82,6 +83,9 @@ def _run_over_freqs(grid, medium, kind, make_params, per_freq, tabs, intf,
     t_loop = time.time()
     for ifreq in range(nfreq):
         if freq_mask is not None and not bool(freq_mask[ifreq]):
+            continue
+        if ckpt is not None and ckpt.completed("%s/f%d" % (ckpt_key, ifreq)):
+            esc_list[ifreq] = ckpt.esc_of("%s/f%d" % (ckpt_key, ifreq))
             continue
         if progress:
             print("  [%s] freq %d/%d  t=%.1fs" %
@@ -114,13 +118,16 @@ def _run_over_freqs(grid, medium, kind, make_params, per_freq, tabs, intf,
             tabs, intf, esc, absd = out
         esc_list[ifreq] = float(esc[0])
         abs_list[ifreq] = float(absd)
+        if ckpt is not None:
+            ckpt.record("%s/f%d" % (ckpt_key, ifreq), esc_list[ifreq],
+                        tabs, intf)
     return tabs, intf, np.asarray(esc_list), np.asarray(abs_list)
 
 
 def simulate_background(grid, medium, cfg, ibg, tabs, intf, seed,
                         lanes=DEFAULT_LANES, per_freq_tally=False,
                         mixed=True, chunk=4 << 20, freq_mask=None, roi=None,
-                        physics_extra=None):
+                        physics_extra=None, ckpt=None):
     """Phase-1 isotropic background over all frequencies.
 
     Packet budget: the reference sends 8*AREA*BATCH packets per frequency
@@ -143,8 +150,9 @@ def simulate_background(grid, medium, cfg, ibg, tabs, intf, seed,
     split_max = int(cfg.do_split) if grid.levels > 1 else 0
 
     from ..transport.sources import stream_hi_base
-    if freq_mask is not None or roi is not None or physics_extra is not None:
-        mixed = False    # mask/ROI/per-cell-OPT handling is per-frequency
+    if freq_mask is not None or roi is not None \
+            or physics_extra is not None or ckpt is not None:
+        mixed = False    # mask/ROI/OPT/checkpoint handling is per-frequency
     if mixed:
         nfreq = medium.nfreq
         physics = dict(kabs=medium.abs_gl, ksca=medium.sca_gl,
@@ -177,7 +185,7 @@ def simulate_background(grid, medium, cfg, ibg, tabs, intf, seed,
             grid, medium, "bg", make_params, per_freq, tabs, intf, seed,
             lanes, per_freq_tally, mirror_mask=mirror_mask_of(cfg),
             freq_mask=freq_mask, roi=roi, physics_extra=physics_extra,
-            split_max=split_max)
+            split_max=split_max, ckpt=ckpt, ckpt_key="bg")
     # weighted injection total: with splitting the extra packets carry
     # 1/boost weight, so the expectation stays 8*AREA*batch per frequency
     injected = np.float64(8 * area * batch) \
@@ -189,7 +197,7 @@ def simulate_background(grid, medium, cfg, ibg, tabs, intf, seed,
 
 def simulate_hpbg(grid, medium, cfg, hpbg, tabs, intf, seed,
                   lanes=DEFAULT_LANES, per_freq_tally=False, weighted=False,
-                  freq_mask=None, roi=None, physics_extra=None):
+                  freq_mask=None, roi=None, physics_extra=None, ckpt=None):
     """Phase-1 Healpix-sky background (SimRAM_HP equivalent).
 
     hpbg : [NFREQ, NPIX] sky intensities; photons per packet =
@@ -223,13 +231,14 @@ def simulate_hpbg(grid, medium, cfg, hpbg, tabs, intf, seed,
     tabs, intf, escaped, absorbed = _run_over_freqs(
         grid, medium, "hpbg", make_params, per_freq, tabs, intf, seed,
         lanes, per_freq_tally, freq_mask=freq_mask, roi=roi,
-        physics_extra=physics_extra)
+        physics_extra=physics_extra, ckpt=ckpt, ckpt_key="hpbg")
     return tabs, intf, escaped, injected * per_freq
 
 
 def simulate_point_sources(grid, medium, cfg, lps, tabs, intf, seed,
                            lanes=DEFAULT_LANES, per_freq_tally=False,
-                           freq_mask=None, roi=None, physics_extra=None):
+                           freq_mask=None, roi=None, physics_extra=None,
+                           ckpt=None):
     """Phase-1 point sources (internal positions)."""
     if cfg.no_ps < 1 or cfg.pspac < 1:
         return tabs, intf, np.zeros(medium.nfreq), 0.0
@@ -258,7 +267,7 @@ def simulate_point_sources(grid, medium, cfg, lps, tabs, intf, seed,
     tabs, intf, escaped, absorbed = _run_over_freqs(
         grid, medium, "ps", make_params, per_freq, tabs, intf, seed,
         lanes, per_freq_tally, freq_mask=freq_mask, roi=roi,
-        physics_extra=physics_extra)
+        physics_extra=physics_extra, ckpt=ckpt, ckpt_key="ps")
     injected = np.sum(np.asarray(ps_photons, np.float64), axis=0) * pspac
     if freq_mask is not None:
         injected = np.where(freq_mask, injected, 0.0)
@@ -392,7 +401,8 @@ def read_diffuse_field(path, cells):
 
 def simulate_diffuse(grid, medium, cfg, diffuserad, tabs, intf, seed,
                      lanes=DEFAULT_LANES, per_freq_tally=False,
-                     freq_mask=None, roi=None, physics_extra=None):
+                     freq_mask=None, roi=None, physics_extra=None,
+                     ckpt=None):
     """Phase-1 diffuse volume emission (SimRAM_CL SOURCE==2, the reference's
     II==2 source block, ASOC.py:1250-1272).
 
@@ -430,7 +440,7 @@ def simulate_diffuse(grid, medium, cfg, diffuserad, tabs, intf, seed,
     tabs, intf, escaped, absorbed = _run_over_freqs(
         grid, medium, "cell", make_params, per_freq, tabs, intf, seed,
         lanes, per_freq_tally, phase="diffuse", freq_mask=mask, roi=roi,
-        physics_extra=physics_extra)
+        physics_extra=physics_extra, ckpt=ckpt, ckpt_key="diffuse")
     return tabs, intf, escaped, injected
 
 
@@ -678,6 +688,11 @@ def _run_inner(cfg, lanes, write_files, t_start):
     intf = jnp.zeros(tally_shape, jnp.float32)
     injected = np.zeros(nfreq)
     escaped = np.zeros(nfreq)
+    ckpt = None
+    if cfg.file_checkpoint:
+        from ..utils.checkpoint import RunCheckpoint
+        ckpt = RunCheckpoint(cfg.file_checkpoint, cfg.checkpoint_every)
+        tabs, intf = ckpt.restore(tabs, intf)
     if cfg.file_constant_load:
         # CLOAD: constant sources not simulated, integrated heating read
         # from a previous run's csave file (ASOC.py:1013-1020)
@@ -690,7 +705,7 @@ def _run_inner(cfg, lanes, write_files, t_start):
             tabs, intf, esc, inj = simulate_background(
                 grid, medium, cfg, ibg, tabs, intf, seed, lanes,
                 per_freq_tally, freq_mask=freq_mask, roi=roi,
-                physics_extra=physics_extra)
+                physics_extra=physics_extra, ckpt=ckpt)
             escaped += np.asarray(esc)
             injected += inj
         if cfg.bgpac > 0 and cfg.file_hpbg:
@@ -700,7 +715,7 @@ def _run_inner(cfg, lanes, write_files, t_start):
                 grid, medium, cfg, hpbg, tabs, intf, seed + 3, lanes,
                 per_freq_tally, weighted=cfg.has_key("hpbgw"),
                 freq_mask=freq_mask, roi=roi,
-                physics_extra=physics_extra)
+                physics_extra=physics_extra, ckpt=ckpt)
             escaped += np.asarray(esc)
             injected += inj
         if cfg.no_ps > 0 and cfg.pspac > 0:
@@ -710,7 +725,7 @@ def _run_inner(cfg, lanes, write_files, t_start):
             tabs, intf, esc, inj = simulate_point_sources(
                 grid, medium, cfg, lps, tabs, intf, seed, lanes,
                 per_freq_tally, freq_mask=freq_mask, roi=roi,
-                physics_extra=physics_extra)
+                physics_extra=physics_extra, ckpt=ckpt)
             escaped += np.asarray(esc)
             injected += inj
         if cfg.file_diffuse and (cfg.dfpac > 0 or cfg.clpac > 0):
@@ -718,7 +733,7 @@ def _run_inner(cfg, lanes, write_files, t_start):
             tabs, intf, esc, inj = simulate_diffuse(
                 grid, medium, cfg, diffuserad, tabs, intf, seed + 5, lanes,
                 per_freq_tally, freq_mask=freq_mask, roi=roi,
-                physics_extra=physics_extra)
+                physics_extra=physics_extra, ckpt=ckpt)
             escaped += np.asarray(esc)
             injected += inj
         if cfg.file_roi_load and cfg.roipac > 0:
@@ -728,6 +743,8 @@ def _run_inner(cfg, lanes, write_files, t_start):
             escaped += np.asarray(esc)
             injected += inj
     ctabs = tabs
+    if ckpt is not None:
+        ckpt.flush(tabs, intf)
     res.ctabs = np.asarray(ctabs)
     res.escaped = escaped
     res.injected = injected

@@ -1,0 +1,70 @@
+"""Mid-run preemption checkpointing of the transport phase.
+
+SURVEY 5.4: the reference's only restartability is its stage-wise files;
+TPU jobs get preempted MID-stage, so the simulation state itself must be
+resumable. Because every packet's random stream is a pure function of its
+global (phase | iteration | frequency, in-frequency index) id, NO RNG state
+needs saving -- a checkpoint is just the accumulated tallies plus the set
+of completed transport units (one unit = one frequency sweep of one
+source). Re-running the remaining units reproduces bit-identical results
+to an uninterrupted run.
+
+File format: .npz with tabs/intf tally snapshots, the unit-key list and
+each unit's escaped-photon count. Enabled by the ini keyword
+`checkpoint <file> [every_n_units]`; covers the phase-1 constant-source
+simulation (the long phase -- re-emission iterations restart from the
+loop boundary via the ordinary absorbed/emitted artifacts).
+"""
+
+import os
+
+import numpy as np
+
+
+class RunCheckpoint:
+    def __init__(self, path, every=1):
+        self.path = path
+        self.every = max(1, int(every))
+        self.done = []
+        self.esc = []
+        self.arrays = None
+        self._since_save = 0
+        if path and os.path.exists(path):
+            with np.load(path, allow_pickle=False) as z:
+                self.done = [str(k) for k in z["done"]]
+                self.esc = [float(v) for v in z["esc"]]
+                self.arrays = dict(tabs=z["tabs"], intf=z["intf"])
+
+    def completed(self, key):
+        return key in self.done
+
+    def esc_of(self, key):
+        return self.esc[self.done.index(key)]
+
+    def restore(self, tabs, intf):
+        """Initial tallies: the saved snapshot when resuming, else the
+        given fresh arrays."""
+        if self.arrays is None:
+            return tabs, intf
+        import jax.numpy as jnp
+        return (jnp.asarray(self.arrays["tabs"]),
+                jnp.asarray(self.arrays["intf"]))
+
+    def record(self, key, esc_value, tabs, intf):
+        """Mark a unit complete and persist every N units (atomic rename)."""
+        self.done.append(key)
+        self.esc.append(float(esc_value))
+        self._since_save += 1
+        if self._since_save >= self.every:
+            self._since_save = 0
+            self.flush(tabs, intf)
+
+    def flush(self, tabs, intf):
+        if not self.path:
+            return
+        tmp = self.path + ".tmp.npz"
+        with open(tmp, "wb") as fp:
+            np.savez(fp, done=np.asarray(self.done, dtype="U64"),
+                     esc=np.asarray(self.esc, np.float64),
+                     tabs=np.asarray(tabs), intf=np.asarray(intf))
+        os.replace(tmp, self.path)

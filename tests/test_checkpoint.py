@@ -1,0 +1,85 @@
+"""Preemption checkpointing: a killed run resumes bit-identically.
+
+Counter-based RNG means a checkpoint is only (tallies + completed units);
+the resumed run must reproduce the uninterrupted result exactly.
+"""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from soc_tpu.io.cloud import write_hierarchy
+from soc_tpu.pipeline import driver
+
+SOCEX = "/tmp/socex"
+N = 10
+
+INI = """
+gridlength      0.01
+cloud           tmp.cloud
+mapping         8 8 1.0
+density         3.0e4
+seed            1.0
+directions      0.0 0.0
+optical         tmp.dust
+dsc             tmp.dsc 2500
+background      bg_intensity.bin
+bgpackets       {bgpac}
+iterations      1
+temperature     tmp.T
+emitted         emitted.data
+noabsorbed
+nomap
+checkpoint      run.ckpt
+"""
+
+
+def make_model(tmp_path):
+    for f in ("tmp.dust", "tmp.dsc", "bg_intensity.bin"):
+        shutil.copy(os.path.join(SOCEX, f), tmp_path)
+    write_hierarchy(tmp_path / "tmp.cloud", N, N, N, [N ** 3],
+                    [np.ones(N ** 3, np.float32)])
+    ini = tmp_path / "run.ini"
+    ini.write_text(INI.format(bgpac=8 * 6 * N * N))
+    return str(ini)
+
+
+class Preempt(Exception):
+    pass
+
+
+def test_preempted_run_resumes_bit_identically(tmp_path, monkeypatch):
+    ini = make_model(tmp_path)
+
+    # uninterrupted reference
+    res_full = driver.run(ini, lanes=1 << 10)
+    full_ckpt = np.load(tmp_path / "run.ckpt")
+    n_units = len(full_ckpt["done"])
+    assert n_units == 44
+    os.remove(tmp_path / "run.ckpt")
+
+    # preempt after 17 transport units
+    real = driver.transport_run
+    calls = {"n": 0}
+
+    def flaky(*args, **kwargs):
+        if calls["n"] >= 17:
+            raise Preempt()
+        calls["n"] += 1
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(driver, "transport_run", flaky)
+    with pytest.raises(Preempt):
+        driver.run(ini, lanes=1 << 10)
+    monkeypatch.setattr(driver, "transport_run", real)
+
+    ck = np.load(tmp_path / "run.ckpt")
+    assert 0 < len(ck["done"]) < n_units     # genuinely partial
+
+    # resume: remaining units only, result identical to the full run
+    res2 = driver.run(ini, lanes=1 << 10)
+    np.testing.assert_array_equal(res2.ctabs, res_full.ctabs)
+    np.testing.assert_array_equal(res2.escaped, res_full.escaped)
+    np.testing.assert_array_equal(res2.temperature, res_full.temperature)
