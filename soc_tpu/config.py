@@ -112,6 +112,7 @@ class RunConfig:
         self.emweight_skip = 3
         self.emweight_lim = (0.0, 1e10, 0.0)
         self.dsc_bins = 0
+        self.optishalf = False
         self.k_diffuse = 1.0
         self.cr_heating = 0.0
         self.interpolate = 0
@@ -311,6 +312,13 @@ class RunConfig:
         elif key.startswith("stepwei"):
             self.step_weight = (n(0), f(1) if len(a) > 1 else 0.0,
                                 f(2) if len(a) > 2 else 0.0)
+        elif key.startswith("direwei"):
+            # direweight mode A: importance-sample scatter directions from
+            # HG(A) with p(DSC)/p(HG) weight correction (WScatter,
+            # kernel_ASOC_aux.c:567)
+            self.dir_weight = (n(0), f(1) if len(a) > 1 else 0.0, 0.0)
+        elif key.startswith("optishalf"):
+            self.optishalf = True
         elif key.startswith("simum"):
             self.sim_f = (um2f(f(1)), um2f(f(0)))
         elif key.startswith("remit"):

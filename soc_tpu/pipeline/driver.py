@@ -577,22 +577,43 @@ def _run_inner(cfg, lanes, write_files, t_start):
         for d, path in enumerate(cfg.file_abundance[:ndust]):
             if path and not path.startswith("#"):
                 abu[:, d] = np.fromfile(path, np.float32, grid.cells)
-    physics_extra = None
+    abu_extra = None
     if abu is not None:
         abs_d = np.stack([np.asarray(o.abs_gl) for o in optics])  # [D, NF]
         sca_d = np.stack([np.asarray(o.sca_gl) for o in optics])
         abu_j = jnp.asarray(abu)
         msf = (len(cscs) == ndust)
         msf_csc = jnp.asarray(np.stack(cscs)) if msf else None
+        # optishalf: store the per-cell OPT arrays in bfloat16 (the TPU
+        # native half type; reference fp16 OPT, ASOC_aux.py:266-267)
+        opt_dtype = jnp.bfloat16 if cfg.optishalf else jnp.float32
 
-        def physics_extra(ifreq):
+        def abu_extra(ifreq):
             extra = dict(
-                opt_abs=abu_j @ jnp.asarray(abs_d[:, ifreq]),
-                opt_sca=abu_j @ jnp.asarray(sca_d[:, ifreq]))
+                opt_abs=(abu_j @ jnp.asarray(abs_d[:, ifreq])
+                         ).astype(opt_dtype),
+                opt_sca=(abu_j @ jnp.asarray(sca_d[:, ifreq])
+                         ).astype(opt_dtype))
             if msf:
                 extra.update(msf_csc=msf_csc[:, ifreq], msf_abu=abu_j,
                              msf_sca=jnp.asarray(sca_d[:, ifreq]))
             return extra
+
+    # step/direction weighting (STEP_WEIGHT 1, DIR_WEIGHT; per-frequency
+    # transport path because physics gains run-specific entries)
+    sw_on = cfg.step_weight[0] == 1 and cfg.step_weight[1] > 0
+    dw_on = cfg.dir_weight[0] >= 0 and abs(cfg.dir_weight[1]) > 1e-6 \
+        and abu is None
+    physics_extra = None
+    if abu_extra is not None or sw_on or dw_on:
+        def physics_extra(ifreq):
+            d = abu_extra(ifreq) if abu_extra is not None else {}
+            if sw_on:
+                d["sw_a"] = jnp.float32(cfg.step_weight[1])
+            if dw_on:
+                d["dw_a"] = jnp.float32(cfg.dir_weight[1])
+                d["dsc"] = medium.dsc[ifreq]
+            return d
     timings["input"] = time.time() - t0
 
     # ---- loadtemp mode (reference ASOC.py:744-769): recompute EMITTED

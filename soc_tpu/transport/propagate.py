@@ -332,9 +332,10 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
         dens = grid.dens[gidx]
         if "opt_abs" in physics:
             # WITH_ABU: per-cell abundance-weighted cross sections for the
-            # current frequency (reference OPT array, ASOC.py:1146-1175)
-            kabs = physics["opt_abs"][gidx]
-            ksca = physics["opt_sca"][gidx]
+            # current frequency (reference OPT array, ASOC.py:1146-1175);
+            # may be stored bfloat16 (optishalf) -- widen for the math
+            kabs = physics["opt_abs"][gidx].astype(jnp.float32)
+            ksca = physics["opt_sca"][gidx].astype(jnp.float32)
             tw = tw_t
         elif uniform_freq:
             kabs, ksca, tw = kabs_t, ksca_t, tw_t
@@ -396,6 +397,7 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
         else:
             u_fp, u_bin, u_phi = socrng.step_uniforms(
                 seed, b.stream, b.counter, b.hi)
+        dw_corr = None
         if "msf_csc" in physics:
             # multiple scattering functions (WITH_MSF): pick the scattering
             # species with probability ABU[cell,d]*SCA_d / sum
@@ -409,6 +411,23 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
             species = jnp.clip(species, 0, msf_csc.shape[0] - 1)
             bin_idx = jnp.clip((u_bin * bins).astype(jnp.int32), 0, bins - 1)
             cos_theta = msf_csc[species, bin_idx]
+        elif "dw_a" in physics:
+            # DIR_WEIGHT (WScatter, kernel_ASOC_aux.c:567): sample the
+            # deflection from HG(DW_A) relative to the current direction,
+            # weight correction p_DSC(cos)/p_HG(cos); incompatible with MSF
+            # (as in the reference)
+            a = physics["dw_a"]
+            t = (1.0 - a * a) / (1.0 - a + 2.0 * a * u_bin)
+            cos_theta = jnp.clip((1.0 + a * a - t * t)
+                                 / (2.0 * a + 1e-6), -1.0, 1.0)
+            p_hg = jnp.maximum(
+                (1.0 / (4.0 * jnp.pi)) * (1.0 - a * a)
+                / (1.0 + a * a - 2.0 * a * cos_theta) ** 1.5, 1e-6)
+            dscv = physics["dsc"]
+            dbin = jnp.clip(((1.0 + cos_theta) * 0.5 * dscv.shape[-1]
+                             ).astype(jnp.int32), 0, dscv.shape[-1] - 1)
+            p_true = jnp.maximum(dscv[dbin], 1e-6)
+            dw_corr = p_true / p_hg
         else:
             cos_theta = _csc_lookup(csc, b.ifreq, u_bin, bins)
         new_dir = _deflect(b.dir, cos_theta, (2.0 * jnp.pi) * u_phi)
@@ -513,6 +532,8 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
         free_path = jnp.where(scatter_now, fp_next, free_path)
         if sw_a is not None:
             photons = jnp.where(scatter_now, photons * w_next, photons)
+        if dw_corr is not None:
+            photons = jnp.where(scatter_now, photons * dw_corr, photons)
         tau = jnp.where(scatter_now, 0.0,
                         jnp.where(cross, tau + dtau_sca, tau))
 

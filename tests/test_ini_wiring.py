@@ -300,3 +300,29 @@ def test_map_interpolation_uniform_invariant(model_dir):
     res0 = run_ini(model_dir)
     res1 = run_ini(model_dir, "mapint 2\n")
     np.testing.assert_allclose(res1.maps[0], res0.maps[0], rtol=5e-3)
+
+
+def test_stepweight_and_direweight_unbiased(model_dir):
+    """STEP_WEIGHT free-path stretching and DIR_WEIGHT HG importance
+    sampling both reweight packets: temperatures must match the plain run
+    within MC noise."""
+    res0 = run_ini(model_dir)
+    res_sw = run_ini(model_dir, "stepweight 1 1.4\n")
+    res_dw = run_ini(model_dir, "direweight 1 0.5\n")
+    np.testing.assert_allclose(res_sw.temperature, res0.temperature,
+                               rtol=0.05)
+    np.testing.assert_allclose(res_dw.temperature, res0.temperature,
+                               rtol=0.05)
+
+
+def test_optishalf_runs_close(model_dir):
+    """bfloat16 OPT storage: same physics to half precision."""
+    cells = N ** 3
+    np.full(cells, 0.5, np.float32).tofile(model_dir / "abu.bin")
+    np.full(cells, 0.5, np.float32).tofile(model_dir / "abu2.bin")
+    extra = ("optical tmp.dust\ndsc tmp.dsc 2500\n"
+             "abundance abu.bin\nabundance abu2.bin\n")
+    res_f = run_ini(model_dir, extra)
+    res_h = run_ini(model_dir, extra + "optishalf\n")
+    np.testing.assert_allclose(res_h.temperature, res_f.temperature,
+                               rtol=0.02)
