@@ -257,6 +257,15 @@ def simulate_point_sources(grid, medium, cfg, lps, tabs, intf, seed,
         extra = dict(xps_nside=jnp.asarray(nside),
                      xps_side=jnp.asarray(side),
                      xps_area=jnp.asarray(area))
+    elif cfg.ps_method == 3:
+        from ..transport.sources import healpix_visibility
+        bins3, prob3 = healpix_visibility(grid, cfg.ps_pos)
+        extra = dict(ps3_pix=jnp.asarray(bins3), ps3_p=jnp.asarray(prob3))
+    elif cfg.ps_method in (4, 5):
+        from ..transport.sources import illumination_cones
+        side, cone = illumination_cones(grid, cfg.ps_pos)
+        extra = dict(cone_side=jnp.asarray(side),
+                     cone_cos=jnp.asarray(cone))
     elif cfg.ps_method == 1:
         extra = dict(halfspace=jnp.int32(1))
 

@@ -207,13 +207,20 @@ def gen_point_source(grid, ids_local, seed, params):
     plus the packet_identity keys. Packets cycle sources: src = id % S.
 
     External sources (outside the model volume) are handled by PS_METHOD
-    (kernel_ASOC.c:215-340):
+    (kernel_ASOC.c:215-433):
       method 0 (default)      : isotropic + Surface() step; misses die
       method 1 ('halfspace')  : direction folded into the cloud-facing
                                 half-space, photons *= 0.5
       method 2 ('xps_side'...): aim at a random point on a randomly chosen
                                 visible face; photons *= cos(theta) *
                                 S_side / (4 pi r^2) / area_weight
+      method 3 ('ps3_pix'...) : healpix-weighted directions -- a pixel is
+                                drawn from the precomputed visibility bins,
+                                the direction jittered within the pixel,
+                                photons corrected by (1/NPIX)/p(pixel)
+      method 4/5 ('cone_*')   : packets restricted to the illumination cone
+                                that covers the cloud, photons *=
+                                (1 - cos_cone)/2 (kernel_ASOC.c:378-433)
     """
     nx, ny, nz = grid.nx, grid.ny, grid.nz
     stream, ifreq, hi = packet_identity(ids_local, params)
@@ -265,6 +272,55 @@ def gen_point_source(grid, ids_local, seed, params):
         photons = jnp.where(external, photons * w, photons)
         dir = jnp.where(external[:, None], new_dir, dir)
         pos = jnp.where(external[:, None], face_pos, pos)
+    elif "cone_cos" in params:
+        # PS_METHOD 4/5: uniform directions inside the illumination cone
+        # around the cloud-facing axis; photons *= (1-cos)/2
+        cone_cos = params["cone_cos"][isrc]           # [S]
+        side = params["cone_side"][isrc]              # 0..5: +X,-X,+Y,-Y,..
+        ct = 1.0 - u3 * (1.0 - cone_cos)
+        st = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
+        phi = 2.0 * jnp.pi * u4
+        v1 = st * jnp.cos(phi)
+        v2 = st * jnp.sin(phi)
+        axis = side // 2
+        sgn = jnp.where(side % 2 == 0, -1.0, 1.0)     # +face => -axis dir
+        cx = jnp.where(axis == 0, sgn * ct, jnp.where(axis == 1, v1, v1))
+        cy = jnp.where(axis == 1, sgn * ct, jnp.where(axis == 0, v1, v2))
+        cz = jnp.where(axis == 2, sgn * ct, v2)
+        cdir = jnp.stack([cx, cy, cz], -1)
+        cdir = jnp.where(jnp.abs(cdir) < 1e-5, 1e-5, cdir)
+        cdir = cdir / jnp.linalg.norm(cdir, axis=-1, keepdims=True)
+        dir = jnp.where(external[:, None], cdir, dir)
+        photons = jnp.where(external,
+                            photons * 0.5 * (1.0 - cone_cos), photons)
+        surfaced = _surface_step(grid, pos, dir)
+        pos = jnp.where(external[:, None], surfaced, pos)
+    elif "ps3_pix" in params:
+        # PS_METHOD 3: healpix-weighted direction selection
+        from ..render import healpix as hp
+        ps3_pix = params["ps3_pix"]                   # [S, NB] int32
+        ps3_p = params["ps3_p"]                       # [S, NPIX] pixel prob
+        nb = ps3_pix.shape[1]
+        npix_hp = ps3_p.shape[1]
+        nside_hp = int(np.sqrt(npix_hp // 12))
+        bin_i = jnp.clip((u3 * nb).astype(jnp.int32), 0, nb - 1)
+        pix = ps3_pix[isrc, bin_i]
+        photons = jnp.where(
+            external,
+            photons * (1.0 / npix_hp) / jnp.maximum(ps3_p[isrc, pix],
+                                                    1e-20),
+            photons)
+        theta, phi = hp.pix2ang_ring(nside_hp, pix)
+        pdir = jnp.stack([jnp.sin(theta) * jnp.cos(phi),
+                          jnp.sin(theta) * jnp.sin(phi),
+                          jnp.cos(theta)], -1)
+        # jitter within the pixel solid angle (~2/NPIX in cos theta)
+        jig_ct = 1.0 - u4 * (2.0 / npix_hp)
+        from .propagate import _deflect
+        pdir = _deflect(pdir, jig_ct, 2.0 * jnp.pi * u5)
+        dir = jnp.where(external[:, None], pdir, dir)
+        surfaced = _surface_step(grid, pos, dir)
+        pos = jnp.where(external[:, None], surfaced, pos)
     else:
         if params.get("halfspace", None) is not None:
             # PS_METHOD 1: fold the direction toward the cloud
@@ -302,6 +358,72 @@ def analyse_external_point_sources(grid, ps_pos):
             side[i, k] = f
             area[i, k] = 1.0 / len(faces)
     return nside, side, area
+
+
+def illumination_cones(grid, ps_pos):
+    """Host-side PS_METHOD 4/5 cones (kernel_ASOC.c:378-433): for every
+    external source, the cloud-facing face id (0..5 = +X,-X,+Y,-Y,+Z,-Z)
+    and the cone cosine that covers all 8 box corners as seen from the
+    source (any containing cone is unbiased since the photon weight uses
+    the same cosine)."""
+    ps_pos = np.asarray(ps_pos, np.float64)
+    bounds = np.asarray([grid.nx, grid.ny, grid.nz], np.float64)
+    no_ps = len(ps_pos)
+    side = np.zeros(no_ps, np.int32)
+    cone = np.zeros(no_ps, np.float32)
+    corners = np.stack(np.meshgrid([0, 1], [0, 1], [0, 1],
+                                   indexing="ij"), -1).reshape(-1, 3) * bounds
+    for i, p in enumerate(ps_pos):
+        over = np.where(p > bounds, p - bounds, 0.0) \
+            + np.where(p < 0.0, p, 0.0)
+        if not np.any(over != 0.0):
+            continue                        # internal source: no cone
+        axis = int(np.argmax(np.abs(over)))
+        side[i] = 2 * axis + (0 if over[axis] > 0 else 1)
+        adir = np.zeros(3)
+        adir[axis] = -np.sign(over[axis])   # toward the cloud
+        vec = corners - p
+        vec /= np.linalg.norm(vec, axis=1, keepdims=True)
+        cone[i] = float(np.min(vec @ adir))
+    return side, np.clip(cone, -1.0, 0.999999)
+
+
+def healpix_visibility(grid, ps_pos, nside=16, nbins=4096):
+    """Host-side PS_METHOD 3 tables: per source, a healpix visibility map
+    (does the ray from the source toward the pixel centre hit the cloud
+    box?) turned into selection probabilities and equidistant cumulative
+    bins (the reference's XPS_SIDE/XPS_AREA healpix variant,
+    ASOC_aux.py:1640+)."""
+    from ..render import healpix as hp
+    import jax.numpy as jnp_
+    ps_pos = np.asarray(ps_pos, np.float64)
+    bounds = np.asarray([grid.nx, grid.ny, grid.nz], np.float64)
+    npix = 12 * nside * nside
+    theta, phi = hp.pix2ang_ring(nside, jnp_.arange(npix))
+    theta = np.asarray(theta)
+    phi = np.asarray(phi)
+    dirs = np.stack([np.sin(theta) * np.cos(phi),
+                     np.sin(theta) * np.sin(phi), np.cos(theta)], -1)
+    no_ps = len(ps_pos)
+    prob = np.zeros((no_ps, npix), np.float32)
+    bins = np.zeros((no_ps, nbins), np.int32)
+    for i, p in enumerate(ps_pos):
+        # slab-method ray/AABB intersection for every pixel direction
+        with np.errstate(divide="ignore"):
+            t0 = (0.0 - p)[None, :] / dirs
+            t1 = (bounds - p)[None, :] / dirs
+        tmin = np.minimum(t0, t1).max(axis=1)
+        tmax = np.maximum(t0, t1).min(axis=1)
+        hit = (tmax > np.maximum(tmin, 0.0))
+        w = hit.astype(np.float64) + 1e-12
+        p_pix = w / w.sum()
+        cdf = np.cumsum(p_pix)
+        u = (np.arange(nbins) + 0.5) / nbins
+        bins[i] = np.searchsorted(cdf, u).clip(0, npix - 1)
+        # the ACTUAL selection probability is the realized bin histogram
+        # (quantized cdf), which keeps the weight correction exact
+        prob[i] = np.bincount(bins[i], minlength=npix) / float(nbins)
+    return bins, prob
 
 
 def gen_cell(grid, ids_local, seed, params):

@@ -63,3 +63,33 @@ def test_methods_agree_on_absorbed_fraction():
     f2 = tabs2.reshape(nx, nx, nx).mean(axis=(1, 2))
     assert f0[-1] > f0[0] and f2[-1] > f2[0]
     np.testing.assert_allclose(f2 / f0, 1.0, atol=0.12)
+
+
+def test_cone_and_healpix_methods_agree():
+    """PS_METHOD 3 (healpix-weighted directions) and 4/5 (illumination
+    cone) must reproduce the method-0 absorbed energy per emitted photon,
+    at far better Monte-Carlo efficiency."""
+    from soc_tpu.transport.sources import (healpix_visibility,
+                                           illumination_cones)
+    nx = 8
+    grid = uniform_grid(nx, nx, nx, density=1.0)
+    pos = [nx / 2, nx / 2, nx + 6.0]
+    n = 400000
+
+    tabs0, abs0 = run_ps(grid, {}, n, pos)
+
+    side, cone = illumination_cones(grid, [pos])
+    assert side[0] == 4 and 0.0 < cone[0] < 1.0        # +Z face, real cone
+    tabs5, abs5 = run_ps(grid, dict(cone_side=jnp.asarray(side),
+                                    cone_cos=jnp.asarray(cone)), n, pos)
+    np.testing.assert_allclose(abs5 / abs0, 1.0, atol=0.03)
+
+    bins3, prob3 = healpix_visibility(grid, [pos])
+    tabs3, abs3 = run_ps(grid, dict(ps3_pix=jnp.asarray(bins3),
+                                    ps3_p=jnp.asarray(prob3)), n, pos)
+    np.testing.assert_allclose(abs3 / abs0, 1.0, atol=0.03)
+    # both are importance schemes: same per-photon absorption but a far
+    # larger fraction of simulated packets actually hits the cloud
+    hit0 = (tabs0.sum() / abs0) if abs0 else 0
+    assert tabs5.sum() == pytest.approx(abs5, rel=1e-5)
+    assert tabs3.sum() == pytest.approx(abs3, rel=1e-5)
