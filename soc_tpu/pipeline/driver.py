@@ -1242,9 +1242,59 @@ def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
         ext_gl = jnp.asarray(np.asarray(medium.abs_gl)
                              + np.asarray(medium.sca_gl))
         polred = len(cfg.file_polred) > 0
+        if cfg.intobs[0] > -1e7 or cfg.npix[1] <= 0:
+            # internal observer: all-sky polarization healpix maps
+            # (PolHealpixMapping, kernel_ASOC_map_H.c:576-867); written as
+            # pol_healpix.bin = int32 [NSIDE, NF] + float32 [4, NF, NPIX]
+            # (I, Q, U, N) -- the binary stand-in for the reference's
+            # healpy.write_map FITS series (ASOC.py:3948-3958)
+            from ..render.polarization import render_pol_healpix
+            nside_p = int(cfg.npix[0])
+            intobs = cfg.intobs if cfg.intobs[0] > -1e7 else centre
+            s_i, s_q, s_u, colden = render_pol_healpix(
+                grid, emit_map, ext_gl, bfield, cfg.p0,
+                jnp.asarray(intobs, jnp.float32), nside_p, polred=polred)
+            res.maps[("pol_hp", 0)] = (np.asarray(s_i), np.asarray(s_q),
+                                       np.asarray(s_u), np.asarray(colden))
+            if write_files:
+                nf = len(freq)
+                npx = 12 * nside_p * nside_p
+                colden_cm = np.asarray(colden) * gl_cm
+                stack = np.stack([np.asarray(s_i), np.asarray(s_q),
+                                  np.asarray(s_u),
+                                  np.broadcast_to(colden_cm[None],
+                                                  (nf, npx))])
+                with open("pol_healpix.bin", "wb") as fp:
+                    np.asarray([nside_p, nf], np.int32).tofile(fp)
+                    stack.astype(np.float32).tofile(fp)
+            timings["maps"] = time.time() - t0
+            return
         for idir in range(len(cfg.obs_theta)):
             odir, ra, de = render_mapping.observer_basis(
                 cfg.obs_theta[idir], cfg.obs_phi[idir])
+            if cfg.polstat == 2:
+                # POLSTAT 2: I,Q,U,N with periodic cube replication and
+                # LOS capped at maxlos (ASOC.py:3662; polmap ... maxlos)
+                s_i, s_q, s_u, colden = render_pol(
+                    grid, emit_map, ext_gl, bfield, cfg.p0,
+                    jnp.asarray(odir), jnp.asarray(ra), jnp.asarray(de),
+                    centre, cfg.map_dx, tuple(cfg.npix), polred=polred,
+                    rho_weight=False, use_shear=True,
+                    y_shear=cfg.y_shear, maxlos=cfg.maxlos)
+                res.maps[("pol", idir)] = (np.asarray(s_i),
+                                           np.asarray(s_q),
+                                           np.asarray(s_u),
+                                           np.asarray(colden))
+                if write_files:
+                    nf = len(freq)
+                    colden_cm = np.asarray(colden) * gl_cm
+                    stack = np.stack(
+                        [np.asarray(s_i), np.asarray(s_q), np.asarray(s_u),
+                         np.broadcast_to(colden_cm[None],
+                                         (nf,) + colden.shape)])
+                    stack.astype(np.float32).tofile(
+                        "polmap_dir_%02d.bin" % idir)
+                continue
             if cfg.polstat > 0:
                 # POLSTAT 1: density-weighted (rT, rI) angle/inclination
                 # statistics; POLSTAT 3: <B>, <B_LOS>, <B_POS>, tau

@@ -137,6 +137,14 @@ def _run_inner(cfg, write_files, nlanes):
     if cfg.file_diffuse and (cfg.dfpac > 0 or cfg.clpac > 0):
         from .driver import read_diffuse_field
         diffuserad = read_diffuse_field(cfg.file_diffuse, grid.cells)
+    roi_load = None
+    if cfg.file_roi_load and cfg.roipac > 0:
+        # ROI boundary source in the scattering run (ASOCS.py II==3)
+        from ..transport.roi import read_roi_file
+        rnx, rny, rnz, rl_nside, rl_data = read_roi_file(cfg.file_roi_load)
+        rl_npix = 12 * rl_nside * rl_nside
+        rl_nelem = rl_data.shape[1] // rl_npix
+        roi_load = (rnx, rny, rnz, rl_nelem, rl_npix, rl_data)
 
     lev = _cell_levels(grid)
     dens = np.asarray(grid.dens)
@@ -210,6 +218,20 @@ def _run_inner(cfg, write_files, nlanes):
                           hi_base=jnp.uint32(src.stream_hi_base("sca_cell")))
             outcoming[ifreq] += sim(physics, params, per_cell * grid.cells,
                                     "cell", False)
+        if roi_load is not None:
+            rnx, rny, rnz, rl_nelem, rl_npix, rl_data = roi_load
+            reps = max(1, int(cfg.roipac) // (rl_nelem * rl_npix))
+            load = (np.asarray(rl_data[ifreq], np.float64)
+                    * cfg.roi_load_scale).reshape(rl_nelem, rl_npix)
+            params = dict(roi_load=jnp.asarray(load.astype(np.float32)),
+                          roi_dim=(rnx, rny, rnz),
+                          reps=jnp.int32(reps),
+                          ifreq=jnp.int32(ifreq),
+                          per_freq=jnp.int32(reps * rl_nelem * rl_npix),
+                          hi_base=jnp.uint32(src.stream_hi_base("roi")))
+            outcoming[ifreq] += sim(physics, params,
+                                    reps * rl_nelem * rl_npix, "roi",
+                                    cfg.ffs > 0)
         if diffuserad is not None:
             dfpac = cfg.dfpac if cfg.dfpac > 0 else cfg.clpac
             per_cell = max(1, int(dfpac) // grid.cells)

@@ -28,10 +28,11 @@ from .mapping import _front_surface
 
 
 @partial(jax.jit, static_argnames=("npix", "polred", "rho_weight",
-                                   "max_steps"))
+                                   "max_steps", "use_shear"))
 def render_pol(grid, emit_map, ext_gl, bfield, p0, odir, ra, de, centre,
                map_dx, npix, polred=False, rho_weight=False,
-               max_steps=100000):
+               max_steps=100000, use_shear=False, y_shear=0.0,
+               maxlos=1e10):
     """Stokes maps for one observer direction.
 
     emit_map : [CELLS, NF] emission pre-scaled by KK*freq
@@ -63,13 +64,14 @@ def render_pol(grid, emit_map, ext_gl, bfield, p0, odir, ra, de, centre,
     s_q = jnp.zeros((npixels, nf), jnp.float32)
     s_u = jnp.zeros((npixels, nf), jnp.float32)
     colden = jnp.zeros(npixels, jnp.float32)
+    los = jnp.zeros(npixels, jnp.float32)
 
     def cond(state):
-        it, pos, level, ind, tau, s_i, s_q, s_u, colden = state
+        it, pos, level, ind, tau, s_i, s_q, s_u, colden, los = state
         return (it < max_steps) & jnp.any(ind >= 0)
 
     def body(state):
-        it, pos, level, ind, tau, s_i, s_q, s_u, colden = state
+        it, pos, level, ind, tau, s_i, s_q, s_u, colden, los = state
         active = ind >= 0
         gidx = jnp.clip(grid.off[jnp.clip(level, 0, grid.levels - 1)]
                         + jnp.maximum(ind, 0), 0, grid.cells - 1)
@@ -108,13 +110,115 @@ def render_pol(grid, emit_map, ext_gl, bfield, p0, odir, ra, de, centre,
         s_u = s_u + (p * jnp.sin(2.0 * psi) * cc)[:, None] * sz
         tau = tau + dtau
         colden = colden + w * dens
-        return it + 1, npos, nlevel, nind, tau, s_i, s_q, s_u, colden
+        los = los + w
+        if use_shear:
+            # POLSTAT==2 / shearing-box replication: rays exiting through
+            # the X/Y faces wrap periodically (y shifted by -/+ y_shear at
+            # the X faces) until los >= maxlos (kernel_ASOC_map_H.c:991+)
+            nx_, ny_, nz_ = (jnp.float32(grid.nx), jnp.float32(grid.ny),
+                             jnp.float32(grid.nz))
+            exited = active & (nind < 0)
+            zin = (npos[:, 2] > 0.0) & (npos[:, 2] < nz_)
+            contw = exited & zin & (los < maxlos)
+            xlo = npos[:, 0] <= 0.0
+            xhi = npos[:, 0] >= nx_
+            newx = jnp.where(xlo, nx_ - 1e-3,
+                             jnp.where(xhi, 1e-3, npos[:, 0]))
+            yshift = jnp.where(xlo, -jnp.float32(y_shear),
+                               jnp.where(xhi, jnp.float32(y_shear), 0.0))
+            newy = jnp.clip(jnp.mod(npos[:, 1] + ny_ + yshift, ny_),
+                            1e-3, ny_ - 1e-3)
+            wpos = jnp.stack([newx, newy, npos[:, 2]], axis=1)
+            wp, wl, wi = traverse.index_global(grid, wpos)
+            npos = jnp.where(contw[:, None], wp, npos)
+            nlevel = jnp.where(contw, wl, nlevel)
+            nind = jnp.where(contw, wi, nind)
+        return it + 1, npos, nlevel, nind, tau, s_i, s_q, s_u, colden, los
 
-    state = (jnp.int32(0), pos, level, ind, tau, s_i, s_q, s_u, colden)
-    _, _, _, _, tau, s_i, s_q, s_u, colden = lax.while_loop(cond, body, state)
+    state = (jnp.int32(0), pos, level, ind, tau, s_i, s_q, s_u, colden,
+             los)
+    _, _, _, _, tau, s_i, s_q, s_u, colden, _ = lax.while_loop(cond, body,
+                                                               state)
     shape = (nf, nyp, nxp)
     return (s_i.T.reshape(shape), s_q.T.reshape(shape),
             s_u.T.reshape(shape), colden.reshape(nyp, nxp))
+
+
+@partial(jax.jit, static_argnames=("nside", "max_steps"))
+def render_pol_healpix(grid, emit_map, ext_gl, bfield, p0, intobs, nside,
+                       polred=False, max_steps=100000):
+    """All-sky Stokes I/Q/U(,N) maps around an internal observer
+    (PolHealpixMapping, kernel_ASOC_map_H.c:576-867): one ray per RING
+    pixel stepping away from INTOBS; per-step polarization geometry as in
+    render_pol with (RA, DE) the local tangent basis of each pixel.
+
+    Returns (I, Q, U) each [NF, NPIX] + colden [NPIX] (GL units).
+    """
+    from . import healpix as hp
+    npix = 12 * nside * nside
+    nf = emit_map.shape[1]
+    theta, phi = hp.pix2ang_ring(nside, jnp.arange(npix))
+    # LOS away from the observer; (lon, lat) = (0, 0) looks along -X
+    step_dir = jnp.stack([-jnp.sin(theta) * jnp.cos(phi),
+                          -jnp.sin(theta) * jnp.sin(phi),
+                          jnp.cos(theta)], -1)
+    step_dir = jnp.where(jnp.abs(step_dir) < 1e-5, 1e-5, step_dir)
+    # per-pixel tangent basis: RA = e_phi, DE = e_theta x unit vectors
+    ra = jnp.stack([-jnp.sin(phi), jnp.cos(phi),
+                    jnp.zeros_like(phi)], -1)
+    de = jnp.stack([-jnp.cos(theta) * jnp.cos(phi),
+                    -jnp.cos(theta) * jnp.sin(phi),
+                    jnp.sin(theta)], -1)
+    odir = -step_dir
+    pos = jnp.broadcast_to(jnp.asarray(intobs, jnp.float32),
+                           (npix, 3)) + 2.0e-5
+    pos, level, ind = traverse.index_global(grid, pos)
+    tau = jnp.zeros((npix, nf), jnp.float32)
+    s_i = jnp.zeros((npix, nf), jnp.float32)
+    s_q = jnp.zeros((npix, nf), jnp.float32)
+    s_u = jnp.zeros((npix, nf), jnp.float32)
+    colden = jnp.zeros(npix, jnp.float32)
+
+    def cond(state):
+        it = state[0]
+        return (it < max_steps) & jnp.any(state[3] >= 0)
+
+    def body(state):
+        it, pos, level, ind, tau, s_i, s_q, s_u, colden = state
+        active = ind >= 0
+        gidx = jnp.clip(grid.off[jnp.clip(level, 0, grid.levels - 1)]
+                        + jnp.maximum(ind, 0), 0, grid.cells - 1)
+        dens = grid.dens[gidx]
+        b = bfield[gidx]
+        ds, npos, nlevel, nind = traverse.get_step(
+            grid, pos, step_dir, level, ind, active)
+        failed = active & (nlevel == level) & (nind == ind)
+        npos = jnp.where(failed[:, None], npos + 1e-4 * step_dir, npos)
+        bnorm = jnp.linalg.norm(b, axis=-1)
+        p = bnorm if polred else jnp.full_like(bnorm, p0)
+        bn = b / jnp.maximum(bnorm, 1e-30)[:, None]
+        psi = (0.5 * np.pi
+               + jnp.arctan2(jnp.sum(bn * (-ra), axis=-1),
+                             jnp.sum(bn * de, axis=-1)))
+        bdotdir = jnp.sum(bn * odir, axis=-1)
+        cc = 0.99999 - 0.99998 * bdotdir * bdotdir
+        w = jnp.where(active, ds, 0.0)
+        dtau = (w * dens)[:, None] * ext_gl[None, :]
+        emit = emit_map[gidx, :]
+        attw = jnp.where(dtau < 1.0e-3, 1.0 - 0.5 * dtau,
+                         (1.0 - jnp.exp(-dtau)) / jnp.maximum(dtau, 1e-30))
+        sz = jnp.exp(-tau) * attw * (w * dens)[:, None] * emit
+        s_i = s_i + sz * (1.0 - p[:, None] * (cc - 2.0 / 3.0)[:, None])
+        s_q = s_q + (p * jnp.cos(2.0 * psi) * cc)[:, None] * sz
+        s_u = s_u + (p * jnp.sin(2.0 * psi) * cc)[:, None] * sz
+        tau = tau + dtau
+        colden = colden + w * dens
+        return it + 1, npos, nlevel, nind, tau, s_i, s_q, s_u, colden
+
+    state = (jnp.int32(0), pos, level, ind, tau, s_i, s_q, s_u, colden)
+    _, _, _, _, tau, s_i, s_q, s_u, colden = lax.while_loop(cond, body,
+                                                            state)
+    return s_i.T, s_q.T, s_u.T, colden
 
 
 @partial(jax.jit, static_argnames=("npix", "rho_weight", "max_steps"))

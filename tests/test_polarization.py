@@ -106,3 +106,73 @@ def test_polstat_tangled_field_disperses():
     out = render_polstat(grid, emit, ext, b, odir, ra, de, centre, 1.0,
                          (nx, nx))
     assert float(np.asarray(out["rT"]).mean()) > 0.3
+
+
+def test_pol_healpix_internal_observer():
+    """All-sky Stokes maps around an internal observer: uniform B along +Z
+    gives Q/U patterns bounded by p0*I; total I positive."""
+    import jax.numpy as jnp
+    from soc_tpu.grid import uniform_grid
+    from soc_tpu.render.polarization import render_pol_healpix
+    n = 8
+    grid = uniform_grid(n, n, n, density=1.0)
+    nf = 2
+    emit = jnp.ones((grid.cells, nf), jnp.float32)
+    ext = jnp.full(nf, 0.01, jnp.float32)
+    bfield = jnp.asarray(
+        np.tile(np.asarray([0.0, 0.0, 1.0], np.float32), (grid.cells, 1)))
+    s_i, s_q, s_u, colden = render_pol_healpix(
+        grid, emit, ext, bfield, 0.2, (n / 2, n / 2, n / 2), 4)
+    s_i, s_q, s_u = np.asarray(s_i), np.asarray(s_q), np.asarray(s_u)
+    assert s_i.shape == (nf, 12 * 16)
+    assert np.all(s_i > 0)
+    # polarized fraction bounded by p0 (geometry factors <= 1)
+    pfrac = np.sqrt(s_q**2 + s_u**2) / s_i
+    assert pfrac.max() <= 0.25
+    # looking along +/-Z (B parallel to LOS): no polarized signal
+    north = np.asarray(colden)[:4]          # first RING pixels ~ +Z
+    assert np.abs(s_q[:, :4]).max() < 2e-2 * s_i.max()
+
+
+def test_polstat2_replication(tmp_path):
+    """POLSTAT 2 through the driver: periodic replication grows I with
+    maxlos while plain POLSTAT 0 does not."""
+    import os
+    import shutil
+    from soc_tpu.io.cloud import write_hierarchy
+    from soc_tpu.pipeline import driver
+    n = 8
+    for f in ("tmp.dust", "tmp.dsc", "bg_intensity.bin"):
+        shutil.copy(os.path.join("/tmp/socex", f), tmp_path)
+    cells = n ** 3
+    write_hierarchy(tmp_path / "tmp.cloud", n, n, n, [cells],
+                    [np.ones(cells, np.float32)])
+    for name, val in (("Bx", 0.0), ("By", 0.0), ("Bz", 1.0)):
+        write_hierarchy(tmp_path / (name + ".bin"), n, n, n, [cells],
+                        [np.full(cells, val, np.float32)])
+    base = """
+gridlength 0.01
+cloud tmp.cloud
+mapping 8 8 1.0
+density 3.0e4
+seed 1.0
+directions 90.0 0.0
+optical tmp.dust
+dsc tmp.dsc 2500
+background bg_intensity.bin
+bgpackets {bg}
+iterations 1
+noabsorbed
+polmap Bx.bin By.bin Bz.bin 0 {maxlos}
+polstat {ps}
+"""
+    (tmp_path / "a.ini").write_text(base.format(bg=8 * 6 * n * n,
+                                                maxlos=3.0 * n, ps=0))
+    (tmp_path / "b.ini").write_text(base.format(bg=8 * 6 * n * n,
+                                                maxlos=3.0 * n, ps=2))
+    ra = driver.run(str(tmp_path / "a.ini"), lanes=1 << 10)
+    rb = driver.run(str(tmp_path / "b.ini"), lanes=1 << 10)
+    ia = ra.maps[("pol", 0)][0]
+    ib = rb.maps[("pol", 0)][0]
+    # replicated LOS is ~3x longer -> substantially more integrated I
+    assert ib.sum() > 2.0 * ia.sum()

@@ -118,3 +118,23 @@ def test_internal_observer_healpix(model_dir):
     with open(model_dir / "outcoming.socs", "rb") as fp:
         nside, nf = np.fromfile(fp, np.int32, 2)
     assert (nside, nf) == (8, 44)
+
+
+def test_roi_load_scattering(model_dir):
+    """ROI boundary source in a scattering run (ASOCS II==3)."""
+    # make a roi photon file with everything in one optical channel
+    from soc_tpu.transport.roi import write_roi_file, roi_nelem
+    rnx = rny = rnz = N
+    nside = 2
+    nelem = roi_nelem(rnx, rny, rnz)
+    data = np.zeros((44, nelem * 12 * nside * nside), np.float32)
+    data[40] = 1.0
+    write_roi_file(model_dir / "roi.photons", rnx, rny, rnz, nside, data)
+    ini = write_ini(model_dir,
+                    extra="roiload roi.photons 1.0\nroipackets 30000\n",
+                    bgpac=0)
+    ini2 = model_dir / "sca4.ini"
+    ini2.write_text(open(ini).read().replace("simum           0.2 1.0", ""))
+    out = scattering.run(str(ini2), nlanes=1 << 11)
+    assert out[40].sum() > 0
+    assert out.sum() == pytest.approx(out[40].sum())
