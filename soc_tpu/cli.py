@@ -58,14 +58,13 @@ def main(argv=None):
     if cmd == "a2e":
         from .solve.solver_file import read_solver
         from .solve import stochastic
-        from .io.fields import (read_cell_frequency_array,
-                                write_cell_frequency_array)
         sol = read_solver(args[0])
-        absorbed = read_cell_frequency_array(args[1])
         nstoch = int(args[3]) if len(args) > 3 else 999
-        emitted = stochastic.solve_emission(sol, absorbed, nstoch=nstoch)
-        write_cell_frequency_array(args[2], emitted)
-        print("wrote %s: %s" % (args[2], emitted.shape))
+        # out-of-core: stream absorbed.data -> emitted.data through the
+        # native double-buffered IO engine (files need not fit in RAM)
+        rows = stochastic.solve_emission_streaming(sol, args[1], args[2],
+                                                   nstoch=nstoch)
+        print("wrote %s: (%d, %d)" % (args[2], rows, sol.nfreq))
         return 0
 
     if cmd == "mabu":

@@ -190,3 +190,41 @@ def solve_emission(solver, absorbed, nstoch=999, batch=16384, clip_last=True,
     if pemitted is not None:
         return emitted, pemitted
     return emitted
+
+
+def solve_emission_streaming(solver, absorbed_path, emitted_path,
+                             nstoch=999, batch=1 << 16, aalg=None,
+                             pemitted_path=None):
+    """Out-of-core A2E solve: stream absorbed.data through the device in
+    prefetched chunks and write emitted.data in the background.
+
+    The reference keeps both [CELLS, NFREQ] arrays memory-mapped
+    (A2E.py:117-190); here neither file ever has to fit in host memory --
+    the native double-buffered reader (soc_tpu.native) overlaps disk IO
+    with the TPU solve. Results are identical to the in-memory
+    solve_emission on the same chunks.
+    """
+    from ..native import StreamReader, StreamWriter
+    with StreamReader(absorbed_path, batch) as rd:
+        wr = StreamWriter(emitted_path, rd.rows, solver.nfreq)
+        wp = None
+        if aalg is not None and pemitted_path:
+            wp = StreamWriter(pemitted_path, rd.rows, solver.nfreq)
+        row0 = 0
+        try:
+            for chunk in rd:
+                if aalg is not None:
+                    a_chunk = np.asarray(aalg)[row0: row0 + len(chunk)]
+                    emit, pem = solve_emission(solver, chunk,
+                                               nstoch=nstoch, aalg=a_chunk)
+                    wr.put(emit)
+                    if wp is not None:
+                        wp.put(pem)
+                else:
+                    wr.put(solve_emission(solver, chunk, nstoch=nstoch))
+                row0 += len(chunk)
+        finally:
+            wr.close()
+            if wp is not None:
+                wp.close()
+    return row0

@@ -171,3 +171,21 @@ def test_polarized_emission_alignment():
     # interpolation weight sanity
     w = alignment_weights(solver, 1, np.full(10, 3e-6, np.float32))
     assert np.all((w > 0.4) & (w < 0.6))
+
+
+def test_streaming_solve_matches_in_memory(tmp_path):
+    """Out-of-core streaming solve through the native IO engine must
+    reproduce the in-memory result exactly."""
+    from soc_tpu.io.fields import (read_cell_frequency_array,
+                                   write_cell_frequency_array)
+    solver = random_solver(ne=16, nfreq=8, nsize=2, seed=2)
+    rng = np.random.default_rng(8)
+    cells = 1000
+    absorbed = rng.random((cells, 8)).astype(np.float32)
+    write_cell_frequency_array(tmp_path / "abs.bin", absorbed)
+    ref = stochastic.solve_emission(solver, absorbed)
+    rows = stochastic.solve_emission_streaming(
+        solver, tmp_path / "abs.bin", tmp_path / "emit.bin", batch=256)
+    assert rows == cells
+    out = read_cell_frequency_array(tmp_path / "emit.bin")
+    np.testing.assert_array_equal(out, ref)
