@@ -237,8 +237,8 @@ def domain_background_run(slabs, physics, bg_photons, total_packets, seed,
             tabs = tabs.at[didx].add(delta * tw, mode="drop")
             photons = jnp.where(alive, photons * att, photons)
 
-            u_bin, u_phi, u_fp, _ = socrng.uniform4(seed, stream, counter,
-                                                    hi)
+            u_fp, u_bin, u_phi = socrng.step_uniforms(seed, stream, counter,
+                                                      hi)
             cos_theta = _csc_lookup(csc, jnp.zeros_like(ind), u_bin, bins)
             new_dir = _deflect(dir, cos_theta, (2.0 * jnp.pi) * u_phi)
 

@@ -117,3 +117,21 @@ def step_uniforms(seed, stream, counter, hi):
     u_phi = (b1 & jnp.uint32(0xFFFF)).astype(jnp.float32) \
         * jnp.float32(1.0 / 65536.0)
     return u_fp, u_bin, u_phi
+
+
+def step_uniforms4(seed, stream, counter, hi):
+    """``step_uniforms`` plus a fourth draw (the WITH_MSF species roulette)
+    from a second threefry evaluation at the odd slot. The first three
+    values are bit-identical to ``step_uniforms`` so the MSF transport path
+    follows the exact same trajectories as the plain path whenever the
+    species choice is immaterial (single species / identical optics)."""
+    hi = jnp.asarray(hi, jnp.uint32)
+    c1 = jnp.asarray(counter, jnp.uint32) * jnp.uint32(2)
+    b0, b1 = threefry2x32(seed, hi, stream, c1)
+    b2, _ = threefry2x32(seed, hi, stream, c1 + jnp.uint32(1))
+    u_fp = _bits_to_unit(b0)
+    u_bin = (b1 >> jnp.uint32(16)).astype(jnp.float32) \
+        * jnp.float32(1.0 / 65536.0)
+    u_phi = (b1 & jnp.uint32(0xFFFF)).astype(jnp.float32) \
+        * jnp.float32(1.0 / 65536.0)
+    return u_fp, u_bin, u_phi, _bits_to_unit(b2)

@@ -392,7 +392,7 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
         # one threefry evaluation on the fast path, two under WITH_MSF
         # (the species roulette needs a fourth uniform)
         if "msf_csc" in physics:
-            u_bin, u_phi, u_fp, u_sp = socrng.uniform4(
+            u_fp, u_bin, u_phi, u_sp = socrng.step_uniforms4(
                 seed, b.stream, b.counter, b.hi)
         else:
             u_fp, u_bin, u_phi = socrng.step_uniforms(

@@ -75,9 +75,15 @@ def test_temperature_field(minirun):
     t = res.temperature
     assert t.shape == (16**3,)
     assert np.all(t > 5.0) and np.all(t < 40.0)
-    # outer cells warmer than the centre (attenuated ISRF)
+    # outer cells warmer than the centre (attenuated ISRF); compare shell
+    # and core MEANS -- single cells carry ~0.07 K Monte-Carlo noise, larger
+    # than the thin-cloud centre-to-edge gradient
     t3 = t.reshape(16, 16, 16)
-    assert t3[0, 0, 0] > t3[8, 8, 8]
+    shell = np.ones((16, 16, 16), bool)
+    shell[1:-1, 1:-1, 1:-1] = False
+    core = np.zeros((16, 16, 16), bool)
+    core[6:10, 6:10, 6:10] = True
+    assert t3[shell].mean() > t3[core].mean()
     # temperature file round-trips in the hierarchical format
     with open(wd / "tmp.T", "rb") as fp:
         hdr = np.fromfile(fp, np.int32, 6)
