@@ -155,6 +155,17 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
     seed = jnp.uint32(seed)
     cells = grid.cells
 
+    # Mixed-frequency pools: per-lane dynamic-row gathers dominate the step
+    # cost on TPU (measured: csc[ifreq, bin] 2-D gather ~47% of step time,
+    # kabs/ksca/tw [ifreq] gathers ~15%). A packet's frequency is fixed for
+    # its whole life, so hoist those gathers out of the inner step: once per
+    # refill body we materialize per-lane kabs/ksca/tw and a flattened-CSC
+    # row offset (loop-invariant across the refill_period inner steps), and
+    # the step's phase-function lookup becomes a single 1-D gather.
+    lane_const = (not uniform_freq and "opt_abs" not in physics
+                  and "msf_csc" not in physics and "dw_a" not in physics)
+    csc_flat = csc.reshape(-1) if lane_const else None
+
     # STEP_WEIGHT==1 free-path stretching: p(tau) = A exp(-A tau), weight
     # exp((A-1) tau)/A (kernel_ASOC.c:524-536). sw_a in physics enables it.
     sw_a = physics.get("sw_a", None)
@@ -311,21 +322,29 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
         tau = jnp.where(can, 0.0, tau)
         next_id = next_id + jnp.sum(can.astype(jnp.int32))
 
+        # ---- per-lane physics constants, refreshed once per refill body
+        # (amortized over the refill_period inner steps)
+        if lane_const:
+            lane_c = (kabs_t[b.ifreq], ksca_t[b.ifreq], tw_t[b.ifreq],
+                      b.ifreq * bins)
+        else:
+            lane_c = ()
+
         # ---- refill_period physics steps between refills (amortizes the
         # generator cost; lanes that die mid-block idle until the next refill)
         def phys(_, st):
             return step(*st)
 
         (b, free_path, tau, tabs, intf, esc_pending, absd, xab_c,
-         roi_c, sp) = lax.fori_loop(
+         roi_c, sp, lane_c) = lax.fori_loop(
             0, refill_period, phys,
             (b, free_path, tau, tabs, intf, esc_pending, absd, xab_c,
-             roi_c, sp))
+             roi_c, sp, lane_c))
         return (it + 1, b, free_path, tau, next_id, tabs, intf, esc,
                 esc_pending, absd, xab_c, roi_c, sp)
 
     def step(b, free_path, tau, tabs, intf, esc_pending, absd, xab_c,
-             roi_c, sp):
+             roi_c, sp, lane_c=()):
         alive = b.ind >= 0
         gidx = jnp.clip(grid.off[jnp.clip(b.level, 0, grid.levels - 1)]
                         + jnp.maximum(b.ind, 0), 0, cells - 1)
@@ -339,6 +358,8 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
             tw = tw_t
         elif uniform_freq:
             kabs, ksca, tw = kabs_t, ksca_t, tw_t
+        elif lane_const:
+            kabs, ksca, tw = lane_c[0], lane_c[1], lane_c[2]
         else:
             kabs = kabs_t[b.ifreq]
             ksca = ksca_t[b.ifreq]
@@ -428,6 +449,9 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
                              ).astype(jnp.int32), 0, dscv.shape[-1] - 1)
             p_true = jnp.maximum(dscv[dbin], 1e-6)
             dw_corr = p_true / p_hg
+        elif lane_const:
+            bin_idx = jnp.clip((u_bin * bins).astype(jnp.int32), 0, bins - 1)
+            cos_theta = csc_flat[lane_c[3] + bin_idx]
         else:
             cos_theta = _csc_lookup(csc, b.ifreq, u_bin, bins)
         new_dir = _deflect(b.dir, cos_theta, (2.0 * jnp.pi) * u_phi)
@@ -542,7 +566,7 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
                          hi=b.hi, counter=b.counter + jnp.uint32(1),
                          scatterings=scat, e_cell=b.e_cell)
         return (nb, free_path, tau, tabs, intf, esc_pending, absd, new_xab,
-                roi_c, sp)
+                roi_c, sp, lane_c)
 
     if xab is None:
         xab = jnp.zeros(1, jnp.float32)
