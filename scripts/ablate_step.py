@@ -33,7 +33,7 @@ from soc_tpu import rng as socrng
 
 LANES = int(os.environ.get("ABLATE_LANES", 1 << 14))
 ITERS = int(os.environ.get("ABLATE_ITERS", 150))
-REFILL = 8
+REFILL = int(os.environ.get("ABLATE_REFILL", 8))
 NFREQ = 44
 
 
@@ -309,6 +309,7 @@ def main():
         rate = lane_steps / best
         results[v] = (best, rate)
         print(f"{v:14s}  {best*1e3:8.1f} ms   {rate/1e6:8.1f} M lane-steps/s"
+              f"   {int(nid)/best/1e3:7.1f} k pkt/s"
               f"   (compile {compile_s:.0f}s, started {int(nid)} pkts)",
               flush=True)
     if "full" in results:

@@ -384,6 +384,34 @@ def simulate_cell_emission(grid, medium, cfg, emitted, tabs, intf, seed,
             escaped[ifreq] = float(esc[0])
         return tabs, intf, escaped, np.asarray(xab)
 
+    if physics_extra is None:
+        # mixed-frequency pool over (cell, freq): like the background
+        # source, the drain tail is paid once instead of NFREQ times and
+        # the per-lane-constant fast path applies. Packet identity
+        # (hi = hi_base + ifreq, k = in-frequency id) is the same as the
+        # per-frequency loop's, so tallies agree up to summation order.
+        nfreq = medium.nfreq
+        physics = dict(kabs=medium.abs_gl, ksca=medium.sca_gl,
+                       csc=medium.csc, tw=medium.tw)
+        emitw = emitted * np.float32(1.0 / per_cell)     # [CELLS, NFREQ]
+        total = per_freq * nfreq
+        chunk = 4 << 20
+        nlanes = _pool_lanes(lanes, total if total < (1 << 31) else chunk)
+        escaped = jnp.zeros(nfreq, jnp.float32)
+        for off in range(0, total, chunk):
+            n = min(chunk, total - off)
+            params = dict(emit=emitw, per_cell=jnp.int32(per_cell),
+                          ifreq=None, per_freq=jnp.int32(per_freq),
+                          ifreq0=jnp.int32(off // per_freq),
+                          k0=jnp.uint32(off % per_freq),
+                          hi_base=jnp.uint32(hi_base))
+            tabs, intf, esc, absd = transport_run(
+                grid, physics, params, jnp.int32(n), tabs, intf, seed,
+                source_kind="cell", nlanes=nlanes,
+                per_freq_tally=per_freq_tally, esc_bins=nfreq)
+            escaped = escaped + esc
+        return tabs, intf, np.asarray(escaped), None
+
     def make_params(ifreq):
         return dict(emit=emitted[:, ifreq] / np.float32(per_cell),
                     per_cell=jnp.int32(per_cell))

@@ -462,7 +462,13 @@ def gen_cell(grid, ids_local, seed, params):
         z0 = jnp.where(lev == 0, rz, (sid // 4).astype(jnp.float32))
     pos = jnp.stack([x0 + u1, y0 + u2, z0 + u3], -1)
     dir = _isotropic_dir(u4, u5)
-    photons = params["emit"][cell_gidx]
+    emit = params["emit"]
+    if emit.ndim == 2:
+        # mixed-frequency pool: one [CELLS, NFREQ] weight table, gathered
+        # once per packet at birth
+        photons = emit[cell_gidx, ifreq]
+    else:
+        photons = emit[cell_gidx]
 
     return PacketBatch(
         pos=pos, dir=dir.astype(jnp.float32),
