@@ -172,9 +172,9 @@ def main():
 
     workdir = os.environ.get("SOC_BENCH_DIR", "/tmp/soc_bench")
     ini = prepare_workdir(workdir)
-    # 16k lanes is the measured sweet spot on v5e: larger pools pay more per
-    # iteration (gather/scatter cost grows faster than occupancy gains)
-    lanes = int(os.environ.get("SOC_BENCH_LANES", 1 << 14))
+    # 32k lanes is the measured sweet spot on v5e after the gather-hoist
+    # optimization (671k vs 649k pkt/s at 16k; 8k/16k/32k swept on-chip)
+    lanes = int(os.environ.get("SOC_BENCH_LANES", 1 << 15))
 
     tr = bench_transport(workdir, lanes)
     grid, medium = tr.pop("grid"), tr.pop("medium")

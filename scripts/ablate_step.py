@@ -142,7 +142,13 @@ def ablate_run(grid, physics, bg_photons, seed, variant="full",
         absd = absd + jnp.sum(jnp.where(alive, delta, 0.0))
         photons = jnp.where(alive, b_photons * att, b_photons)
 
-        if variant == "no_rng":
+        if variant == "bound":
+            # stepping bound: no scatter sampling at all -- packets march,
+            # deposit, attenuate; free_path never ends (physics floor)
+            u_fp = jnp.full(nlanes, 0.5, jnp.float32)
+            u_bin = u_fp
+            u_phi = u_fp
+        elif variant == "no_rng":
             # one 32-bit multiply hash instead of 13-round threefry
             h = (b_stream ^ b_counter) * jnp.uint32(2654435761)
             u_fp = (h >> jnp.uint32(8)).astype(jnp.float32) * (1.0 / (1 << 24))
@@ -152,7 +158,9 @@ def ablate_run(grid, physics, bg_photons, seed, variant="full",
         else:
             u_fp, u_bin, u_phi = socrng.step_uniforms(
                 seed, b_stream, b_counter, b_hi)
-        if variant == "no_csc":
+        if variant == "bound":
+            cos_theta = jnp.full(nlanes, 0.5, jnp.float32)
+        elif variant == "no_csc":
             cos_theta = jnp.full(nlanes, 0.5, jnp.float32)
         elif opt_cflat:
             bin_idx = jnp.clip((u_bin * bins).astype(jnp.int32), 0,
@@ -160,7 +168,7 @@ def ablate_run(grid, physics, bg_photons, seed, variant="full",
             cos_theta = csc_flat[b_coff + bin_idx]
         else:
             cos_theta = _csc_lookup(csc, b_ifreq, u_bin, bins)
-        if variant == "no_deflect":
+        if variant in ("no_deflect", "bound"):
             new_dir = b_dir
         else:
             new_dir = _deflect(b_dir, cos_theta, (2.0 * jnp.pi) * u_phi)
@@ -278,7 +286,7 @@ def ablate_run(grid, physics, bg_photons, seed, variant="full",
     return tabs, state[17]     # tabs, packets started
 
 
-VARIANTS = ["full", "no_tally", "no_escflush", "no_rng", "no_csc",
+VARIANTS = ["full", "bound", "no_tally", "no_escflush", "no_rng", "no_csc",
             "no_deflect", "no_gatherk", "no_densgather", "no_refill",
             "opt_optconst", "opt_cscflat", "opt_mxu_tally", "opt_all",
             "opt_all_mxu"]
