@@ -127,6 +127,37 @@ def bench_speed_of_light(grid, total_packets, repeats=3, nrays=1 << 17):
     return nrays / best
 
 
+def bench_sol_stepping(lanes, iters=100):
+    """Speed-of-light STEPPING fraction: full-physics lane-step rate vs the
+    march+gather+deposit floor (the memory ops every Monte-Carlo step must
+    perform) on the identical loop shape. The pure-traversal ray bound
+    (bench_speed_of_light) excludes the density gather and the tally
+    deposit, which measurement shows are the step cost on TPU -- this is the
+    honest bound."""
+    import time as _t
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import ablate_step as ab
+    grid, medium = ab.load_workload()
+    import jax.numpy as jnp
+    physics = dict(kabs=medium.abs_gl, ksca=medium.sca_gl, csc=medium.csc,
+                   tw=medium.tw)
+    rates = {}
+    for v in ("opt_all", "bound"):
+        tabs, _ = ab.ablate_run(grid, physics, jnp.float32(1.0), 7,
+                                variant=v, nlanes=lanes, iters=iters)
+        tabs.block_until_ready()
+        best = None
+        for _ in range(3):
+            t0 = _t.time()
+            tabs, _ = ab.ablate_run(grid, physics, jnp.float32(1.0), 7,
+                                    variant=v, nlanes=lanes, iters=iters)
+            tabs.block_until_ready()
+            dt = _t.time() - t0
+            best = dt if best is None else min(best, dt)
+        rates[v] = iters * ab.REFILL * lanes / best
+    return rates["opt_all"], rates["bound"]
+
+
 def bench_a2e(cells=65536, ne=128, nfreq=44, nsize=4):
     """Stochastic-heating solve throughput on a production-shaped solver."""
     sys.path.insert(0, os.path.join(REPO, "tests"))
@@ -181,6 +212,7 @@ def main():
     pps = tr["pps"]
 
     sol_pps = bench_speed_of_light(grid, tr["packets"])
+    step_rate, bound_rate = bench_sol_stepping(lanes)
     a2e_cps = bench_a2e()
     freq = np.loadtxt(os.path.join(workdir, "freq.dat"))
     map_s = bench_map(grid, medium, freq)
@@ -201,6 +233,9 @@ def main():
             "transport_s_all": tr["times"],
             "speed_of_light_pps": round(sol_pps, 1),
             "speed_of_light_fraction": round(pps / sol_pps, 3),
+            "stepping_rate_msteps_per_s": round(step_rate / 1e6, 1),
+            "stepping_bound_msteps_per_s": round(bound_rate / 1e6, 1),
+            "sol_stepping_fraction": round(step_rate / bound_rate, 3),
             "a2e_cells_per_sec": round(a2e_cps, 1),
             "a2e_vs_baseline": round(a2e_cps / REFERENCE_A2E_CELLS_PER_SEC,
                                      2),
