@@ -79,8 +79,16 @@ def ablate_run(grid, physics, bg_photons, seed, variant="full",
     hi_base = jnp.uint32(stream_hi_base("bg"))
     source_params = dict(photons=jnp.float32(1.0), ifreq=jnp.int32(0),
                          per_freq=jnp.int32(1 << 20), hi_base=hi_base)
-    opt_const = variant in ("opt_optconst", "opt_all", "opt_all_mxu")
-    opt_cflat = variant in ("opt_cscflat", "opt_all", "opt_all_mxu")
+    opt_const = variant in ("opt_optconst", "opt_all", "opt_all_mxu",
+                            "opt_cscbf16", "opt_fusegather")
+    opt_cflat = variant in ("opt_cscflat", "opt_all", "opt_all_mxu",
+                            "opt_cscbf16")
+    if variant == "opt_cscbf16":
+        csc_flat = csc_flat.astype(jnp.bfloat16)
+    # fused gather: one concatenated table [dens | csc_flat]; per-step the
+    # dens index and the csc index go through ONE gather of 2N elements
+    fuse_tab = jnp.concatenate([grid.dens, csc_flat]) \
+        if variant == "opt_fusegather" else None
     opt_mxu = variant in ("opt_mxu_tally", "opt_all_mxu")
     # two-level decomposition of the cell index for the MXU tally
     TLO = 512
@@ -94,6 +102,8 @@ def ablate_run(grid, physics, bg_photons, seed, variant="full",
                         + jnp.maximum(b_ind, 0), 0, cells - 1)
         if variant == "no_densgather":
             dens = jnp.full(nlanes, 1000.0, jnp.float32)
+        elif variant == "opt_fusegather":
+            dens = None                      # gathered jointly below
         else:
             dens = grid.dens[gidx]
         if variant == "no_gatherk":
@@ -106,6 +116,19 @@ def ablate_run(grid, physics, bg_photons, seed, variant="full",
             kabs = kabs_t[b_ifreq]
             ksca = ksca_t[b_ifreq]
             tw = tw_t[b_ifreq]
+
+        cos_fused = None
+        if variant == "opt_fusegather":
+            # RNG is independent of the geometry -- draw early so the
+            # dens and csc lookups land in ONE gather of 2N indices
+            uf_fp, uf_bin, uf_phi = socrng.step_uniforms(
+                seed, b_stream, b_counter, b_hi)
+            f_bin = jnp.clip((uf_bin * bins).astype(jnp.int32), 0,
+                             bins - 1)
+            idx2 = jnp.concatenate([gidx, cells + b_coff + f_bin])
+            g2 = fuse_tab[idx2]
+            dens = g2[:nlanes]
+            cos_fused = g2[nlanes:]
 
         ds_local, pos_boundary = traverse.boundary_step(b_pos, b_dir)
         ds_gl = ds_local * jnp.exp2(-b_level.astype(jnp.float32))
@@ -142,7 +165,9 @@ def ablate_run(grid, physics, bg_photons, seed, variant="full",
         absd = absd + jnp.sum(jnp.where(alive, delta, 0.0))
         photons = jnp.where(alive, b_photons * att, b_photons)
 
-        if variant == "bound":
+        if variant == "opt_fusegather":
+            u_fp, u_bin, u_phi = uf_fp, uf_bin, uf_phi
+        elif variant == "bound":
             # stepping bound: no scatter sampling at all -- packets march,
             # deposit, attenuate; free_path never ends (physics floor)
             u_fp = jnp.full(nlanes, 0.5, jnp.float32)
@@ -158,7 +183,9 @@ def ablate_run(grid, physics, bg_photons, seed, variant="full",
         else:
             u_fp, u_bin, u_phi = socrng.step_uniforms(
                 seed, b_stream, b_counter, b_hi)
-        if variant == "bound":
+        if variant == "opt_fusegather":
+            cos_theta = cos_fused
+        elif variant == "bound":
             cos_theta = jnp.full(nlanes, 0.5, jnp.float32)
         elif variant == "no_csc":
             cos_theta = jnp.full(nlanes, 0.5, jnp.float32)
@@ -289,7 +316,7 @@ def ablate_run(grid, physics, bg_photons, seed, variant="full",
 VARIANTS = ["full", "bound", "no_tally", "no_escflush", "no_rng", "no_csc",
             "no_deflect", "no_gatherk", "no_densgather", "no_refill",
             "opt_optconst", "opt_cscflat", "opt_mxu_tally", "opt_all",
-            "opt_all_mxu"]
+            "opt_all_mxu", "opt_cscbf16", "opt_fusegather"]
 
 
 def main():
