@@ -21,6 +21,7 @@ energy-bin populations. Here the same math is recast into MXU-shaped ops:
 Throughput target: >> the reference's ~7e3 cells/s (A2E.py:88-92).
 """
 
+import os
 from functools import partial
 
 import numpy as np
@@ -32,7 +33,16 @@ from .solver_file import densify_weights
 
 
 def prepare_size_arrays(solver, isize):
-    """Host-side per-size preprocessing -> device arrays for solve_batch."""
+    """Host-side per-size preprocessing -> device arrays for solve_batch.
+
+    Results are cached on the solver object: the densify pass is a Python
+    loop over NE^2 bands (~0.1 s per size) that would otherwise rerun on
+    every iteration of the thermal solve."""
+    cache = getattr(solver, "_prep_cache", None)
+    if cache is None:
+        cache = solver._prep_cache = {}
+    if isize in cache:
+        return cache[isize]
     sd = solver.sizes[isize]
     ne, nfreq = solver.ne, solver.nfreq
     w = densify_weights(sd, ne, nfreq)              # [NE, NE, NFREQ]
@@ -47,9 +57,37 @@ def prepare_size_arrays(solver, isize):
     ea = np.asarray(sd.ea, np.float32).copy()       # [NFREQ, NE]
     for f in range(nfreq):
         ea[f, : sd.ibeg[f]] = 0.0
-    return (jnp.asarray(w.reshape(ne * ne, nfreq)),
-            jnp.asarray(sd.tdown),
-            jnp.asarray(ea))
+    out = (jnp.asarray(w.reshape(ne * ne, nfreq)),
+           jnp.asarray(sd.tdown),
+           jnp.asarray(ea))
+    cache[isize] = out
+    return out
+
+
+def prepare_size_arrays_fused(solver, isize):
+    """Per-size arrays for the fused Pallas solve (pallas_a2e).
+
+    The fold (stage 2 of solve_batch) is linear in the heating weights, so
+    it is applied to the weight matrix once here -- the device matmul then
+    yields the folded matrix S[c, j, l] = sum_{u>=j} A[c, u, l] directly
+    and the kernel skips the per-cell cumulative sum.  Returns
+    (w_t [NFREQ, NE*NE] folded+transposed, tdown [NE], ea [NFREQ, NE]).
+    """
+    cache = getattr(solver, "_prep_cache", None)
+    if cache is None:
+        cache = solver._prep_cache = {}
+    key = ("fused", isize)
+    if key in cache:
+        return cache[key]
+    w_flat, tdown, ea = prepare_size_arrays(solver, isize)
+    ne = solver.ne
+    w = np.asarray(w_flat, np.float64).reshape(ne, ne, -1)
+    wf = np.cumsum(w[::-1], axis=0)[::-1]
+    w_t = np.ascontiguousarray(
+        wf.reshape(ne * ne, -1).T.astype(np.float32))
+    out = (jnp.asarray(w_t), tdown, ea)
+    cache[key] = out
+    return out
 
 
 @partial(jax.jit, static_argnames=("ne",))
@@ -166,10 +204,46 @@ def solve_emission(solver, absorbed, nstoch=999, batch=16384, clip_last=True,
         # guard against spurious weight on the topmost channel (A2E.py:184)
         absorbed[:, -1] = np.clip(absorbed[:, -1], 0.0,
                                   0.2 * absorbed[:, -2])
+    # fused Pallas solve on real TPUs (pallas_a2e): the folded heating
+    # matrix stays VMEM-resident, the NE substitution steps run
+    # dispatch-free, and all stochastic sizes are scanned on-device per
+    # cell chunk -- each chunk crosses the host link exactly once
+    use_fused = (jax.default_backend() == "tpu" and solver.ne % 128 == 0
+                 and batch % 128 == 0
+                 and os.environ.get("SOC_TPU_A2E") != "xla")
     emitted = np.zeros((cells, nfreq), np.float32)
     pemitted = np.zeros((cells, nfreq), np.float32) if aalg is not None         else None
+    n_stoch = min(nstoch, solver.nsize)
+    if use_fused and n_stoch > 0:
+        from .pallas_a2e import solve_chunk_all_sizes
+        preps = [prepare_size_arrays_fused(solver, i)
+                 for i in range(n_stoch)]
+        w_stack = jnp.stack([p[0] for p in preps])
+        td_stack = jnp.stack([p[1] for p in preps])
+        ea_stack = jnp.stack([jnp.asarray(p[2]) for p in preps])
+        if aalg is not None:
+            align = np.stack([alignment_weights(solver, i, np.asarray(aalg))
+                              for i in range(n_stoch)])
+        else:
+            align = np.zeros((n_stoch, cells), np.float32)
+        for i0 in range(0, cells, batch):
+            i1 = min(i0 + batch, cells)
+            n = i1 - i0
+            chunk = absorbed[i0:i1]
+            al = align[:, i0:i1]
+            if n < batch:   # pad to keep a single compiled shape
+                chunk = np.pad(chunk, ((0, batch - n), (0, 0)))
+                al = np.pad(al, ((0, 0), (0, batch - n)))
+            tot, ptot = solve_chunk_all_sizes(
+                w_stack, td_stack, ea_stack, jnp.asarray(chunk),
+                jnp.asarray(al), solver.ne)
+            emitted[i0:i1] += np.asarray(tot[:n])
+            if pemitted is not None:
+                pemitted[i0:i1] += np.asarray(ptot[:n])
     for isize in range(solver.nsize):
         if isize < nstoch:
+            if use_fused:
+                continue        # handled by the fused chunk scan above
             emit_size = np.zeros((cells, nfreq), np.float32)
             w_flat, tdown, ea = prepare_size_arrays(solver, isize)
             for i0 in range(0, cells, batch):

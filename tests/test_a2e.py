@@ -189,3 +189,50 @@ def test_streaming_solve_matches_in_memory(tmp_path):
     assert rows == cells
     out = read_cell_frequency_array(tmp_path / "emit.bin")
     np.testing.assert_array_equal(out, ref)
+
+
+def test_pallas_fused_matches_solve_batch():
+    """The fused Pallas kernel (interpret mode on CPU) must reproduce the
+    XLA solve_batch bit-nearly: same math, prefolded weights."""
+    from soc_tpu.solve.pallas_a2e import solve_batch_fused
+    solver = random_solver(ne=128, nfreq=12, nsize=1, seed=11)
+    rng = np.random.default_rng(4)
+    absorbed = (rng.random((256, 12)) * 1e4).astype(np.float32)
+    w_flat, tdown, ea = stochastic.prepare_size_arrays(solver, 0)
+    w_t, _, ea_n = stochastic.prepare_size_arrays_fused(solver, 0)
+    ref = np.asarray(stochastic.solve_batch(w_flat, tdown, ea,
+                                            jnp.asarray(absorbed), 128))
+    got = np.asarray(solve_batch_fused(w_t, tdown, jnp.asarray(ea_n),
+                                       jnp.asarray(absorbed), 128,
+                                       tile=128, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-25)
+
+
+def test_pallas_chunk_scan_matches_loop():
+    """solve_chunk_all_sizes (scan over sizes on device) == per-size loop,
+    including the alignment-weighted polarized accumulation."""
+    from soc_tpu.solve.pallas_a2e import (solve_batch_fused,
+                                          solve_chunk_all_sizes)
+    solver = random_solver(ne=128, nfreq=10, nsize=3, seed=12)
+    rng = np.random.default_rng(5)
+    chunk = (rng.random((128, 10)) * 1e4).astype(np.float32)
+    preps = [stochastic.prepare_size_arrays_fused(solver, i)
+             for i in range(3)]
+    w_stack = jnp.stack([p[0] for p in preps])
+    td_stack = jnp.stack([p[1] for p in preps])
+    ea_stack = jnp.stack([jnp.asarray(p[2]) for p in preps])
+    align = rng.random((3, 128)).astype(np.float32)
+    tot, ptot = solve_chunk_all_sizes(w_stack, td_stack, ea_stack,
+                                      jnp.asarray(chunk),
+                                      jnp.asarray(align), 128,
+                                      interpret=True)
+    ref = np.zeros((128, 10), np.float32)
+    pref = np.zeros((128, 10), np.float32)
+    for i, p in enumerate(preps):
+        em = np.asarray(solve_batch_fused(p[0], p[1], jnp.asarray(p[2]),
+                                          jnp.asarray(chunk), 128,
+                                          interpret=True))
+        ref += em
+        pref += em * align[i][:, None]
+    np.testing.assert_allclose(np.asarray(tot), ref, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ptot), pref, rtol=1e-6)
