@@ -24,6 +24,27 @@ def _usage():
 
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
+    # --profile[=DIR] wraps the whole command in a jax.profiler trace:
+    # per-kernel device timings, HLO names and memory viewer, readable
+    # with tensorboard/xprof (the TPU answer to the reference's per-kernel
+    # OpenCL event timing).  Default output dir: ./soc_profile
+    profile_dir = None
+    kept = []
+    for a in argv:
+        if a == "--profile":
+            profile_dir = "soc_profile"
+        elif a.startswith("--profile="):
+            profile_dir = a.split("=", 1)[1]
+        else:
+            kept.append(a)
+    if profile_dir is not None:
+        import jax
+        with jax.profiler.trace(profile_dir):
+            return _dispatch(kept)
+    return _dispatch(kept)
+
+
+def _dispatch(argv):
     if not argv:
         return _usage()
     cmd, args = argv[0], argv[1:]

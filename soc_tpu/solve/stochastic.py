@@ -216,11 +216,19 @@ def solve_emission(solver, absorbed, nstoch=999, batch=16384, clip_last=True,
     n_stoch = min(nstoch, solver.nsize)
     if use_fused and n_stoch > 0:
         from .pallas_a2e import solve_chunk_all_sizes
-        preps = [prepare_size_arrays_fused(solver, i)
-                 for i in range(n_stoch)]
-        w_stack = jnp.stack([p[0] for p in preps])
-        td_stack = jnp.stack([p[1] for p in preps])
-        ea_stack = jnp.stack([jnp.asarray(p[2]) for p in preps])
+        cache = getattr(solver, "_prep_cache", None)
+        if cache is None:
+            cache = solver._prep_cache = {}
+        skey = ("stack", n_stoch)
+        if skey in cache:   # stacks stay on device across solve calls
+            w_stack, td_stack, ea_stack = cache[skey]
+        else:
+            preps = [prepare_size_arrays_fused(solver, i)
+                     for i in range(n_stoch)]
+            w_stack = jnp.stack([p[0] for p in preps])
+            td_stack = jnp.stack([p[1] for p in preps])
+            ea_stack = jnp.stack([jnp.asarray(p[2]) for p in preps])
+            cache[skey] = (w_stack, td_stack, ea_stack)
         if aalg is not None:
             align = np.stack([alignment_weights(solver, i, np.asarray(aalg))
                               for i in range(n_stoch)])

@@ -236,3 +236,20 @@ def test_pallas_chunk_scan_matches_loop():
         pref += em * align[i][:, None]
     np.testing.assert_allclose(np.asarray(tot), ref, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(ptot), pref, rtol=1e-6)
+
+
+def test_cli_profile_trace(tmp_path):
+    """--profile wraps any CLI command in a jax.profiler trace (SURVEY
+    5.1); the trace directory must contain xplane protobufs afterwards."""
+    from soc_tpu.cli import main
+    rng = np.random.default_rng(0)
+    solver = random_solver(ne=16, nfreq=8, nsize=1, seed=1)
+    write_solver(tmp_path / "s.solver", solver)
+    from soc_tpu.io.fields import write_cell_frequency_array
+    absorbed = rng.random((64, 8)).astype(np.float32)
+    write_cell_frequency_array(tmp_path / "abs.bin", absorbed)
+    prof = tmp_path / "prof"
+    rc = main(["--profile=%s" % prof, "a2e", str(tmp_path / "s.solver"),
+               str(tmp_path / "abs.bin"), str(tmp_path / "emit.bin")])
+    assert rc == 0
+    assert list(prof.rglob("*.xplane.pb"))
