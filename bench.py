@@ -166,15 +166,18 @@ def bench_a2e(cells=65536, ne=128, nfreq=44, nsize=4):
     solver = random_solver(ne=ne, nfreq=nfreq, nsize=nsize, seed=3)
     rng = np.random.default_rng(0)
     absorbed = rng.random((cells, nfreq)).astype(np.float32)
-    t0 = time.time()
+    # first pass compiles, second finishes warming the device caches;
+    # then best-of-3 (same policy as the transport metric)
     emitted = stochastic.solve_emission(solver, absorbed)
-    dt = time.time() - t0
-    # warm second pass (first includes compile)
-    t0 = time.time()
-    emitted = stochastic.solve_emission(solver, absorbed)
-    dt = time.time() - t0
+    stochastic.solve_emission(solver, absorbed)
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        emitted = stochastic.solve_emission(solver, absorbed)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
     assert np.isfinite(emitted).all()
-    return cells / dt
+    return cells / best
 
 
 def bench_map(grid, medium, freq, npix=512):

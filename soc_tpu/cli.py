@@ -9,6 +9,8 @@
   python -m soc_tpu mabu soc.ini absorbed emitted
                                         ~  A2E_MABU.py ...
   python -m soc_tpu pipeline soc.ini    ~  ASOC_driver.py soc.ini
+  python -m soc_tpu dust GRAIN.DAT freq.dat [NE [GL]]
+                                        ~  DE_to_GSET.jl (DustEM compiler)
   python -m soc_tpu bench               ~  run the benchmark workload
 """
 
@@ -112,6 +114,22 @@ def _dispatch(argv):
         clean = np.where(valid[:, None], absorbed, 0.0).astype(np.float32)
         emitted = emission_stage(cfg, comps, clean, abu, freq)
         emitted[~valid] = 0.0
+        # output-frequency selection (A2E_MABU.py:316-323 NOFREQ): the
+        # optional 4th argument is an ofreq.dat frequency list; otherwise
+        # `mapum` / `remit` in the ini limit the emitted columns
+        sel = None
+        if len(args) > 3:
+            ofreq = np.atleast_1d(np.loadtxt(args[3]))
+            sel = np.asarray([int(np.argmin(np.abs(freq - f0)))
+                              for f0 in ofreq])
+        elif cfg.single_map_freq:
+            sel = np.asarray([int(np.argmin(np.abs(freq - f0)))
+                              for f0 in cfg.single_map_freq])
+        elif cfg.remit_f[0] > 0.0 or cfg.remit_f[1] < 1e30:
+            from .pipeline.driver import remit_mask_of
+            sel = np.nonzero(remit_mask_of(cfg, freq))[0]
+        if sel is not None and len(sel) < len(freq):
+            emitted = np.ascontiguousarray(emitted[:, sel])
         write_cell_frequency_array(args[2], emitted)
         print("wrote %s: %s" % (args[2], emitted.shape))
         return 0
@@ -121,6 +139,45 @@ def _dispatch(argv):
         mode = args[1] if len(args) > 1 else None
         run_pipeline(args[0], mode=mode)
         print("soc_tpu pipeline done" + (" (%s)" % mode if mode else ""))
+        return 0
+
+    if cmd == "dust":
+        # DustEM -> SOC dust compilation (the DE_to_GSET.jl workflow):
+        #   python -m soc_tpu dust GRAIN.DAT freq.dat [NE [GL_pc]]
+        # writes, per species: <name>.dust (gset container + .opt/.ent/
+        # .size), <name>.solver, <name>.dsc, <name>_simple.dust; plus the
+        # combined tmp.dust / tmp.dsc for the RT stage.
+        import os
+        from .io.dust import write_simple_dust
+        from .solve import dust_compiler as dc
+        from .solve import solver_prep
+        from .solve.grain_model import write_gset_dust
+        from .solve.solver_file import write_solver
+        grain_path, freq_path = args[0], args[1]
+        ne = int(args[2]) if len(args) > 2 else 128
+        gl = float(args[3]) if len(args) > 3 else 1.0
+        freq = np.sort(np.atleast_1d(np.loadtxt(freq_path)))
+        dusts = dc.compile_dustem_model(grain_path)
+        per_opt = []
+        for d in dusts:
+            opt = dc.effective_optics(d, freq, gl)
+            per_opt.append(opt)
+            write_simple_dust("%s_simple.dust" % d.name, opt, gl)
+            dsc, csc = dc.tabulated_scattering_function(d, freq)
+            dc.write_scattering_file("%s.dsc" % d.name, dsc, csc)
+            if d.c_cap is not None:
+                gset = dc.to_gset(d)
+                write_gset_dust("gs_%s.dust" % d.name, gset, ne=ne)
+                sol = solver_prep.build_solver(gset, freq, ne=ne)
+                write_solver("%s.solver" % d.name, sol)
+            print("compiled %s: nsize=%d%s" % (
+                d.name, d.nsize,
+                "" if d.c_cap is not None else " (no C data: eq-only)"))
+        write_simple_dust("tmp.dust", dc.combine_optics(per_opt), gl)
+        dsc, csc = dc.combined_scattering_function(dusts, freq)
+        dc.write_scattering_file("tmp.dsc", dsc, csc)
+        print("wrote combined tmp.dust / tmp.dsc (%d species, %d freqs)"
+              % (len(dusts), len(freq)))
         return 0
 
     if cmd == "bench":

@@ -74,6 +74,7 @@ class RunConfig:
         self.intobs = (-1e12, 0.0, 0.0)
         self.obs_theta = []             # radians
         self.obs_phi = []
+        self.ne_number = 0              # 0 = caller default
         self.level_threshold = 0
         self.y_shear = 0.0
         self.minlos = -1.0
@@ -238,6 +239,22 @@ class RunConfig:
             for i in range(0, len(vals) - 1, 2):
                 self.obs_theta.append(vals[i] * pi / 180.0)
                 self.obs_phi.append(vals[i + 1] * pi / 180.0)
+        elif key.startswith("mapview"):
+            # single-view spec replacing direction/mapping/mapcentre:
+            #   mapview theta phi [NX NY [dx [Xc Yc Zc]]]  (ASOC_aux.py:498)
+            if len(a) >= 2:
+                self.obs_theta = [f(0) * pi / 180.0]
+                self.obs_phi = [f(1) * pi / 180.0]
+                if len(a) >= 4:
+                    self.npix = (n(2), n(3))
+                    if len(a) >= 5:
+                        self.map_dx = f(4)
+                        if len(a) >= 8:
+                            self.mapcentre = (f(5), f(6), f(7))
+        elif key.startswith("nenumber"):
+            # enthalpy-grid size for generated .solver files
+            # (ASOC_driver.py:93,131-132)
+            self.ne_number = n()
         elif key.startswith("bgpac"):
             self.bgpac = n()
         elif key.startswith("pspac"):

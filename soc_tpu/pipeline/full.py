@@ -182,15 +182,56 @@ def run_pipeline(ini_path, lanes=driver.DEFAULT_LANES, ne=128, mode=None):
         os.chdir(orig)
 
 
+def _simple_dust_substitutes(cfg):
+    """RT/map stages need simple-dust optics: swap every gset dust for its
+    <name>_simple.dust (ASOC_driver.py:240-245, 'gs_' prefix dropped),
+    generating the file from the gset Q tables if it does not exist yet
+    (the reference requires a separate DustLib step for this)."""
+    stoch_paths, _ = classify_dusts(cfg)
+    if not stoch_paths:
+        return list(cfg.file_optical)
+    from ..solve.grain_model import gset_effective_optics, read_gset_dust
+    from ..io.dust import write_simple_dust
+    rt_optical = []
+    for path in cfg.file_optical:
+        if path not in stoch_paths:
+            rt_optical.append(path)
+            continue
+        d, b = os.path.split(os.path.splitext(path)[0])
+        if b.startswith("gs_"):
+            b = b[3:]
+        simp = os.path.join(d, b + "_simple.dust")
+        if not os.path.exists(simp):
+            gset = read_gset_dust(path)
+            freq_rt = np.asarray(gset.qfreq)
+            for p2 in cfg.file_optical:     # prefer an eqdust grid
+                if p2 not in stoch_paths:
+                    freq_rt = read_simple_dust(p2, cfg.gl).freq
+                    break
+            write_simple_dust(
+                simp, gset_effective_optics(gset, freq_rt, cfg.gl), cfg.gl)
+        rt_optical.append(simp)
+    return rt_optical
+
+
 def _run_pipeline_inner(ini_path, lanes, ne, mode):
     from ..solve import library as libmod
     cfg = RunConfig(ini_path).validate()
+    # ini `nenumber` overrides the caller's enthalpy-grid size
+    # (ASOC_driver.py:93,220: A2E_pre.py ... nenumber)
+    ne = cfg.ne_number or ne
 
     # Stage 1: absorption run (nosolve; all frequencies tallied).
     cfg_rt = copy.deepcopy(cfg)
     cfg_rt.nosolve = True
     cfg_rt.noabsorbed = False
     cfg_rt.nomap = True
+    # the RT stage needs simple-dust optics: swap every gset dust for its
+    # <name>_simple.dust (ASOC_driver.py:240-245, 'gs_' prefix dropped),
+    # generating the file from the gset Q tables if it does not exist yet
+    # (the reference requires a separate DustLib step for this)
+    rt_optical = _simple_dust_substitutes(cfg)
+    cfg_rt.file_optical = rt_optical
     if mode == "uselib":
         cfg_rt.lib_abs = True
         if not cfg_rt.fselect:
@@ -252,6 +293,7 @@ def _run_pipeline_inner(ini_path, lanes, ne, mode):
 
     # Stage 3: map run from the emitted file.
     cfg_map = copy.deepcopy(cfg)
+    cfg_map.file_optical = rt_optical
     cfg_map.iterations = 0
     cfg_map.nosolve = True
     res_map = driver.run(cfg=cfg_map, lanes=lanes, workdir=".")

@@ -376,3 +376,81 @@ def write_polarized_dust_aux(dust, freq, prefix="tmp", qgamma=None):
                 qgamma[ks])
         np.savetxt("%s.qgam" % prefix, qg)
     return rpol
+
+
+# --------------------------------------------------------------------------
+# whole-model compilation (the DE_to_GSET.jl / write_DUSTEM_files workflow)
+
+def locate_dustem_files(grain_path, name):
+    """Locate the aux files of one GRAIN.DAT species in the DustEM layout
+    (<root>/oprop/Q_<name>.DAT, G_<name>.DAT, LAMBDA.DAT and
+    <root>/hcap/C_<name>.DAT with GRAIN.DAT in <root>/data/,
+    DustLib.py:995,1142,1311); flat directories are accepted too."""
+    import os
+    base = os.path.dirname(os.path.abspath(grain_path))
+    roots = [base, os.path.dirname(base)]
+
+    def find(sub, fname):
+        for r in roots:
+            for d in (os.path.join(r, sub), r):
+                p = os.path.join(d, fname)
+                if os.path.exists(p):
+                    return p
+        return None
+
+    return dict(lam=find("oprop", "LAMBDA.DAT"),
+                q=find("oprop", "Q_%s.DAT" % name),
+                g=find("oprop", "G_%s.DAT" % name),
+                c=find("hcap", "C_%s.DAT" % name),
+                size=find("data", "SIZE_%s.DAT" % name),
+                mix=find("data", "MIX_%s.DAT" % name))
+
+
+def compile_dustem_model(grain_path, nsize=None):
+    """Compile every species line of a DustEM GRAIN.DAT -> [DustemDust].
+
+    Species lines have >=8 fields; comments and short lines (the global
+    ISRF factor) are skipped; repeated names get _copy<N> suffixes --
+    read_DE / write_DUSTEM_files semantics (DustLib.py:1936-1950).
+    """
+    dusts, seen = [], set()
+    for line in open(grain_path):
+        s = line.split()
+        if len(s) < 8 or line.lstrip().startswith("#"):
+            continue
+        name = s[0]
+        files = locate_dustem_files(grain_path, name)
+        if not (files["lam"] and files["q"] and files["g"]):
+            raise FileNotFoundError(
+                "%s: no LAMBDA/Q/G data for species %r near %s"
+                % (grain_path, name, grain_path))
+        dust = compile_dust(line, files["lam"], files["q"], files["g"],
+                            c_path=files["c"], nsize=nsize,
+                            size_path=files["size"], mix_path=files["mix"])
+        uniq, i = name, 0
+        while uniq in seen:
+            i += 1
+            uniq = "%s_copy%d" % (name, i)
+        seen.add(uniq)
+        dust.name = uniq
+        dusts.append(dust)
+    if not dusts:
+        raise ValueError("%s: no species lines found" % grain_path)
+    return dusts
+
+
+def combine_optics(optics_list):
+    """Sum per-species DustOptics into the combined simple dust
+    (write_simple_dust semantics, DustLib.py:1691-1700: cross sections
+    added, g weighted by the scattering cross section)."""
+    from ..io.dust import DustOptics
+    base = optics_list[0]
+    ab = np.sum([o.abs_gl for o in optics_list], axis=0)
+    sc = np.sum([o.sca_gl for o in optics_list], axis=0)
+    gs = np.sum([o.sca_gl * o.g for o in optics_list], axis=0)
+    return DustOptics(freq=base.freq, g=(gs / np.maximum(sc, 1e-40))
+                      .astype(np.float32),
+                      abs_gl=ab.astype(np.float32),
+                      sca_gl=sc.astype(np.float32),
+                      grain_density=base.grain_density,
+                      grain_size=base.grain_size)

@@ -160,3 +160,80 @@ def read_gset_dust(path):
                     s_frac=s_frac, tmin=tmin, tmax=tmax, qsize=qsize,
                     qfreq=qfreq, qabs=opt[:, :, 1], qsca=opt[:, :, 2],
                     g=opt[:, :, 3], c_size=c_size, c_temp=c_temp, c_e=c_e)
+
+
+def write_gset_dust(path, dust, ne=256):
+    """Write a GSET dust container: <base>.dust plus .opt/.ent/.size aux
+    files, in the reference's native-CRT text format
+    (DustLib.py write_A2E_dustfiles, :1992-2123) so the files are readable
+    both by ``read_gset_dust`` and by the reference's ``GSETDust`` class.
+    """
+    base, _ = os.path.splitext(path)
+    name = os.path.basename(base)
+
+    with open(base + ".size", "w") as fp:
+        fp.write("%12.5e   # GRAIN_DENSITY\n" % dust.grain_density)
+        fp.write("%d %d    # NSIZE NE\n" % (dust.nsize, ne))
+        fp.write("#  SIZE [um]    S_FRAC      Tmin [K]   Tmax [K]\n")
+        for i in range(dust.nsize):
+            fp.write("  %12.5e %12.5e  %10.3e %10.3e\n"
+                     % (1.0e4 * dust.size_a[i], dust.s_frac[i],
+                        dust.tmin[i], dust.tmax[i]))
+
+    with open(base + ".opt", "w") as fp:
+        qnsize, qnfreq = dust.qabs.shape
+        fp.write("%d %d  # NSIZE, NFREQ\n" % (qnsize, qnfreq))
+        for i in range(qnsize):
+            fp.write("%12.5e   # SIZE [um]\n" % (1.0e4 * dust.qsize[i]))
+            fp.write("# FREQ      Qabs        Qsca        g\n")
+            for j in range(qnfreq):        # increasing frequency
+                fp.write("%12.5e %12.5e %12.5e %12.5e\n"
+                         % (dust.qfreq[j], dust.qabs[i, j],
+                            dust.qsca[i, j], dust.g[i, j]))
+
+    with open(base + ".ent", "w") as fp:
+        fp.write("# E[NSIZE, NTEMP] grain enthalpies\n")
+        fp.write("%d   #  NSIZE\n" % len(dust.c_size))
+        for a in dust.c_size:
+            fp.write("   %12.5e\n" % (1.0e4 * a))
+        fp.write("%d   #  NTEMP\n" % len(dust.c_temp))
+        for t in dust.c_temp:
+            fp.write("   %12.5e\n" % t)
+        for row in dust.c_e:               # one row per size
+            fp.write(" ".join("%12.5e" % e for e in row) + "\n")
+
+    with open(base + ".dust", "w") as fp:
+        fp.write("gsetdust\n")
+        fp.write("prefix     %s\n" % name)
+        fp.write("nstoch     999\n")
+        fp.write("optical    %s.opt\n" % name)
+        fp.write("enthalpies %s.ent\n" % name)
+        fp.write("sizes      %s.size\n" % name)
+
+
+def gset_effective_optics(dust, freq, gl_pc):
+    """Sum the per-size Q tables into single-population simple-dust optics
+    (the <name>_simple.dust content the pipeline's RT stage needs,
+    ASOC_driver.py:240-245; write_simple_dust semantics DustLib.py:1691).
+    """
+    from ..constants import PARSEC
+    from ..io.dust import DustOptics
+    freq = np.asarray(freq, np.float64)
+    kabs = np.zeros(len(freq))
+    ksca = np.zeros(len(freq))
+    gsum = np.zeros(len(freq))
+    for i in range(dust.nsize):
+        a = float(dust.size_a[i])
+        w = (np.pi * a * a * dust.s_frac[i] * dust.grain_density)
+        qa = dust._q_at(dust.qabs, i, freq)
+        qs = dust._q_at(dust.qsca, i, freq)
+        gg = dust._q_at(dust.g, i, freq)
+        kabs += w * qa
+        ksca += w * qs
+        gsum += w * qs * gg
+    gl_cm = gl_pc * PARSEC
+    return DustOptics(freq=freq,
+                      g=(gsum / np.maximum(ksca, 1e-300)).astype(np.float32),
+                      abs_gl=(kabs * gl_cm).astype(np.float32),
+                      sca_gl=(ksca * gl_cm).astype(np.float32),
+                      grain_density=1.0, grain_size=np.sqrt(1.0 / np.pi))

@@ -234,6 +234,7 @@ def solve_emission(solver, absorbed, nstoch=999, batch=16384, clip_last=True,
                               for i in range(n_stoch)])
         else:
             align = np.zeros((n_stoch, cells), np.float32)
+        pending = []     # keep dispatch async; sync once after the loop
         for i0 in range(0, cells, batch):
             i1 = min(i0 + batch, cells)
             n = i1 - i0
@@ -245,9 +246,11 @@ def solve_emission(solver, absorbed, nstoch=999, batch=16384, clip_last=True,
             tot, ptot = solve_chunk_all_sizes(
                 w_stack, td_stack, ea_stack, jnp.asarray(chunk),
                 jnp.asarray(al), solver.ne)
-            emitted[i0:i1] += np.asarray(tot[:n])
+            pending.append((i0, i1, tot, ptot))
+        for i0, i1, tot, ptot in pending:
+            emitted[i0:i1] += np.asarray(tot[: i1 - i0])
             if pemitted is not None:
-                pemitted[i0:i1] += np.asarray(ptot[:n])
+                pemitted[i0:i1] += np.asarray(ptot[: i1 - i0])
     for isize in range(solver.nsize):
         if isize < nstoch:
             if use_fused:

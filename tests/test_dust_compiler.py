@@ -155,3 +155,50 @@ def test_polarized_aux_files(dustem_files, tmp_path, monkeypatch):
     np.testing.assert_allclose(body[0], 1.0, rtol=1e-6)
     assert np.all(np.diff(body, axis=0) <= 1e-6)
     assert np.all((body >= 0) & (body <= 1 + 1e-6))
+
+
+def test_gset_file_roundtrip(dustem_files, tmp_path):
+    """write_gset_dust output is read back identically (and is in the
+    reference's native-CRT text format)."""
+    grain, lam, qf, gf, cf = dustem_files
+    from soc_tpu.solve.grain_model import read_gset_dust, write_gset_dust
+    dust = dc.compile_dust(grain, lam, qf, gf, cf)
+    gset = dc.to_gset(dust)
+    write_gset_dust(str(tmp_path / "gs_TST.dust"), gset)
+    back = read_gset_dust(str(tmp_path / "gs_TST.dust"))
+    np.testing.assert_allclose(back.size_a, gset.size_a, rtol=1e-4)
+    np.testing.assert_allclose(back.s_frac, gset.s_frac, rtol=1e-4)
+    np.testing.assert_allclose(back.qfreq, gset.qfreq, rtol=1e-4)
+    np.testing.assert_allclose(back.qabs, gset.qabs, rtol=1e-4)
+    for isz in (0, gset.nsize - 1):
+        np.testing.assert_allclose(back.t2e(isz, 50.0),
+                                   gset.t2e(isz, 50.0), rtol=1e-3)
+
+
+def test_compile_dustem_model_and_cli(dustem_files, tmp_path, monkeypatch):
+    """GRAIN.DAT whole-model compilation + the `dust` CLI (DE_to_GSET)."""
+    grain, lam, qf, gf, cf = dustem_files
+    (tmp_path / "GRAIN.DAT").write_text("# DustEM model\n1.0\n" + grain
+                                        + "\n")
+    dusts = dc.compile_dustem_model(str(tmp_path / "GRAIN.DAT"))
+    assert len(dusts) == 1 and dusts[0].name == "TST"
+    assert dusts[0].c_cap is not None
+
+    freqs = np.logspace(11.5, 15, 10)
+    np.savetxt(tmp_path / "freq.dat", freqs)
+    monkeypatch.chdir(tmp_path)
+    from soc_tpu.cli import main
+    assert main(["dust", "GRAIN.DAT", "freq.dat", "32", "0.01"]) == 0
+    for f in ("TST_simple.dust", "TST.dsc", "gs_TST.dust", "gs_TST.opt",
+              "gs_TST.ent", "gs_TST.size", "TST.solver", "tmp.dust",
+              "tmp.dsc"):
+        assert (tmp_path / f).exists(), f
+    # single species: the combined simple dust equals the species' own
+    from soc_tpu.io.dust import read_simple_dust
+    a = read_simple_dust(str(tmp_path / "TST_simple.dust"), 0.01)
+    b = read_simple_dust(str(tmp_path / "tmp.dust"), 0.01)
+    np.testing.assert_allclose(b.abs_gl, a.abs_gl, rtol=1e-4)
+    np.testing.assert_allclose(b.g, a.g, atol=1e-4)
+    # the solver file respects the CLI NE argument
+    from soc_tpu.solve.solver_file import read_solver
+    assert read_solver(str(tmp_path / "TST.solver")).ne == 32

@@ -326,3 +326,45 @@ def test_optishalf_runs_close(model_dir):
     res_h = run_ini(model_dir, extra + "optishalf\n")
     np.testing.assert_allclose(res_h.temperature, res_f.temperature,
                                rtol=0.02)
+
+
+def test_mapview_keyword(model_dir):
+    """mapview theta phi NX NY dx Xc Yc Zc replaces direction/mapping/
+    mapcentre in one line (ASOC_aux.py:498-511)."""
+    res = run_ini(model_dir, "mapview 90.0 0.0 6 6 0.5 6.0 6.0 6.0\n")
+    cfg = RunConfig(str(model_dir / "run.ini"))
+    assert cfg.npix == (6, 6) and cfg.map_dx == 0.5
+    assert cfg.mapcentre == (6.0, 6.0, 6.0)
+    np.testing.assert_allclose(cfg.obs_theta, [np.pi / 2])
+    assert len(cfg.obs_phi) == 1
+    assert res.maps[0].shape[1:] == (6, 6)
+    assert np.isfinite(res.maps[0]).all() and res.maps[0].max() > 0
+
+
+def test_mabu_ofreq_output_selection(model_dir, monkeypatch):
+    """The mabu CLI's optional ofreq.dat argument (A2E_MABU.py:32,66-68)
+    and the mapum-driven NOFREQ limiting (A2E_MABU.py:316-323) select the
+    emitted-file output columns."""
+    from soc_tpu.cli import main
+    from soc_tpu.io.dust import read_simple_dust
+    from soc_tpu.io.fields import read_cell_frequency_array
+    run_ini(model_dir)      # produces absorbed.data on the full grid
+    freq = read_simple_dust(str(model_dir / "tmp.dust"), 0.01).freq
+    monkeypatch.chdir(model_dir)
+    # full output
+    assert main(["mabu", "run.ini", "absorbed.data", "emitted_f.data"]) == 0
+    full = read_cell_frequency_array("emitted_f.data")
+    assert full.shape[1] == len(freq)
+    # ofreq file with two frequencies
+    np.savetxt("ofreq.dat", freq[[10, 20]])
+    assert main(["mabu", "run.ini", "absorbed.data", "emitted_o.data",
+                 "ofreq.dat"]) == 0
+    sub = read_cell_frequency_array("emitted_o.data")
+    assert sub.shape[1] == 2
+    np.testing.assert_allclose(sub, full[:, [10, 20]], rtol=1e-6)
+    # mapum keyword limits the emitted columns the same way
+    (model_dir / "run2.ini").write_text(
+        (model_dir / "run.ini").read_text() + "mapum 250.0 500.0\n")
+    assert main(["mabu", "run2.ini", "absorbed.data",
+                 "emitted_m.data"]) == 0
+    assert read_cell_frequency_array("emitted_m.data").shape[1] == 2

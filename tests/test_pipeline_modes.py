@@ -92,3 +92,59 @@ def test_nnmake_then_nnsolve(model_dir):
     other = np.ones(len(freq), bool)
     other[idx] = False
     assert np.abs(emitted_nn[:, other]).max() == 0.0
+
+
+def test_gset_dust_pipeline_with_nenumber(tmp_path):
+    """Full ASOC_driver-style run with a STOCHASTIC (gset) dust: the RT
+    stage swaps in an auto-generated <name>_simple.dust
+    (ASOC_driver.py:240-245) and the solver file honours the `nenumber`
+    keyword (ASOC_driver.py:93,131-132)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_dust_compiler import dustem_files  # noqa: F401 (fixture)
+    from soc_tpu.solve import dust_compiler as dc
+    from soc_tpu.solve.grain_model import write_gset_dust
+    from soc_tpu.io.cloud import write_hierarchy
+    from soc_tpu.solve.solver_file import read_solver
+
+    # build a gset dust + matching dsc/bg on its own frequency grid
+    um = np.sort(np.logspace(-1, 3, 30))
+    from soc_tpu.constants import um2f
+    freq = np.sort(um2f(um))
+    import test_dust_compiler as tdc
+    fixture = tdc.dustem_files.__wrapped__(tmp_path)
+    grain, lam, qf, gf, cf = fixture
+    dust = dc.compile_dust(grain, lam, qf, gf, cf)
+    gset = dc.to_gset(dust)
+    write_gset_dust(str(tmp_path / "gs_TST.dust"), gset)
+    dsc, csc = dc.tabulated_scattering_function(dust, freq, bins=2500)
+    dc.write_scattering_file(str(tmp_path / "tst.dsc"), dsc, csc)
+    np.ones(len(freq), np.float32).tofile(tmp_path / "bg.bin")
+    write_hierarchy(tmp_path / "tmp.cloud", N, N, N, [N ** 3],
+                    [np.ones(N ** 3, np.float32)])
+
+    ini = tmp_path / "run.ini"
+    ini.write_text("""
+gridlength      0.01
+cloud           tmp.cloud
+mapping         8 8 1.0
+density         3.0e4
+seed            1.0
+directions      0.0 0.0
+optical         gs_TST.dust
+dsc             tst.dsc 2500
+background      bg.bin
+bgpackets       %d
+iterations      1
+nenumber        48
+prefix          tst
+absorbed        absorbed.data
+emitted         emitted.data
+temperature     tst.T
+""" % (8 * 6 * N * N))
+    res_rt, emitted, res_map = run_pipeline(str(ini), lanes=1 << 10)
+    assert (tmp_path / "TST_simple.dust").exists()
+    sol = read_solver(str(tmp_path / "gs_TST.solver"))
+    assert sol.ne == 48
+    assert np.isfinite(emitted).all() and emitted.max() > 0
+    assert res_map.maps[0].max() > 0
