@@ -274,10 +274,12 @@ def domain_background_run(slabs, physics, bg_photons, total_packets, seed,
             free_path = jnp.where(scatter_now, -jnp.log(u_fp), free_path)
             tau = jnp.where(scatter_now, 0.0,
                             jnp.where(cross, tau + dtau_sca, tau))
-            # advance the draw counter only on real packet steps so a
-            # packet's random sequence is identical to the single-device
-            # run even while its lane idles before/after the exchange
-            counter = counter + alive.astype(jnp.uint32)
+            # advance the draw counter only when draws are CONSUMED (one
+            # evaluation per scattering event) -- the same scheme as
+            # transport_run's march/service split -- so a packet's random
+            # sequence is identical to the single-device run even while
+            # its lane idles before/after the exchange
+            counter = counter + scatter_now.astype(jnp.uint32)
             emig = jnp.where(alive, new_emig, emig)
             # emigrant lanes freeze at the boundary position
             return (posm, dirm, levm, indm, photons, stream, hi, counter,

@@ -21,6 +21,19 @@ Physics per step (kernel_ASOC.c semantics):
   * else deposit delta = photons*(1-exp(-tau_abs)) (Taylor below TAULIM),
     attenuate, accumulate tau, cross into the next cell
   * failed steps are recovered by a PEPS nudge (kernel_ASOC.c:640-672)
+
+March/service split: measurement (scripts/ablate_step.py on v5e) shows the
+step cost is the count of gather/scatter memory ops -- the RNG and the
+deflection trigonometry are free, but the phase-function table gather is as
+expensive as the density gather + tally deposit combined. Scattering events
+are only a few percent of steps, so the loop is split: *march* steps do
+traversal + deposit only, and a lane whose free path ends freezes at the
+scattering point (``pending``); every ``service_period`` march steps a
+*service* step draws the new direction + free path for all pending lanes at
+once. The counter-based RNG makes the delay bias-free (draws are keyed by
+(stream, counter), not by wall-clock step) and keeps every packet's random
+sequence device-count invariant: counters advance only when draws are
+consumed (birth + one evaluation per scattering event).
 """
 
 from dataclasses import dataclass
@@ -92,13 +105,15 @@ def _csc_lookup(csc_table, ifreq, u_bin, bins):
 @partial(jax.jit, static_argnames=("source_kind", "nlanes", "max_iters",
                                    "per_freq_tally", "refill_period",
                                    "esc_bins", "with_ali", "roi_nside",
-                                   "mirror_mask", "split_max"),
+                                   "mirror_mask", "split_max",
+                                   "service_period"),
          donate_argnums=(4, 5))
 def transport_run(grid, physics, source_params, total_packets, tabs, intf,
                   seed, source_kind="bg", nlanes=1 << 17,
                   max_iters=1 << 30, per_freq_tally=False, refill_period=8,
                   esc_bins=1, with_ali=False, xab=None, roi_nside=0,
-                  roi_tally=None, mirror_mask=0, split_max=0):
+                  roi_tally=None, mirror_mask=0, split_max=0,
+                  service_period=None):
     """Drain ``total_packets`` packets through the grid with lane refill.
 
     physics : dict with
@@ -146,6 +161,12 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
     """
     from .sources import GENERATORS
     gen = GENERATORS[source_kind]
+    if service_period is None:
+        import os
+        service_period = int(os.environ.get("SOC_TPU_SERVICE_PERIOD", "4"))
+    service_period = min(service_period, refill_period)
+    if refill_period % service_period:
+        raise ValueError("service_period must divide refill_period")
     csc = physics["csc"]
     bins = csc.shape[-1]
     kabs_t = physics["kabs"]
@@ -203,15 +224,15 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
     def cond(state):
         it = state[0]
         b = state[1]
-        next_id = state[4]
+        next_id = state[5]
         active = jnp.any(b.ind >= 0) | (next_id < total_packets)
         if do_split:
-            active = active | jnp.any(state[12]["pending"])
+            active = active | jnp.any(state[13]["pending"])
         return (it < max_iters) & active
 
     def body(state):
-        (it, b, free_path, tau, next_id, tabs, intf, esc, esc_pending,
-         absd, xab_c, roi_c, sp) = state
+        (it, b, pending, free_path, tau, next_id, tabs, intf, esc,
+         esc_pending, absd, xab_c, roi_c, sp) = state
 
         # ---- flush per-lane escaped weight of dead lanes into the
         # per-frequency bins (one-hot reduction: no scatter serialization)
@@ -280,6 +301,7 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
             fp_c, _ = draw_birth_fp(b.stream, b.hi)
             free_path = jnp.where(adopt, fp_c, free_path)
             tau = jnp.where(adopt, 0.0, tau)
+            pending = pending & ~adopt
             sp = {**sp,
                   "lane_depth": jnp.where(adopt, sp["depth"][donor],
                                           sp["lane_depth"]),
@@ -310,6 +332,7 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
             e_cell=jnp.where(can, nb.e_cell, b.e_cell))
         fp_new, w_new = draw_birth_fp(nb.stream, nb.hi)
         free_path = jnp.where(can, fp_new, free_path)
+        pending = pending & ~can
         if do_split:
             sp = {**sp, "lane_depth": jnp.where(can, 0, sp["lane_depth"])}
         if sw_a is not None:
@@ -331,87 +354,28 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
             lane_c = ()
 
         # ---- refill_period physics steps between refills (amortizes the
-        # generator cost; lanes that die mid-block idle until the next refill)
+        # generator cost; lanes that die mid-block idle until the next
+        # refill). Each sub-block first services pending scatter events,
+        # then runs service_period cheap march steps.
         def phys(_, st):
-            return step(*st)
+            return march(*st)
 
-        (b, free_path, tau, tabs, intf, esc_pending, absd, xab_c,
-         roi_c, sp, lane_c) = lax.fori_loop(
-            0, refill_period, phys,
-            (b, free_path, tau, tabs, intf, esc_pending, absd, xab_c,
-             roi_c, sp, lane_c))
-        return (it + 1, b, free_path, tau, next_id, tabs, intf, esc,
-                esc_pending, absd, xab_c, roi_c, sp)
+        st = (b, pending, free_path, tau, tabs, intf, esc_pending, absd,
+              xab_c, roi_c, sp, lane_c)
+        for _ in range(max(1, refill_period // service_period)):
+            st = service(*st)
+            st = lax.fori_loop(0, service_period, phys, st)
+        (b, pending, free_path, tau, tabs, intf, esc_pending, absd, xab_c,
+         roi_c, sp, lane_c) = st
+        return (it + 1, b, pending, free_path, tau, next_id, tabs, intf,
+                esc, esc_pending, absd, xab_c, roi_c, sp)
 
-    def step(b, free_path, tau, tabs, intf, esc_pending, absd, xab_c,
-             roi_c, sp, lane_c=()):
-        alive = b.ind >= 0
-        gidx = jnp.clip(grid.off[jnp.clip(b.level, 0, grid.levels - 1)]
-                        + jnp.maximum(b.ind, 0), 0, cells - 1)
-        dens = grid.dens[gidx]
-        if "opt_abs" in physics:
-            # WITH_ABU: per-cell abundance-weighted cross sections for the
-            # current frequency (reference OPT array, ASOC.py:1146-1175);
-            # may be stored bfloat16 (optishalf) -- widen for the math
-            kabs = physics["opt_abs"][gidx].astype(jnp.float32)
-            ksca = physics["opt_sca"][gidx].astype(jnp.float32)
-            tw = tw_t
-        elif uniform_freq:
-            kabs, ksca, tw = kabs_t, ksca_t, tw_t
-        elif lane_const:
-            kabs, ksca, tw = lane_c[0], lane_c[1], lane_c[2]
-        else:
-            kabs = kabs_t[b.ifreq]
-            ksca = ksca_t[b.ifreq]
-            tw = tw_t[b.ifreq]
-
-        # ---- geometric step to next boundary
-        ds_local, pos_boundary = traverse.boundary_step(b.pos, b.dir)
-        ds_gl = ds_local * jnp.exp2(-b.level.astype(jnp.float32))
-        tau_abs_full = ds_gl * dens * kabs
-        dtau_sca = ds_gl * dens * ksca
-
-        scatter_now = alive & (free_path < tau + dtau_sca)
-
-        # ---- scattering point inside this cell
-        dx_gl = (free_path - tau) / jnp.maximum(ksca * dens, 1e-30)
-        tau_abs_part = dx_gl * dens * kabs
-        dx_local = jnp.maximum(
-            0.0, dx_gl * jnp.exp2(b.level.astype(jnp.float32)) - 2.0 * PEPS)
-        pos_scatter = b.pos + dx_local[..., None] * b.dir
-
-        # ---- absorption deposit (shared scatter-add; dead lanes dropped OOB)
-        tau_abs = jnp.where(scatter_now, tau_abs_part, tau_abs_full)
-        att = jnp.exp(-tau_abs)
-        delta = jnp.where(tau_abs > TAULIM,
-                          b.photons * (1.0 - att),
-                          b.photons * tau_abs * (1.0 - 0.5 * tau_abs))
-        didx = jnp.where(alive, gidx, cells)          # OOB => dropped
-        if with_ali:
-            selfc = didx == b.e_cell
-            tabs = tabs.at[jnp.where(selfc, cells, didx)].add(
-                delta * tw * ADHOC, mode="drop")
-            new_xab = xab_c.at[jnp.where(selfc, didx, cells)].add(
-                delta * tw * ADHOC, mode="drop")
-        else:
-            tabs = tabs.at[didx].add(delta * tw * ADHOC, mode="drop")
-            new_xab = xab_c
-        if per_freq_tally:
-            if intf.ndim == 3:
-                # SAVE_INTENSITY==2: (I, Ix, Iy, Iz) component tallies
-                # (reference INT/INTX/INTY/INTZ buffers, ASOC.py:35)
-                w4 = jnp.concatenate([jnp.ones_like(delta)[:, None],
-                                      b.dir], axis=1)
-                intf = intf.at[didx, b.ifreq].add(delta[:, None] * w4,
-                                                  mode="drop")
-            else:
-                intf = intf.at[didx, b.ifreq].add(delta, mode="drop")
-        absd = absd + jnp.sum(jnp.where(alive, delta, 0.0))
-        photons = jnp.where(alive, b.photons * att, b.photons)
-
-        # ---- RNG draws for this iteration (consumed by scatter lanes):
-        # one threefry evaluation on the fast path, two under WITH_MSF
-        # (the species roulette needs a fourth uniform)
+    def service(b, pending, free_path, tau, tabs, intf, esc_pending, absd,
+                xab_c, roi_c, sp, lane_c=()):
+        """Serve pending scattering events: one RNG evaluation, the
+        phase-function table gather and the deflection, for every frozen
+        lane at once (the expensive per-step work the march steps skip)."""
+        act = pending & (b.ind >= 0)
         if "msf_csc" in physics:
             u_fp, u_bin, u_phi, u_sp = socrng.step_uniforms4(
                 seed, b.stream, b.counter, b.hi)
@@ -423,6 +387,8 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
             # multiple scattering functions (WITH_MSF): pick the scattering
             # species with probability ABU[cell,d]*SCA_d / sum
             # (kernel_ASOC.c:786-795), then sample that species' CSC
+            gidx = jnp.clip(grid.off[jnp.clip(b.level, 0, grid.levels - 1)]
+                            + jnp.maximum(b.ind, 0), 0, cells - 1)
             msf_csc = physics["msf_csc"]          # [NDUST, BINS]
             wspec = (physics["msf_abu"][gidx, :]
                      * physics["msf_sca"][None, :])   # [N, NDUST]
@@ -456,9 +422,94 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
             cos_theta = _csc_lookup(csc, b.ifreq, u_bin, bins)
         new_dir = _deflect(b.dir, cos_theta, (2.0 * jnp.pi) * u_phi)
 
+        fp_next, w_next = draw_fp_weighted(u_fp)
+        photons = b.photons
+        if sw_a is not None:
+            photons = jnp.where(act, photons * w_next, photons)
+        if dw_corr is not None:
+            photons = jnp.where(act, photons * dw_corr, photons)
+        nb = PacketBatch(
+            pos=b.pos,
+            dir=jnp.where(act[..., None], new_dir, b.dir),
+            level=b.level, ind=b.ind, photons=photons, ifreq=b.ifreq,
+            stream=b.stream, hi=b.hi,
+            counter=b.counter + act.astype(jnp.uint32),
+            scatterings=b.scatterings, e_cell=b.e_cell)
+        free_path = jnp.where(act, fp_next, free_path)
+        tau = jnp.where(act, 0.0, tau)
+        return (nb, pending & ~act, free_path, tau, tabs, intf, esc_pending,
+                absd, xab_c, roi_c, sp, lane_c)
+
+    def march(b, pending, free_path, tau, tabs, intf, esc_pending, absd,
+              xab_c, roi_c, sp, lane_c=()):
+        alive = b.ind >= 0
+        active = alive & ~pending          # frozen lanes await service
+        gidx = jnp.clip(grid.off[jnp.clip(b.level, 0, grid.levels - 1)]
+                        + jnp.maximum(b.ind, 0), 0, cells - 1)
+        dens = grid.dens[gidx]
+        if "opt_abs" in physics:
+            # WITH_ABU: per-cell abundance-weighted cross sections for the
+            # current frequency (reference OPT array, ASOC.py:1146-1175);
+            # may be stored bfloat16 (optishalf) -- widen for the math
+            kabs = physics["opt_abs"][gidx].astype(jnp.float32)
+            ksca = physics["opt_sca"][gidx].astype(jnp.float32)
+            tw = tw_t
+        elif uniform_freq:
+            kabs, ksca, tw = kabs_t, ksca_t, tw_t
+        elif lane_const:
+            kabs, ksca, tw = lane_c[0], lane_c[1], lane_c[2]
+        else:
+            kabs = kabs_t[b.ifreq]
+            ksca = ksca_t[b.ifreq]
+            tw = tw_t[b.ifreq]
+
+        # ---- geometric step to next boundary
+        ds_local, pos_boundary = traverse.boundary_step(b.pos, b.dir)
+        ds_gl = ds_local * jnp.exp2(-b.level.astype(jnp.float32))
+        tau_abs_full = ds_gl * dens * kabs
+        dtau_sca = ds_gl * dens * ksca
+
+        scatter_now = active & (free_path < tau + dtau_sca)
+
+        # ---- scattering point inside this cell
+        dx_gl = (free_path - tau) / jnp.maximum(ksca * dens, 1e-30)
+        tau_abs_part = dx_gl * dens * kabs
+        dx_local = jnp.maximum(
+            0.0, dx_gl * jnp.exp2(b.level.astype(jnp.float32)) - 2.0 * PEPS)
+        pos_scatter = b.pos + dx_local[..., None] * b.dir
+
+        # ---- absorption deposit (shared scatter-add; dead lanes dropped OOB)
+        tau_abs = jnp.where(scatter_now, tau_abs_part, tau_abs_full)
+        att = jnp.exp(-tau_abs)
+        delta = jnp.where(tau_abs > TAULIM,
+                          b.photons * (1.0 - att),
+                          b.photons * tau_abs * (1.0 - 0.5 * tau_abs))
+        didx = jnp.where(active, gidx, cells)         # OOB => dropped
+        if with_ali:
+            selfc = didx == b.e_cell
+            tabs = tabs.at[jnp.where(selfc, cells, didx)].add(
+                delta * tw * ADHOC, mode="drop")
+            new_xab = xab_c.at[jnp.where(selfc, didx, cells)].add(
+                delta * tw * ADHOC, mode="drop")
+        else:
+            tabs = tabs.at[didx].add(delta * tw * ADHOC, mode="drop")
+            new_xab = xab_c
+        if per_freq_tally:
+            if intf.ndim == 3:
+                # SAVE_INTENSITY==2: (I, Ix, Iy, Iz) component tallies
+                # (reference INT/INTX/INTY/INTZ buffers, ASOC.py:35)
+                w4 = jnp.concatenate([jnp.ones_like(delta)[:, None],
+                                      b.dir], axis=1)
+                intf = intf.at[didx, b.ifreq].add(delta[:, None] * w4,
+                                                  mode="drop")
+            else:
+                intf = intf.at[didx, b.ifreq].add(delta, mode="drop")
+        absd = absd + jnp.sum(jnp.where(active, delta, 0.0))
+        photons = jnp.where(active, b.photons * att, b.photons)
+
         # ---- crossing branch: move into next cell
-        posx = jnp.where(alive[..., None], pos_boundary, b.pos)
-        cross = alive & ~scatter_now
+        posx = jnp.where(active[..., None], pos_boundary, b.pos)
+        cross = active & ~scatter_now
         npos, nlevel, nind = traverse.index_update(
             grid, posx, b.level, b.ind, cross)
         failed = cross & (nlevel == b.level) & (nind == b.ind)
@@ -539,34 +590,29 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
                   "pending": sp["pending"] | want,
                   "lane_depth": depth_new}
 
-        # ---- merge
+        # ---- merge: scattering lanes freeze at the scattering point
+        # (direction + new free path drawn at the next service step)
         pos = jnp.where(scatter_now[..., None], pos_scatter, npos)
         level = jnp.where(scatter_now, b.level, nlevel)
         ind = jnp.where(scatter_now, b.ind, nind)
-        dir = jnp.where(scatter_now[..., None], new_dir, dirx)
+        dir = jnp.where(scatter_now[..., None], b.dir, dirx)
         scat = b.scatterings + scatter_now.astype(jnp.int32)
         overscattered = scatter_now & (scat > MAX_SCATTERINGS)
-        exhausted = alive & (photons < PHOTON_LIMIT)
+        exhausted = active & (photons < PHOTON_LIMIT)
         exited = cross & (nind < 0)
         esc_pending = esc_pending + jnp.where(
-            (exited | overscattered) & alive, photons, 0.0)
+            (exited | overscattered) & active, photons, 0.0)
         ind = jnp.where(overscattered | exhausted, jnp.int32(-1), ind)
-
-        fp_next, w_next = draw_fp_weighted(u_fp)
-        free_path = jnp.where(scatter_now, fp_next, free_path)
-        if sw_a is not None:
-            photons = jnp.where(scatter_now, photons * w_next, photons)
-        if dw_corr is not None:
-            photons = jnp.where(scatter_now, photons * dw_corr, photons)
         tau = jnp.where(scatter_now, 0.0,
                         jnp.where(cross, tau + dtau_sca, tau))
+        pending = (pending | scatter_now) & (ind >= 0)
 
         nb = PacketBatch(pos=pos, dir=dir, level=level, ind=ind,
                          photons=photons, ifreq=b.ifreq, stream=b.stream,
-                         hi=b.hi, counter=b.counter + jnp.uint32(1),
+                         hi=b.hi, counter=b.counter,
                          scatterings=scat, e_cell=b.e_cell)
-        return (nb, free_path, tau, tabs, intf, esc_pending, absd, new_xab,
-                roi_c, sp, lane_c)
+        return (nb, pending, free_path, tau, tabs, intf, esc_pending, absd,
+                new_xab, roi_c, sp, lane_c)
 
     if xab is None:
         xab = jnp.zeros(1, jnp.float32)
@@ -587,13 +633,14 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
                    clones=jnp.uint32(0))
     else:
         sp0 = {}
-    state = (jnp.int32(0), b0, jnp.zeros(nlanes, jnp.float32),
+    state = (jnp.int32(0), b0, jnp.zeros(nlanes, bool),
+             jnp.zeros(nlanes, jnp.float32),
              jnp.zeros(nlanes, jnp.float32), jnp.int32(0), tabs, intf,
              jnp.zeros(esc_bins, jnp.float32),
              jnp.zeros(nlanes, jnp.float32), jnp.float32(0.0), xab,
              roi_tally, sp0)
     state = lax.while_loop(cond, body, state)
-    (_, b, _, _, _, tabs, intf, esc, esc_pending, absd, xab,
+    (_, b, _, _, _, _, tabs, intf, esc, esc_pending, absd, xab,
      roi_tally, sp_out) = state
     # final flush: lanes that died in the last block
     if esc_bins == 1:
