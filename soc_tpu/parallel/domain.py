@@ -367,16 +367,16 @@ def domain_background_run(slabs, physics, bg_photons, total_packets, seed,
             r_dn = lax.ppermute(dn_buf, "dp", bwd)
             c_dn = lax.ppermute(jnp.where(rank == 0, 0, n_dn), "dp", bwd)
 
-            # ---- append arrivals to the pending queue
+            # ---- append arrivals to the pending queue; arrivals past the
+            # queue capacity go to the OOB drop slot (index PCAP) rather
+            # than clobbering slot PCAP-1 with a stale payload
             idx = pend_n + jnp.arange(nlanes)
-            okl = jnp.arange(nlanes) < c_up
-            pend = pend.at[jnp.where(okl, jnp.minimum(idx, PCAP - 1),
-                                     PCAP)].set(r_up, mode="drop")
+            okl = (jnp.arange(nlanes) < c_up) & (idx < PCAP)
+            pend = pend.at[jnp.where(okl, idx, PCAP)].set(r_up, mode="drop")
             pend_n = jnp.minimum(pend_n + c_up, PCAP)
             idx = pend_n + jnp.arange(nlanes)
-            okl = jnp.arange(nlanes) < c_dn
-            pend = pend.at[jnp.where(okl, jnp.minimum(idx, PCAP - 1),
-                                     PCAP)].set(r_dn, mode="drop")
+            okl = (jnp.arange(nlanes) < c_dn) & (idx < PCAP)
+            pend = pend.at[jnp.where(okl, idx, PCAP)].set(r_dn, mode="drop")
             pend_n = jnp.minimum(pend_n + c_dn, PCAP)
 
             active = (jnp.any(ind >= 0) | (next_id < total_packets)

@@ -111,16 +111,17 @@ def _run_over_freqs(grid, medium, kind, make_params, per_freq, tabs, intf,
             source_kind=kind, nlanes=_pool_lanes(nlanes, per_freq),
             per_freq_tally=per_freq_tally,
             mirror_mask=mirror_mask, split_max=split_max, **kwargs)
+        # extras appended in transport_run order: [xab] [roi_tally] [clones]
+        tabs, intf, esc, absd = out[:4]
+        rest = list(out[4:])
         if roi is not None:
-            tabs, intf, esc, absd, roi_tally = out
-            roi["tally"][ifreq] = np.asarray(roi_tally)
-        else:
-            tabs, intf, esc, absd = out
+            roi["tally"][ifreq] = np.asarray(rest.pop(0))
         esc_list[ifreq] = float(esc[0])
         abs_list[ifreq] = float(absd)
         if ckpt is not None:
             ckpt.record("%s/f%d" % (ckpt_key, ifreq), esc_list[ifreq],
-                        tabs, intf)
+                        tabs, intf,
+                        roi=None if roi is None else roi["tally"])
     return tabs, intf, np.asarray(esc_list), np.asarray(abs_list)
 
 
@@ -170,11 +171,12 @@ def simulate_background(grid, medium, cfg, ibg, tabs, intf, seed,
                           ifreq0=jnp.int32(off // per_freq),
                           k0=jnp.uint32(off % per_freq),
                           hi_base=jnp.uint32(stream_hi_base("bg")))
-            tabs, intf, esc, absd = transport_run(
+            out = transport_run(
                 grid, physics, params, jnp.int32(n), tabs, intf, seed,
                 source_kind="bg", nlanes=nlanes,
                 per_freq_tally=per_freq_tally, esc_bins=nfreq,
                 mirror_mask=mirror_mask_of(cfg), split_max=split_max)
+            tabs, intf, esc, absd = out[:4]     # split adds a clones count
             escaped = escaped + esc
         escaped = np.asarray(escaped)
     else:
@@ -230,7 +232,9 @@ def simulate_hpbg(grid, medium, cfg, hpbg, tabs, intf, seed,
 
     tabs, intf, escaped, absorbed = _run_over_freqs(
         grid, medium, "hpbg", make_params, per_freq, tabs, intf, seed,
-        lanes, per_freq_tally, freq_mask=freq_mask, roi=roi,
+        lanes, per_freq_tally, mirror_mask=mirror_mask_of(cfg),
+        split_max=int(cfg.do_split) if grid.levels > 1 else 0,
+        freq_mask=freq_mask, roi=roi,
         physics_extra=physics_extra, ckpt=ckpt, ckpt_key="hpbg")
     return tabs, intf, escaped, injected * per_freq
 
@@ -275,7 +279,8 @@ def simulate_point_sources(grid, medium, cfg, lps, tabs, intf, seed,
 
     tabs, intf, escaped, absorbed = _run_over_freqs(
         grid, medium, "ps", make_params, per_freq, tabs, intf, seed,
-        lanes, per_freq_tally, freq_mask=freq_mask, roi=roi,
+        lanes, per_freq_tally, mirror_mask=mirror_mask_of(cfg),
+        freq_mask=freq_mask, roi=roi,
         physics_extra=physics_extra, ckpt=ckpt, ckpt_key="ps")
     injected = np.sum(np.asarray(ps_photons, np.float64), axis=0) * pspac
     if freq_mask is not None:
@@ -356,7 +361,8 @@ def simulate_cell_emission(grid, medium, cfg, emitted, tabs, intf, seed,
             tabs, intf, esc, absd = transport_run(
                 grid, physics, params, jnp.int32(total), tabs, intf,
                 seed, source_kind="cell", nlanes=nlanes,
-                per_freq_tally=per_freq_tally)
+                per_freq_tally=per_freq_tally,
+                mirror_mask=mirror_mask_of(cfg))
             escaped[ifreq] = float(esc[0])
         return tabs, intf, escaped, None
 
@@ -380,7 +386,8 @@ def simulate_cell_emission(grid, medium, cfg, emitted, tabs, intf, seed,
                 grid, physics, params, jnp.int32(per_freq), tabs, intf,
                 seed, source_kind="cell",
                 nlanes=_pool_lanes(lanes, per_freq),
-                per_freq_tally=per_freq_tally, with_ali=True, xab=xab)
+                per_freq_tally=per_freq_tally, with_ali=True, xab=xab,
+                mirror_mask=mirror_mask_of(cfg))
             escaped[ifreq] = float(esc[0])
         return tabs, intf, escaped, np.asarray(xab)
 
@@ -408,7 +415,8 @@ def simulate_cell_emission(grid, medium, cfg, emitted, tabs, intf, seed,
             tabs, intf, esc, absd = transport_run(
                 grid, physics, params, jnp.int32(n), tabs, intf, seed,
                 source_kind="cell", nlanes=nlanes,
-                per_freq_tally=per_freq_tally, esc_bins=nfreq)
+                per_freq_tally=per_freq_tally, esc_bins=nfreq,
+                mirror_mask=mirror_mask_of(cfg))
             escaped = escaped + esc
         return tabs, intf, np.asarray(escaped), None
 
@@ -419,6 +427,7 @@ def simulate_cell_emission(grid, medium, cfg, emitted, tabs, intf, seed,
     tabs, intf, escaped, absorbed = _run_over_freqs(
         grid, medium, "cell", make_params, per_freq, tabs, intf, seed,
         lanes, per_freq_tally, iteration=iteration,
+        mirror_mask=mirror_mask_of(cfg),
         physics_extra=physics_extra)
     return tabs, intf, escaped, None
 
@@ -476,7 +485,8 @@ def simulate_diffuse(grid, medium, cfg, diffuserad, tabs, intf, seed,
 
     tabs, intf, escaped, absorbed = _run_over_freqs(
         grid, medium, "cell", make_params, per_freq, tabs, intf, seed,
-        lanes, per_freq_tally, phase="diffuse", freq_mask=mask, roi=roi,
+        lanes, per_freq_tally, phase="diffuse",
+        mirror_mask=mirror_mask_of(cfg), freq_mask=mask, roi=roi,
         physics_extra=physics_extra, ckpt=ckpt, ckpt_key="diffuse")
     return tabs, intf, escaped, injected
 
@@ -511,7 +521,8 @@ def simulate_roi_load(grid, medium, cfg, tabs, intf, seed,
 
     tabs, intf, escaped, absorbed = _run_over_freqs(
         grid, medium, "roi", make_params, per_freq, tabs, intf, seed,
-        lanes, per_freq_tally, freq_mask=freq_mask)
+        lanes, per_freq_tally, mirror_mask=mirror_mask_of(cfg),
+        freq_mask=freq_mask)
     return tabs, intf, escaped, injected
 
 
@@ -653,6 +664,11 @@ def _run_inner(cfg, lanes, write_files, t_start):
             return d
     timings["input"] = time.time() - t0
 
+    # ---- packet.info run-metadata drop file (ASOC.py:251)
+    if write_files:
+        np.asarray([cfg.bgpac, cfg.pspac, cfg.dfpac, cfg.clpac],
+                   np.int32).tofile("packet.info")
+
     # ---- loadtemp mode (reference ASOC.py:744-769): recompute EMITTED
     # from a stored temperature file (equilibrium dust) and render maps
     if cfg.load_temperature and cfg.iterations < 1:
@@ -663,7 +679,7 @@ def _run_inner(cfg, lanes, write_files, t_start):
         emitted = np.asarray(equilibrium.emission(
             freq, optics[0].abs_gl, jnp.asarray(temperature),
             cfg.gl * PARSEC))
-        _apply_remit_band(cfg, freq, emitted)
+        emitted = _apply_remit_band(cfg, freq, emitted)
         res.emitted = emitted
         res.ctabs = np.zeros(grid.cells, np.float32)
         res.escaped = np.zeros(nfreq)
@@ -751,6 +767,8 @@ def _run_inner(cfg, lanes, write_files, t_start):
         from ..utils.checkpoint import RunCheckpoint
         ckpt = RunCheckpoint(cfg.file_checkpoint, cfg.checkpoint_every)
         tabs, intf = ckpt.restore(tabs, intf)
+        if roi is not None:
+            roi["tally"] = ckpt.restore_roi(roi["tally"])
     if cfg.file_constant_load:
         # CLOAD: constant sources not simulated, integrated heating read
         # from a previous run's csave file (ASOC.py:1013-1020)
@@ -802,7 +820,7 @@ def _run_inner(cfg, lanes, write_files, t_start):
             injected += inj
     ctabs = tabs
     if ckpt is not None:
-        ckpt.flush(tabs, intf)
+        ckpt.flush(tabs, intf, roi=None if roi is None else roi["tally"])
     res.ctabs = np.asarray(ctabs)
     res.escaped = escaped
     res.injected = injected
@@ -872,10 +890,11 @@ def _run_inner(cfg, lanes, write_files, t_start):
         xab = None
         for iteration in range(max(1, cfg.iterations)):
             beta = 1.0
+            # WITH_REFERENCE ramp (also scales the OXAB carry below)
+            k = ((iteration + wr_fir) / float(wr_tot)) if wr > 1 \
+                else (iteration / float(max(1, cfg.iterations)))
             if cfg.clpac > 0 and emitted is not None:
                 if wr and oemitted is not None:
-                    k = ((iteration + wr_fir) / float(wr_tot)) if wr > 1 \
-                        else (iteration / float(max(1, cfg.iterations)))
                     oemitted = oemitted * np.float32(k)
                     otabs = otabs * np.float32(k)
                     sim_emit = jnp.asarray(emitted) - oemitted
@@ -893,11 +912,19 @@ def _run_inner(cfg, lanes, write_files, t_start):
                     oemitted = jnp.asarray(emitted)
                 emit_total = tabs_it + ctabs
                 if cfg.with_ali and xab is not None:
-                    # escape probability beta = (XEM - XAB)/XEM per cell
+                    # escape probability beta = (XEM - XAB)/XEM per cell.
+                    # Under WITH_REFERENCE the simulation covered only the
+                    # delta emission field, so restore the full-field XAB
+                    # with the same k-ramped carry as OTABS above
+                    # (ASOC.py:2251-2257 symmetry).
                     tw = np.asarray(medium.tw, np.float64)
                     xem = (np.asarray(emitted, np.float64) @ tw)
                     if oxab is not None:
+                        if wr and oemitted is not None:
+                            oxab = oxab * np.float32(k)
                         xab = np.asarray(xab) + oxab
+                    if wr:
+                        oxab = np.asarray(xab)
                     beta_np = np.clip(
                         (xem - xab) / np.maximum(xem, 1e-30), 1e-2, 1.0)
                     beta_np[xem <= 0] = 1.0
@@ -1118,8 +1145,11 @@ def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
     gl_cm = cfg.gl * PARSEC
     fsel = map_freq_mask(cfg, freq) if emitted is not None else None
 
-    # savetau frequencies must be rendered even if outside the map band
+    # savetau frequencies must be rendered even if outside the map band --
+    # but must NOT leak extra planes into map_dir_XX.bin / res.maps, so the
+    # user's map selection is remembered separately (map_of_sel below)
     savetau_idx = []
+    map_sel = None if fsel is None else fsel.copy()
     if cfg.file_savetau and cfg.savetau_freq and fsel is not None:
         for fv in cfg.savetau_freq:
             if fv > 0:
@@ -1132,6 +1162,11 @@ def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
     if fsel is not None:
         for k, i in enumerate(np.nonzero(fsel)[0]):
             sel_of_full[int(i)] = k
+    # selected-column indices belonging to the user's map band
+    map_of_sel = None
+    if fsel is not None and not np.array_equal(fsel, map_sel):
+        map_of_sel = np.asarray([sel_of_full[int(i)]
+                                 for i in np.nonzero(map_sel)[0]], int)
 
     if not cfg.nomap and emitted is not None and fsel.any():
         centre = cfg.mapcentre
@@ -1195,8 +1230,10 @@ def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
                     use_shear=cfg.y_shear != 0.0, y_shear=cfg.y_shear,
                     maxlos=cfg.maxlos,
                     map_interp=int(cfg.map_interpolation))
-                res.maps[idir] = np.asarray(phot)
-                res.tau_maps[idir] = np.asarray(tau)
+                phot_np, tau_np = np.asarray(phot), np.asarray(tau)
+                res.maps[idir] = (phot_np if map_of_sel is None
+                                  else phot_np[map_of_sel])
+                res.tau_maps[idir] = tau_np
                 res.maps[("colden", idir)] = np.asarray(colden)
                 if write_files:
                     write_map_file("map_dir_%02d.bin" % idir, res.maps[idir])
@@ -1308,7 +1345,8 @@ def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
                     jnp.asarray(odir), jnp.asarray(ra), jnp.asarray(de),
                     centre, cfg.map_dx, tuple(cfg.npix), polred=polred,
                     rho_weight=False, use_shear=True,
-                    y_shear=cfg.y_shear, maxlos=cfg.maxlos)
+                    y_shear=cfg.y_shear, maxlos=cfg.maxlos,
+                    minlos=cfg.minlos)
                 res.maps[("pol", idir)] = (np.asarray(s_i),
                                            np.asarray(s_q),
                                            np.asarray(s_u),
@@ -1348,7 +1386,7 @@ def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
                 grid, emit_map, ext_gl, bfield, cfg.p0, jnp.asarray(odir),
                 jnp.asarray(ra), jnp.asarray(de), centre, cfg.map_dx,
                 tuple(cfg.npix), polred=polred,
-                rho_weight=False)
+                rho_weight=False, maxlos=cfg.maxlos, minlos=cfg.minlos)
             res.maps[("pol", idir)] = (np.asarray(s_i), np.asarray(s_q),
                                        np.asarray(s_u), np.asarray(colden))
             if write_files:

@@ -69,8 +69,10 @@ def _run_inner(cfg, write_files, nlanes):
     nfreq = len(freq)
     bins = cfg.dsc_bins if cfg.dsc_bins > 0 else 2500
     ndust = len(optics)
+    if not cfg.file_scafunc:
+        raise ValueError("scattered-light run needs a `dsc` file in the ini")
     dscs, cscs = [], []
-    for path in (cfg.file_scafunc or [cfg.file_scafunc[0]] * 1):
+    for path in cfg.file_scafunc:
         d, c = read_scattering_function(path, nfreq, bins)
         dscs.append(d)
         cscs.append(c)

@@ -32,7 +32,7 @@ from .mapping import _front_surface
 def render_pol(grid, emit_map, ext_gl, bfield, p0, odir, ra, de, centre,
                map_dx, npix, polred=False, rho_weight=False,
                max_steps=100000, use_shear=False, y_shear=0.0,
-               maxlos=1e10):
+               maxlos=1e10, minlos=-1.0):
     """Stokes maps for one observer direction.
 
     emit_map : [CELLS, NF] emission pre-scaled by KK*freq
@@ -105,11 +105,17 @@ def render_pol(grid, emit_map, ext_gl, bfield, p0, odir, ra, de, centre,
                              (1.0 - jnp.exp(-dtau))
                              / jnp.maximum(dtau, 1e-30))
             sz = jnp.exp(-tau) * attw * (w * dens)[:, None] * emit
-        s_i = s_i + sz * (1.0 - p[:, None] * (cc - 2.0 / 3.0)[:, None])
-        s_q = s_q + (p * jnp.cos(2.0 * psi) * cc)[:, None] * sz
-        s_u = s_u + (p * jnp.sin(2.0 * psi) * cc)[:, None] * sz
-        tau = tau + dtau
-        colden = colden + w * dens
+        # `polmap .. minlos maxlos`: nothing registers before the LOS
+        # reaches minlos (kernel_ASOC_map_H.c:776 "do not register yet")
+        reg = (los >= minlos)[:, None]
+        s_i = s_i + jnp.where(
+            reg, sz * (1.0 - p[:, None] * (cc - 2.0 / 3.0)[:, None]), 0.0)
+        s_q = s_q + jnp.where(
+            reg, (p * jnp.cos(2.0 * psi) * cc)[:, None] * sz, 0.0)
+        s_u = s_u + jnp.where(
+            reg, (p * jnp.sin(2.0 * psi) * cc)[:, None] * sz, 0.0)
+        tau = tau + jnp.where(reg, dtau, 0.0)
+        colden = colden + jnp.where(los >= minlos, w * dens, 0.0)
         los = los + w
         if use_shear:
             # POLSTAT==2 / shearing-box replication: rays exiting through

@@ -234,7 +234,20 @@ def solve_emission(solver, absorbed, nstoch=999, batch=16384, clip_last=True,
                               for i in range(n_stoch)])
         else:
             align = np.zeros((n_stoch, cells), np.float32)
-        pending = []     # keep dispatch async; sync once after the loop
+        # keep dispatch async but bound the number of in-flight chunks:
+        # an unbounded pending list holds every chunk's (tot, ptot) in
+        # device HBM until the drain (~2x the full emitted array on big
+        # in-memory models)
+        pending = []
+        max_inflight = 8
+
+        def drain(k):
+            while len(pending) > k:
+                i0, i1, tot, ptot = pending.pop(0)
+                emitted[i0:i1] += np.asarray(tot[: i1 - i0])
+                if pemitted is not None:
+                    pemitted[i0:i1] += np.asarray(ptot[: i1 - i0])
+
         for i0 in range(0, cells, batch):
             i1 = min(i0 + batch, cells)
             n = i1 - i0
@@ -247,10 +260,8 @@ def solve_emission(solver, absorbed, nstoch=999, batch=16384, clip_last=True,
                 w_stack, td_stack, ea_stack, jnp.asarray(chunk),
                 jnp.asarray(al), solver.ne)
             pending.append((i0, i1, tot, ptot))
-        for i0, i1, tot, ptot in pending:
-            emitted[i0:i1] += np.asarray(tot[: i1 - i0])
-            if pemitted is not None:
-                pemitted[i0:i1] += np.asarray(ptot[: i1 - i0])
+            drain(max_inflight)
+        drain(0)
     for isize in range(solver.nsize):
         if isize < nstoch:
             if use_fused:

@@ -34,6 +34,8 @@ class RunCheckpoint:
                 self.done = [str(k) for k in z["done"]]
                 self.esc = [float(v) for v in z["esc"]]
                 self.arrays = dict(tabs=z["tabs"], intf=z["intf"])
+                if "roi" in z.files:
+                    self.arrays["roi"] = z["roi"]
 
     def completed(self, key):
         return key in self.done
@@ -50,21 +52,29 @@ class RunCheckpoint:
         return (jnp.asarray(self.arrays["tabs"]),
                 jnp.asarray(self.arrays["intf"]))
 
-    def record(self, key, esc_value, tabs, intf):
+    def restore_roi(self, tally):
+        """ROI-save crossing histograms from the snapshot when resuming
+        (completed units' contributions live only in this array)."""
+        if self.arrays is None or "roi" not in self.arrays:
+            return tally
+        return np.asarray(self.arrays["roi"], np.float32)
+
+    def record(self, key, esc_value, tabs, intf, roi=None):
         """Mark a unit complete and persist every N units (atomic rename)."""
         self.done.append(key)
         self.esc.append(float(esc_value))
         self._since_save += 1
         if self._since_save >= self.every:
             self._since_save = 0
-            self.flush(tabs, intf)
+            self.flush(tabs, intf, roi=roi)
 
-    def flush(self, tabs, intf):
+    def flush(self, tabs, intf, roi=None):
         if not self.path:
             return
+        extra = {} if roi is None else dict(roi=np.asarray(roi, np.float32))
         tmp = self.path + ".tmp.npz"
         with open(tmp, "wb") as fp:
             np.savez(fp, done=np.asarray(self.done, dtype="U64"),
                      esc=np.asarray(self.esc, np.float64),
-                     tabs=np.asarray(tabs), intf=np.asarray(intf))
+                     tabs=np.asarray(tabs), intf=np.asarray(intf), **extra)
         os.replace(tmp, self.path)

@@ -83,3 +83,40 @@ def test_preempted_run_resumes_bit_identically(tmp_path, monkeypatch):
     np.testing.assert_array_equal(res2.ctabs, res_full.ctabs)
     np.testing.assert_array_equal(res2.escaped, res_full.escaped)
     np.testing.assert_array_equal(res2.temperature, res_full.temperature)
+
+
+def test_preempted_roi_save_resumes_identically(tmp_path, monkeypatch):
+    """The checkpoint must carry the ROI-save crossing histograms too:
+    completed units' contributions live only in roi['tally'] (regression:
+    they were silently zero after a resume)."""
+    make_model(tmp_path)
+    ini = tmp_path / "run.ini"
+    ini.write_text(INI.format(bgpac=8 * 6 * N * N)
+                   + "roi  2 7 2 7 2 7\nroisave  roi.photons 1\n"
+                   + "roinside 2\nnosolve\n")
+    ini = str(ini)
+
+    res_full = driver.run(ini, lanes=1 << 10)
+    from soc_tpu.transport.roi import read_roi_file
+    _, _, _, _, data_full = read_roi_file(str(tmp_path / "roi.photons"))
+    assert data_full.sum() > 0
+    os.remove(tmp_path / "run.ckpt")
+    os.remove(tmp_path / "roi.photons")
+
+    real = driver.transport_run
+    calls = {"n": 0}
+
+    def flaky(*args, **kwargs):
+        if calls["n"] >= 13:
+            raise Preempt()
+        calls["n"] += 1
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(driver, "transport_run", flaky)
+    with pytest.raises(Preempt):
+        driver.run(ini, lanes=1 << 10)
+    monkeypatch.setattr(driver, "transport_run", real)
+
+    driver.run(ini, lanes=1 << 10)
+    _, _, _, _, data2 = read_roi_file(str(tmp_path / "roi.photons"))
+    np.testing.assert_array_equal(data2, data_full)

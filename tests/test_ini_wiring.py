@@ -368,3 +368,61 @@ def test_mabu_ofreq_output_selection(model_dir, monkeypatch):
     assert main(["mabu", "run2.ini", "absorbed.data",
                  "emitted_m.data"]) == 0
     assert read_cell_frequency_array("emitted_m.data").shape[1] == 2
+
+
+def test_split_keyword_through_driver(model_dir):
+    """`split` on an octree cloud: transport_run appends a clones count to
+    its return value -- the driver must unpack it (regression: the ini
+    path crashed with 'too many values to unpack')."""
+    from soc_tpu.grid import encode_link_np
+    rng = np.random.default_rng(0)
+    root = rng.uniform(0.5, 1.0, N ** 3).astype(np.float32)
+    centre = (N // 2) + N * (N // 2) + N * N * (N // 2)
+    root[centre] = encode_link_np(np.asarray([0], np.int32))[0]
+    l1 = rng.uniform(2.0, 4.0, 8).astype(np.float32)
+    write_hierarchy(model_dir / "tmp.cloud", N, N, N, [N ** 3, 8],
+                    [root, l1])
+    res = run_ini(model_dir, "split\n")
+    assert np.isfinite(res.temperature).all()
+    assert res.temperature[res.temperature > 0].min() > 3.0
+
+
+def test_mirror_applies_to_point_sources(model_dir):
+    """`mirror xXyYzZ` must confine photons for EVERY source type, not
+    just the isotropic background (regression: silently dropped)."""
+    lum = np.full(44, 1e36, np.float32)
+    lum.tofile(model_dir / "ps.bin")
+    # dense cloud + one simulated frequency: keeps the mirrored random
+    # walks short (with all six faces mirrored a thin-band packet walks to
+    # the 20-scattering cap over thousands of cell crossings, and doing
+    # that for all 44 channels made this test minutes long)
+    extra = ("pointsource  6.0 6.0 6.0  ps.bin\npspackets 2048\n"
+             "density 3.0e6\nsimum 200.0 300.0\n")
+    r_plain = run_ini(model_dir, extra, bgpac=0)
+    r_mirror = run_ini(model_dir, extra + "mirror xXyYzZ\n", bgpac=0)
+    # with every face mirrored nothing escapes: absorbed energy must rise
+    assert (r_mirror.ctabs.astype(np.float64).sum()
+            > 1.5 * r_plain.ctabs.astype(np.float64).sum())
+
+
+def test_savetau_outside_band_adds_no_map_planes(model_dir):
+    """A savetau frequency outside the mapum band is rendered for the tau
+    output but must NOT add planes to map_dir_XX.bin / res.maps."""
+    res = run_ini(model_dir, "mapum 250.0\nsavetau  taumap  500.0\n")
+    assert res.maps[0].shape[0] == 1
+    raw = np.fromfile(model_dir / "map_dir_00.bin", np.float32)
+    assert len(raw) - 2 == 1 * 8 * 8
+    assert (model_dir / "taumap.0").exists()
+
+
+def test_loadtemp_applies_remit(model_dir):
+    """loadtemp + remit: the recomputed emission must honor the remit band
+    (regression: _apply_remit_band return value was dropped)."""
+    run_ini(model_dir)                       # writes tmp.T
+    res = run_ini(model_dir,
+                  "loadtemp\niterations 0\nremit 200.0 2000.0\n")
+    freq = np.asarray(res.freq)
+    um = 2.9979246e14 / freq
+    inside = (um >= 200.0) & (um <= 2000.0)
+    assert res.emitted[:, ~inside].max() == 0.0
+    assert res.emitted[:, inside].max() > 0.0
