@@ -148,7 +148,7 @@ def simulate_background(grid, medium, cfg, ibg, tabs, intf, seed,
     bg_photons = (np.asarray(ibg, np.float64) * wbg
                   / np.asarray(cfg.freq, np.float64)).astype(np.float32)
 
-    split_max = int(cfg.do_split) if grid.levels > 1 else 0
+    split_max = split_max_of(cfg, grid)
 
     from ..transport.sources import stream_hi_base
     if freq_mask is not None or roi is not None \
@@ -233,7 +233,7 @@ def simulate_hpbg(grid, medium, cfg, hpbg, tabs, intf, seed,
     tabs, intf, escaped, absorbed = _run_over_freqs(
         grid, medium, "hpbg", make_params, per_freq, tabs, intf, seed,
         lanes, per_freq_tally, mirror_mask=mirror_mask_of(cfg),
-        split_max=int(cfg.do_split) if grid.levels > 1 else 0,
+        split_max=split_max_of(cfg, grid),
         freq_mask=freq_mask, roi=roi,
         physics_extra=physics_extra, ckpt=ckpt, ckpt_key="hpbg")
     return tabs, intf, escaped, injected * per_freq
@@ -550,6 +550,12 @@ def mirror_mask_of(cfg):
         if ch in cfg.mirror:
             m |= 1 << bit
     return m
+
+
+def split_max_of(cfg, grid):
+    """In-flight splitting applies only on refined (multi-level) clouds
+    (SimBgSplit/SimHpSplit, kernel_ASOC.c:2121-3554)."""
+    return int(cfg.do_split) if grid.levels > 1 else 0
 
 
 def remit_mask_of(cfg, freq):
@@ -894,7 +900,11 @@ def _run_inner(cfg, lanes, write_files, t_start):
             k = ((iteration + wr_fir) / float(wr_tot)) if wr > 1 \
                 else (iteration / float(max(1, cfg.iterations)))
             if cfg.clpac > 0 and emitted is not None:
-                if wr and oemitted is not None:
+                # delta_sim: this iteration simulates only the CHANGE in
+                # emission (captured BEFORE oemitted is reassigned below --
+                # the OXAB carry must see the same condition as OTABS)
+                delta_sim = bool(wr) and oemitted is not None
+                if delta_sim:
                     oemitted = oemitted * np.float32(k)
                     otabs = otabs * np.float32(k)
                     sim_emit = jnp.asarray(emitted) - oemitted
@@ -905,7 +915,7 @@ def _run_inner(cfg, lanes, write_files, t_start):
                     grid, medium, cfg, sim_emit, tabs_it, intf,
                     seed, lanes, per_freq_tally, iteration=iteration,
                     physics_extra=physics_extra)
-                if wr and oemitted is not None:
+                if delta_sim:
                     tabs_it = tabs_it + otabs
                 if wr:
                     otabs = tabs_it
@@ -919,9 +929,8 @@ def _run_inner(cfg, lanes, write_files, t_start):
                     # (ASOC.py:2251-2257 symmetry).
                     tw = np.asarray(medium.tw, np.float64)
                     xem = (np.asarray(emitted, np.float64) @ tw)
-                    if oxab is not None:
-                        if wr and oemitted is not None:
-                            oxab = oxab * np.float32(k)
+                    if oxab is not None and delta_sim:
+                        oxab = oxab * np.float32(k)
                         xab = np.asarray(xab) + oxab
                     if wr:
                         oxab = np.asarray(xab)
@@ -1147,10 +1156,16 @@ def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
 
     # savetau frequencies must be rendered even if outside the map band --
     # but must NOT leak extra planes into map_dir_XX.bin / res.maps, so the
-    # user's map selection is remembered separately (map_of_sel below)
+    # user's map selection is remembered separately (map_of_sel below).
+    # savetau belongs to the orthographic Mapping path (ASOC.py:3010-3075);
+    # the healpix / perspective / MAP_HIER branches must not have their
+    # frequency selection widened by it.
+    ortho_maps = (cfg.fast_map < 999 and cfg.npix[1] > 0
+                  and cfg.intobs[0] <= -1e7)
     savetau_idx = []
     map_sel = None if fsel is None else fsel.copy()
-    if cfg.file_savetau and cfg.savetau_freq and fsel is not None:
+    if ortho_maps and cfg.file_savetau and cfg.savetau_freq \
+            and fsel is not None:
         for fv in cfg.savetau_freq:
             if fv > 0:
                 i = int(np.argmin(np.abs(np.asarray(freq) - fv)))
@@ -1318,7 +1333,8 @@ def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
             intobs = cfg.intobs if cfg.intobs[0] > -1e7 else centre
             s_i, s_q, s_u, colden = render_pol_healpix(
                 grid, emit_map, ext_gl, bfield, cfg.p0,
-                jnp.asarray(intobs, jnp.float32), nside_p, polred=polred)
+                jnp.asarray(intobs, jnp.float32), nside_p, polred=polred,
+                maxlos=cfg.maxlos, minlos=cfg.minlos)
             res.maps[("pol_hp", 0)] = (np.asarray(s_i), np.asarray(s_q),
                                        np.asarray(s_u), np.asarray(colden))
             if write_files:

@@ -107,7 +107,8 @@ def render_pol(grid, emit_map, ext_gl, bfield, p0, odir, ra, de, centre,
             sz = jnp.exp(-tau) * attw * (w * dens)[:, None] * emit
         # `polmap .. minlos maxlos`: nothing registers before the LOS
         # reaches minlos (kernel_ASOC_map_H.c:776 "do not register yet")
-        reg = (los >= minlos)[:, None]
+        # or after it passes maxlos (rays terminate below, :743)
+        reg = ((los >= minlos) & (los < maxlos))[:, None]
         s_i = s_i + jnp.where(
             reg, sz * (1.0 - p[:, None] * (cc - 2.0 / 3.0)[:, None]), 0.0)
         s_q = s_q + jnp.where(
@@ -139,6 +140,9 @@ def render_pol(grid, emit_map, ext_gl, bfield, p0, odir, ra, de, centre,
             npos = jnp.where(contw[:, None], wp, npos)
             nlevel = jnp.where(contw, wl, nlevel)
             nind = jnp.where(contw, wi, nind)
+        # rays stop once the LOS passes maxlos (kernel_ASOC_map_H.c:743,
+        # kernel_ASOC_map.c:1517)
+        nind = jnp.where(los >= maxlos, jnp.int32(-1), nind)
         return it + 1, npos, nlevel, nind, tau, s_i, s_q, s_u, colden, los
 
     state = (jnp.int32(0), pos, level, ind, tau, s_i, s_q, s_u, colden,
@@ -152,7 +156,8 @@ def render_pol(grid, emit_map, ext_gl, bfield, p0, odir, ra, de, centre,
 
 @partial(jax.jit, static_argnames=("nside", "max_steps"))
 def render_pol_healpix(grid, emit_map, ext_gl, bfield, p0, intobs, nside,
-                       polred=False, max_steps=100000):
+                       polred=False, max_steps=100000,
+                       maxlos=1e10, minlos=-1.0):
     """All-sky Stokes I/Q/U(,N) maps around an internal observer
     (PolHealpixMapping, kernel_ASOC_map_H.c:576-867): one ray per RING
     pixel stepping away from INTOBS; per-step polarization geometry as in
@@ -184,13 +189,14 @@ def render_pol_healpix(grid, emit_map, ext_gl, bfield, p0, intobs, nside,
     s_q = jnp.zeros((npix, nf), jnp.float32)
     s_u = jnp.zeros((npix, nf), jnp.float32)
     colden = jnp.zeros(npix, jnp.float32)
+    los = jnp.zeros(npix, jnp.float32)
 
     def cond(state):
         it = state[0]
         return (it < max_steps) & jnp.any(state[3] >= 0)
 
     def body(state):
-        it, pos, level, ind, tau, s_i, s_q, s_u, colden = state
+        it, pos, level, ind, tau, s_i, s_q, s_u, colden, los = state
         active = ind >= 0
         gidx = jnp.clip(grid.off[jnp.clip(level, 0, grid.levels - 1)]
                         + jnp.maximum(ind, 0), 0, grid.cells - 1)
@@ -214,16 +220,25 @@ def render_pol_healpix(grid, emit_map, ext_gl, bfield, p0, intobs, nside,
         attw = jnp.where(dtau < 1.0e-3, 1.0 - 0.5 * dtau,
                          (1.0 - jnp.exp(-dtau)) / jnp.maximum(dtau, 1e-30))
         sz = jnp.exp(-tau) * attw * (w * dens)[:, None] * emit
-        s_i = s_i + sz * (1.0 - p[:, None] * (cc - 2.0 / 3.0)[:, None])
-        s_q = s_q + (p * jnp.cos(2.0 * psi) * cc)[:, None] * sz
-        s_u = s_u + (p * jnp.sin(2.0 * psi) * cc)[:, None] * sz
-        tau = tau + dtau
-        colden = colden + w * dens
-        return it + 1, npos, nlevel, nind, tau, s_i, s_q, s_u, colden
+        # `polmap .. minlos maxlos` distance window from the observer
+        # (kernel_ASOC_map_H.c:776,743 in PolHealpixMapping)
+        reg = ((los >= minlos) & (los < maxlos))[:, None]
+        s_i = s_i + jnp.where(
+            reg, sz * (1.0 - p[:, None] * (cc - 2.0 / 3.0)[:, None]), 0.0)
+        s_q = s_q + jnp.where(
+            reg, (p * jnp.cos(2.0 * psi) * cc)[:, None] * sz, 0.0)
+        s_u = s_u + jnp.where(
+            reg, (p * jnp.sin(2.0 * psi) * cc)[:, None] * sz, 0.0)
+        tau = tau + jnp.where(reg, dtau, 0.0)
+        colden = colden + jnp.where(los >= minlos, w * dens, 0.0)
+        los = los + w
+        nind = jnp.where(los >= maxlos, jnp.int32(-1), nind)
+        return it + 1, npos, nlevel, nind, tau, s_i, s_q, s_u, colden, los
 
-    state = (jnp.int32(0), pos, level, ind, tau, s_i, s_q, s_u, colden)
-    _, _, _, _, tau, s_i, s_q, s_u, colden = lax.while_loop(cond, body,
-                                                            state)
+    state = (jnp.int32(0), pos, level, ind, tau, s_i, s_q, s_u, colden,
+             los)
+    _, _, _, _, tau, s_i, s_q, s_u, colden, _ = lax.while_loop(cond, body,
+                                                               state)
     return s_i.T, s_q.T, s_u.T, colden
 
 

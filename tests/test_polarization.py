@@ -176,3 +176,25 @@ polstat {ps}
     ib = rb.maps[("pol", 0)][0]
     # replicated LOS is ~3x longer -> substantially more integrated I
     assert ib.sum() > 2.0 * ia.sum()
+
+
+def test_minlos_maxlos_window():
+    """`polmap .. minlos maxlos` limits the registered LOS interval: on a
+    uniform optically-thin cube, I is proportional to the window length and
+    colden starts at minlos (kernel_ASOC_map_H.c:776,743)."""
+    nx = 8
+    grid, emit, ext, b, (odir, ra, de), centre = make_setup(nx)
+    full = render_pol(grid, emit, ext, b, 0.2, odir, ra, de, centre, 1.0,
+                      (nx, nx))
+    half = render_pol(grid, emit, ext, b, 0.2, odir, ra, de, centre, 1.0,
+                      (nx, nx), minlos=2.0, maxlos=6.0)
+    c = nx // 2
+    # optically thin: I scales with the registered path length (4 of 8)
+    ratio = float(half[0][0, c, c]) / float(full[0][0, c, c])
+    np.testing.assert_allclose(ratio, 0.5, rtol=0.02)
+    # colden counts from minlos to the (terminated) ray end
+    np.testing.assert_allclose(np.asarray(half[3])[c, c], 4.0, rtol=0.02)
+    # window outside the cube registers nothing
+    none = render_pol(grid, emit, ext, b, 0.2, odir, ra, de, centre, 1.0,
+                      (nx, nx), minlos=100.0)
+    assert float(none[0].max()) == 0.0
