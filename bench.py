@@ -10,6 +10,8 @@ Reports every BASELINE.md metric:
     A2E.py:90)
   * orthographic map render time (64^3 cloud, 44 freqs, 512x512)
   * full-pipeline wall time on the soc_example config
+  * octree-refined transport pkt/s (BASELINE config 2) and scattered-light
+    peel-off pkt/s (config 4)
 
 Transport/SoL are best-of-3 against the shared-tunnel run-to-run variance.
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "detail"}.
@@ -184,6 +186,92 @@ def bench_sol_stepping(lanes, iters=100):
     return real_rate, bound_rate
 
 
+def bench_octree(medium, lanes, total_packets=1 << 23, repeats=3):
+    """BASELINE config 2: background transport through a 3-level
+    octree-refined 64^3 cloud (central 8^3 root block refined, 64 of those
+    octet cells refined again)."""
+    import time as _t
+    import jax.numpy as jnp
+    from soc_tpu.grid import grid_from_arrays, encode_link_np
+    from soc_tpu.transport.propagate import transport_run
+    from soc_tpu.transport.sources import stream_hi_base
+
+    n = 64
+    rng = np.random.default_rng(3)
+    root = (1000.0 * rng.uniform(0.5, 1.5, n ** 3)).astype(np.float32)
+    ii = np.asarray([x + n * y + n * n * z
+                     for z in range(28, 36)
+                     for y in range(28, 36)
+                     for x in range(28, 36)], np.int64)
+    root[ii] = encode_link_np(
+        np.arange(0, 8 * len(ii), 8, dtype=np.int32))
+    l1 = (2000.0 * rng.uniform(0.5, 1.5, 8 * len(ii))).astype(np.float32)
+    sub = np.arange(64) * 64 + 5                  # 64 re-refined cells
+    l1[sub] = encode_link_np(np.arange(0, 8 * 64, 8, dtype=np.int32))
+    l2 = (4000.0 * rng.uniform(0.5, 1.5, 8 * 64)).astype(np.float32)
+    grid = grid_from_arrays(n, n, n, [n ** 3, len(l1), len(l2)],
+                            [root, l1, l2])
+
+    nfreq = medium.nfreq
+    physics = dict(kabs=medium.abs_gl, ksca=medium.sca_gl,
+                   csc=medium.csc, tw=medium.tw)
+    per_freq = total_packets // nfreq
+    params = dict(photons=jnp.full(nfreq, 1e-3, jnp.float32), ifreq=None,
+                  per_freq=jnp.int32(per_freq), ifreq0=jnp.int32(0),
+                  k0=jnp.uint32(0), hi_base=jnp.uint32(stream_hi_base("bg")))
+
+    def go():
+        tabs = jnp.zeros(grid.cells, jnp.float32)
+        intf = jnp.zeros((1, 1), jnp.float32)
+        tabs, _, esc, _ = transport_run(
+            grid, physics, params, jnp.int32(per_freq * nfreq), tabs, intf,
+            jnp.uint32(11), source_kind="bg", nlanes=lanes, esc_bins=nfreq)
+        return tabs
+
+    best = None
+    for _ in range(repeats):
+        t0 = _t.time()
+        tabs = go()
+        sane = bool(np.isfinite(np.asarray(tabs)).all())   # forced readback
+        dt = _t.time() - t0
+        best = dt if best is None or dt < best else best
+    assert sane
+    return per_freq * nfreq / best
+
+
+def bench_sca(lanes, total_packets=1 << 21, repeats=3):
+    """BASELINE config 4: scattered light with peel-off -- background
+    source, one frequency channel of the soc_example dust, 128^2 map."""
+    import time as _t
+    import jax.numpy as jnp
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import ablate_step as ab
+    from soc_tpu.render.scattered import simulate_scattering
+    from soc_tpu.render.mapping import observer_basis
+
+    grid, medium = ab.load_workload()
+    ifreq = 20
+    physics = dict(kabs=medium.abs_gl[ifreq], ksca=medium.sca_gl[ifreq],
+                   csc=medium.csc[ifreq], dsc=medium.dsc[ifreq],
+                   tw=jnp.float32(1.0))
+    odir, ra, de = observer_basis(0.3, 0.4)
+    centre = (grid.nx / 2, grid.ny / 2, grid.nz / 2)
+    params = dict(photons=jnp.float32(1.0), ifreq=jnp.int32(0),
+                  per_freq=jnp.int32(total_packets))
+    best = None
+    for _ in range(repeats):
+        t0 = _t.time()
+        out = simulate_scattering(
+            grid, physics, params, total_packets, odir, ra, de, centre,
+            0.5, (128, 128), np.uint32(9), source_kind="bg",
+            nlanes=lanes, capacity=1 << 17)
+        s = float(np.asarray(out).sum())          # forced readback
+        dt = _t.time() - t0
+        best = dt if best is None or dt < best else best
+    assert np.isfinite(s) and s > 0
+    return total_packets / best
+
+
 def bench_a2e(cells=65536, ne=128, nfreq=44, nsize=4):
     """Stochastic-heating solve throughput on a production-shaped solver."""
     sys.path.insert(0, os.path.join(REPO, "tests"))
@@ -242,6 +330,8 @@ def main():
 
     sol_pps = bench_speed_of_light(grid, tr["packets"])
     step_rate, bound_rate = bench_sol_stepping(lanes)
+    octree_pps = bench_octree(medium, lanes)
+    sca_pps = bench_sca(lanes)
     a2e_cps = bench_a2e()
     freq = np.loadtxt(os.path.join(workdir, "freq.dat"))
     map_s = bench_map(grid, medium, freq)
@@ -265,6 +355,8 @@ def main():
             "stepping_rate_msteps_per_s": round(step_rate / 1e6, 1),
             "stepping_bound_msteps_per_s": round(bound_rate / 1e6, 1),
             "sol_stepping_fraction": round(step_rate / bound_rate, 3),
+            "octree3_transport_pps": round(octree_pps, 1),
+            "sca_peeloff_pps": round(sca_pps, 1),
             "a2e_cells_per_sec": round(a2e_cps, 1),
             "a2e_vs_baseline": round(a2e_cps / REFERENCE_A2E_CELLS_PER_SEC,
                                      2),

@@ -12,6 +12,8 @@
   python -m soc_tpu dust GRAIN.DAT freq.dat [NE [GL]]
                                         ~  DE_to_GSET.jl (DustEM compiler)
   python -m soc_tpu bench               ~  run the benchmark workload
+  python -m soc_tpu sampleini [file]    ~  write a documented sample ini
+                                           (WriteSampleIni, ASOC_aux.py:1670)
 """
 
 import sys
@@ -63,6 +65,13 @@ def _dispatch(argv):
         from .pipeline import scattering
         out = scattering.run(args[0])
         print("soc_tpu sca done: outcoming.socs shape", out.shape)
+        return 0
+
+    if cmd == "sampleini":
+        from .config import RunConfig
+        path = args[0] if args else "sample.ini"
+        RunConfig.write_sample_ini(path)
+        print("wrote", path)
         return 0
 
     if cmd == "a2e_pre":

@@ -414,6 +414,13 @@ class RunConfig:
     def has_key(self, key):
         return key in self.keys
 
+    @staticmethod
+    def write_sample_ini(path):
+        """Emit a fully documented sample ini covering every supported
+        keyword (the reference's WriteSampleIni, ASOC_aux.py:1670-1721)."""
+        with open(path, "w") as fp:
+            fp.write(SAMPLE_INI)
+
     def validate(self):
         if not self.file_cloud:
             raise ValueError("ini: missing 'cloud' keyword")
@@ -428,3 +435,111 @@ class RunConfig:
             self.obs_theta = [0.5 * pi]
             self.obs_phi = [0.0]
         return self
+
+
+SAMPLE_INI = """\
+# soc_tpu sample ini -- every supported keyword, with defaults and units.
+# One keyword + arguments per line; '#' starts a comment; keywords match by
+# prefix (the reference ASOC dialect). Lines commented out below are
+# optional features.
+
+# ---- model ------------------------------------------------------------
+gridlength      0.01                # root-cell size [pc] (required)
+cloud           tmp.cloud           # density model, possibly octree (required)
+density         1.0                 # multiplier applied to cloud densities
+optical         tmp.dust            # dust optical data; repeat per population
+dsc             tmp.dsc 2500        # scattering functions DSC/CSC [+ bins]
+# abundance     abu1.bin            # per-cell abundance file, one per dust
+# levels        999                 # cut octree below this many levels
+# threshold     0                   # ignore cells below this hierarchy level
+
+# ---- radiation sources ------------------------------------------------
+background      bg_intensity.bin    # isotropic background [+ scale]
+# hpbg          sky.bin 1.0         # Healpix (NSIDE=64 RING) background sky
+# pointsource   32.0 32.0 32.0 ps.bin 1.0   # x y z  intensity-file [scale]
+# psmethod      0                   # external-PS sampling method 0-5
+# diffuse       field.bin 1.0       # per-cell diffuse emission [+ k scale]
+# roi           8 23 8 23 8 23      # region-of-interest box [root cells]
+# roisave       roi.photons 1       # record packets entering the ROI
+# roiload       roi.photons 1.0     # re-inject a recorded ROI file [scale]
+# roinside      8                   # healpix NSIDE of the ROI histograms
+
+# ---- packet counts ----------------------------------------------------
+bgpackets       999999              # background packets per frequency
+# pspackets     100000              # point-source packets per frequency
+cellpackets     999999              # cell-emission packets per iteration
+# diffpack      100000              # diffuse-source packets per frequency
+# roipackets    100000              # ROI re-injection packets per frequency
+
+# ---- simulation control -----------------------------------------------
+seed            1.0                 # RNG seed in [-1, 1]
+iterations      1                   # dust self-heating iterations
+# simum         0.09 1000.0         # simulate only this band [um_min um_max]
+# remit         0.09 1000.0         # re-emit only inside this band [um]
+# ali           1                   # accelerated lambda iteration (XAB/XEM)
+# reference     1                   # WITH_REFERENCE control variate; AABB
+#                                   # encodes total/first iteration over runs
+# SUBITERATIONS                     # hot/cold cell sub-iteration scheme
+# emweight      1 0 100             # emission-weighted packets + roulette
+# stepweight    1 0.5               # stretched free-path sampling
+# direweight    0 0.5               # HG importance-sampled deflections
+# split         8                   # packet splitting on octree refinement
+# forcedfirst   1                   # forced first scattering (scattered light)
+# mirror        xX                  # mirror boundaries on the named faces
+# optishalf                         # store per-cell OPT in bfloat16
+# CR_HEATING    1.0                 # cosmic-ray heating mode/rate
+# checkpoint    run.ckpt 1          # mid-run preemption checkpoint [every N]
+
+# ---- outputs ----------------------------------------------------------
+prefix          soc                 # output name prefix
+absorbed        absorbed.data       # per-cell absorptions [CELLS, NFREQ]
+emitted         emitted.data        # per-cell emission [CELLS, NFREQ]
+temperature     soc.T               # equilibrium-dust temperature field
+# noabsorbed                        # skip the absorbed-file output
+# nosolve                           # skip the temperature/emission solve
+# nomap                             # skip map rendering
+# loadtemp                          # recompute emission from 'temperature'
+# cload         ctabs.save          # load integrated constant-source heating
+# csave         ctabs.save          # save it (skip phase 1 next run)
+# saveint       1 ISRF.DAT          # intensity file; 2 = (I, Ix, Iy, Iz)
+# savetau       tau.map 250.0 -1.0  # tau map at um (>0) / column density (<0)
+# pssavetau     pstau 250.0         # LOS tau from each point source
+
+# ---- maps -------------------------------------------------------------
+mapping         64 64 1.0           # NX NY pixel-size [root cells] [FASTMAP]
+directions      0.0 0.0             # observer theta phi [deg]; repeatable
+# mapview       0.0 0.0 64 64 1.0 32 32 32   # one-line view spec
+# mapcentre     32.0 32.0 32.0      # map centre [root-grid coordinates]
+# mapum         250.0 500.0         # render only these wavelengths [um]
+# wavelength    1000.0 0.1          # map band [um_long um_short]
+# perspective   32.0 32.0 32.0      # internal observer -> panorama
+#                                   # (mapping N 0 renders healpix NSIDE=N)
+# distance      100.0               # source distance [pc] (FITS scaling)
+# FITS          1                   # also write FITS images
+# mapint        1                   # bilinear cross-ray map interpolation
+# yshear        0.0                 # shearing-box periodic map continuation
+
+# ---- polarization -----------------------------------------------------
+# polmap        Bx.bin By.bin Bz.bin [minlos maxlos]   # Stokes I,Q,U maps
+# polstat       1                   # 1/3: B statistics, 2: replicated IQU
+# polred        R.bin               # polarization-reduction factor file
+# p0            0.2                 # intrinsic polarization fraction
+
+# ---- stochastic heating / surrogates ----------------------------------
+# nenumber      128                 # enthalpy bins for generated .solver
+# libabs        0.55 21.0 500.0     # simulate only reference um, then stop
+# libmaps       0.55 21.0 500.0     # maps from library-solved emission
+# library       dust.lib            # emission-library file
+# nnmake        dust.nn             # train an MLP emission surrogate
+# nnsolve       dust.nn             # solve emission with a trained MLP
+# nnabs         0.55 21.0 500.0     # surrogate input wavelengths [um]
+# nnemit        100.0 250.0 850.0   # surrogate output wavelengths [um]
+# nnnet         13 17 13            # MLP hidden-layer widths
+# nnthin        1                   # train on every Nth cell
+# absthin       1                   # subsample absorption cells
+
+# ---- accepted for compatibility, ignored on TPU -----------------------
+# device        g
+# batch         30
+# verbose       1
+"""

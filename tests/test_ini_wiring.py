@@ -426,3 +426,15 @@ def test_loadtemp_applies_remit(model_dir):
     inside = (um >= 200.0) & (um <= 2000.0)
     assert res.emitted[:, ~inside].max() == 0.0
     assert res.emitted[:, inside].max() > 0.0
+
+
+def test_sampleini_roundtrip(tmp_path, monkeypatch):
+    """`sampleini` emits a documented ini that parses back with the
+    documented defaults (WriteSampleIni, ASOC_aux.py:1670-1721)."""
+    from soc_tpu.cli import main
+    monkeypatch.chdir(tmp_path)
+    assert main(["sampleini", "s.ini"]) == 0
+    cfg = RunConfig(str(tmp_path / "s.ini"))
+    assert cfg.gl == 0.01 and cfg.bgpac == 999999
+    assert cfg.npix == (64, 64) and cfg.iterations == 1
+    assert cfg.file_cloud == "tmp.cloud" and len(cfg.file_optical) == 1
