@@ -48,10 +48,18 @@ def main(argv=None):
     return _dispatch(kept)
 
 
+_MIN_ARGS = {"rt": 1, "sca": 1, "a2e_pre": 3, "a2e": 3, "mabu": 3,
+             "pipeline": 1, "dust": 2}
+
+
 def _dispatch(argv):
     if not argv:
         return _usage()
     cmd, args = argv[0], argv[1:]
+    if len(args) < _MIN_ARGS.get(cmd, 0):
+        print("%s: expected at least %d argument(s)\n"
+              % (cmd, _MIN_ARGS[cmd]))
+        return _usage()
 
     if cmd == "rt":
         from .pipeline import driver
@@ -121,7 +129,15 @@ def _dispatch(argv):
         abu = read_abundances(cfg, cells, len(comps))
         valid = absorbed[:, 0] > -1e19
         clean = np.where(valid[:, None], absorbed, 0.0).astype(np.float32)
-        emitted = emission_stage(cfg, comps, clean, abu, freq)
+        dens = None
+        if cfg.cr_heating >= 3:
+            # CR_HEATING mode 3 couples to the gas density (A2E_MABU.py:
+            # 99-107); read it from the cloud like the pipeline command
+            from .io.cloud import read_cloud
+            dens = np.asarray(
+                read_cloud(cfg.file_cloud, cfg.kdensity,
+                           cfg.max_levels).dens)
+        emitted = emission_stage(cfg, comps, clean, abu, freq, dens=dens)
         emitted[~valid] = 0.0
         # output-frequency selection (A2E_MABU.py:316-323 NOFREQ): the
         # optional 4th argument is an ofreq.dat frequency list; otherwise

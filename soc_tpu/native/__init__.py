@@ -21,10 +21,14 @@ def _build():
     out = os.path.join(_DIR, "libsocio.so")
     if (not os.path.exists(out)
             or os.path.getmtime(out) < os.path.getmtime(src)):
+        # per-pid temp name: concurrent builders (parallel pytest workers,
+        # simultaneous CLI runs) each write their own file and race only
+        # on the atomic rename, never on the compiler output
+        tmp = "%s.%d.tmp" % (out, os.getpid())
         subprocess.check_call(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-             src, "-o", out + ".tmp"])
-        os.replace(out + ".tmp", out)
+             src, "-o", tmp])
+        os.replace(tmp, out)
     return out
 
 

@@ -32,7 +32,7 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
-from ..constants import MAX_SCATTERINGS, PEPS, PHOTON_LIMIT, TAULIM
+from ..constants import ADHOC, MAX_SCATTERINGS, PEPS, PHOTON_LIMIT, TAULIM
 from ..grid import Grid, decode_link_np, encode_link_np, build_parents
 from ..ops import traverse
 from ..transport.propagate import _csc_lookup, _deflect
@@ -151,11 +151,13 @@ def _unpack(buf):
 
 def domain_background_run(slabs, physics, bg_photons, total_packets, seed,
                           mesh, nlanes=1 << 10, k_inner=32,
-                          max_super=1 << 20):
+                          max_super=1 << 20, hi_base=None):
     """Isotropic-background transport over Z-slab domains on the dp axis.
 
     physics : uniform-frequency dict (scalar kabs/ksca/tw, csc [BINS])
-    Returns (tabs [GLOBAL CELLS] on host order, escaped scalar).
+    Returns (tabs [GLOBAL CELLS] host order, escaped, lost) -- `lost` is
+    the photon weight destroyed by pending-queue overflow (0 in any sane
+    configuration; nonzero means nlanes is too small for the flux).
     """
     S = slabs.n_slabs
     assert mesh.shape["dp"] == S, "dp axis must equal the slab count"
@@ -168,7 +170,11 @@ def domain_background_run(slabs, physics, bg_photons, total_packets, seed,
     tw = physics["tw"]
     bins = csc.shape[-1]
     seed = jnp.uint32(seed)
-    hi_base = jnp.uint32(stream_hi_base("bg"))
+    # per-frequency callers pass hi_base = stream_hi_base("bg") + ifreq
+    # so every channel gets independent RNG streams (the single-device
+    # packet-identity convention of sources.packet_identity)
+    hi_base = jnp.uint32(stream_hi_base("bg") if hi_base is None
+                         else hi_base)
     PCAP = 4 * nlanes
     fwd = [(i, (i + 1) % S) for i in range(S)]       # to upper neighbor
     bwd = [(i, (i - 1) % S) for i in range(S)]       # to lower neighbor
@@ -181,7 +187,7 @@ def domain_background_run(slabs, physics, bg_photons, total_packets, seed,
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P("dp"), P("dp"), P("dp")),
-             out_specs=(P("dp"), P()), check_vma=False)
+             out_specs=(P("dp"), P(), P()), check_vma=False)
     def run(dens_s, lcells_s, par_s):
         rank = lax.axis_index("dp")
         grid = local_grid(dens_s[0], lcells_s[0], par_s[0])
@@ -234,7 +240,7 @@ def domain_background_run(slabs, physics, bg_photons, total_packets, seed,
                               photons * (1.0 - att),
                               photons * tau_abs * (1.0 - 0.5 * tau_abs))
             didx = jnp.where(alive, ci, cells_pad)
-            tabs = tabs.at[didx].add(delta * tw, mode="drop")
+            tabs = tabs.at[didx].add(delta * tw * ADHOC, mode="drop")
             photons = jnp.where(alive, photons * att, photons)
 
             u_fp, u_bin, u_phi = socrng.step_uniforms(seed, stream, counter,
@@ -288,7 +294,7 @@ def domain_background_run(slabs, physics, bg_photons, total_packets, seed,
         def superstep(carry):
             (it, pos, dir, lev, ind, photons, stream, hi, counter, scat,
              free_path, tau, emig, pend, pend_n, next_id, tabs, esc,
-             g_active) = carry
+             lost, g_active) = carry
 
             # ---- drain pending queue into free lanes
             free = (ind < 0) & (emig == 0)
@@ -369,13 +375,20 @@ def domain_background_run(slabs, physics, bg_photons, total_packets, seed,
 
             # ---- append arrivals to the pending queue; arrivals past the
             # queue capacity go to the OOB drop slot (index PCAP) rather
-            # than clobbering slot PCAP-1 with a stale payload
+            # than clobbering slot PCAP-1 with a stale payload, and their
+            # photon weight is charged to the `lost` counter so energy
+            # non-conservation is VISIBLE to the caller (lost stays 0
+            # unless a slab receives > 4*nlanes undrained arrivals)
             idx = pend_n + jnp.arange(nlanes)
-            okl = (jnp.arange(nlanes) < c_up) & (idx < PCAP)
+            arr = jnp.arange(nlanes) < c_up
+            okl = arr & (idx < PCAP)
+            lost = lost + jnp.sum(jnp.where(arr & ~okl, r_up[:, 6], 0.0))
             pend = pend.at[jnp.where(okl, idx, PCAP)].set(r_up, mode="drop")
             pend_n = jnp.minimum(pend_n + c_up, PCAP)
             idx = pend_n + jnp.arange(nlanes)
-            okl = (jnp.arange(nlanes) < c_dn) & (idx < PCAP)
+            arr = jnp.arange(nlanes) < c_dn
+            okl = arr & (idx < PCAP)
+            lost = lost + jnp.sum(jnp.where(arr & ~okl, r_dn[:, 6], 0.0))
             pend = pend.at[jnp.where(okl, idx, PCAP)].set(r_dn, mode="drop")
             pend_n = jnp.minimum(pend_n + c_dn, PCAP)
 
@@ -384,7 +397,7 @@ def domain_background_run(slabs, physics, bg_photons, total_packets, seed,
             g_active = lax.psum(active.astype(jnp.int32), "dp")
             return (it + 1, pos, dir, lev, ind, photons, stream, hi,
                     counter, scat, free_path, tau, emig, pend, pend_n,
-                    next_id, tabs, esc, g_active)
+                    next_id, tabs, esc, lost, g_active)
 
         def cond(carry):
             return (carry[0] < max_super) & (carry[-1] > 0)
@@ -408,14 +421,17 @@ def domain_background_run(slabs, physics, bg_photons, total_packets, seed,
                  jnp.int32(0),                                    # next_id
                  jnp.zeros(cells_pad, jnp.float32),               # tabs
                  jnp.float32(0.0),                                # esc
+                 jnp.float32(0.0),                                # lost
                  jnp.int32(1))                                    # g_active
         carry = lax.while_loop(cond, superstep, carry)
         tabs = carry[16]
         esc = lax.psum(carry[17], "dp")
-        return tabs[None, :], esc
+        lost = lax.psum(carry[18], "dp")
+        return tabs[None, :], esc, lost
 
-    tabs_s, esc = run(jnp.asarray(slabs.dens), jnp.asarray(slabs.lcells),
-                      jnp.asarray(slabs.par))
+    tabs_s, esc, lost = run(jnp.asarray(slabs.dens),
+                            jnp.asarray(slabs.lcells),
+                            jnp.asarray(slabs.par))
     # assemble global tallies from per-slab local cells
     tabs_s = np.asarray(tabs_s).reshape(S, cells_pad)
     total_cells = int(np.sum(np.asarray(slabs.lcells)))
@@ -423,4 +439,4 @@ def domain_background_run(slabs, physics, bg_photons, total_packets, seed,
     for s in range(S):
         m = slabs.gidx[s] >= 0
         tabs[slabs.gidx[s][m]] = tabs_s[s][m]
-    return tabs, float(np.asarray(esc))
+    return tabs, float(np.asarray(esc)), float(np.asarray(lost))

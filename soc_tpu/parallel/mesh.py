@@ -195,20 +195,9 @@ def sharded_solve_temperature(grid, table, emit_total, gl_cm, mesh,
                        P(("dp", "freq"))),
              out_specs=P(("dp", "freq")), check_vma=False)
     def solve(tabs_l, dens_l, lev_l):
-        scale = (PLANCK * FACTOR) / gl_cm
-        ein = (scale * tabs_l
-               * jnp.exp2(3.0 * lev_l.astype(jnp.float32))
-               / jnp.maximum(dens_l, 1e-30))
-        ein = ein + 1.0e-27 * FACTOR * cr_heating
-        oplgke = 1.0 / np.log10(table.ke)
-        ie = jnp.clip(jnp.floor(
-            oplgke * jnp.log10(jnp.maximum(ein, 1e-37) / table.emin)),
-            0, table.ne - 2).astype(jnp.int32)
-        e_lo = table.emin * jnp.power(jnp.float32(table.ke),
-                                      ie.astype(jnp.float32))
-        wi = (e_lo * table.ke - ein) / (e_lo * (table.ke - 1.0))
-        t = wi * table.ttt[ie] + (1.0 - wi) * table.ttt[ie + 1]
-        return jnp.where(dens_l > 1.0e-7, jnp.clip(t, 3.0, 1600.0), 10.0)
+        from ..solve.equilibrium import temperature_lookup
+        return temperature_lookup(table, tabs_l, dens_l, lev_l, gl_cm,
+                                  cr_heating=cr_heating)
 
     t = solve(tabs, dens, lev)
     return t[:cells]

@@ -348,6 +348,8 @@ def simulate_cell_emission(grid, medium, cfg, emitted, tabs, intf, seed,
             physics = dict(kabs=medium.abs_gl[ifreq],
                            ksca=medium.sca_gl[ifreq],
                            csc=medium.csc[ifreq], tw=medium.tw[ifreq])
+            if physics_extra is not None:
+                physics.update(physics_extra(ifreq))
             # pad the id->cell map to a static shape (extra ids are never
             # generated: total_packets caps the refill)
             pad = _pool_lanes(1 << 30, total)
@@ -377,6 +379,8 @@ def simulate_cell_emission(grid, medium, cfg, emitted, tabs, intf, seed,
             physics = dict(kabs=medium.abs_gl[ifreq],
                            ksca=medium.sca_gl[ifreq],
                            csc=medium.csc[ifreq], tw=medium.tw[ifreq])
+            if physics_extra is not None:
+                physics.update(physics_extra(ifreq))
             params = dict(emit=emitted[:, ifreq] / np.float32(per_cell),
                           per_cell=jnp.int32(per_cell),
                           ifreq=jnp.int32(ifreq),

@@ -51,18 +51,28 @@ def classify_dusts(cfg):
 
 
 def prepare_solver_files(cfg, ne=128, force=False):
-    """A2E_pre stage: build <dust>.solver for every stochastic dust."""
-    stoch, _ = classify_dusts(cfg)
+    """A2E_pre stage: build <dust>.solver for every stochastic dust.
+
+    An existing solver file is reused only if it matches the requested
+    frequency grid and enthalpy-bin count -- a stale file from an earlier
+    run with a different freq.dat or `nenumber` is rebuilt, not silently
+    solved on the wrong axes."""
     solvers = {}
+    stoch, _ = classify_dusts(cfg)
     for path in stoch:
         out = os.path.splitext(path)[0] + ".solver"
-        if force or not os.path.exists(out):
+        sol = None
+        if not force and os.path.exists(out):
+            sol = read_solver(out)
+            stale = (sol.ne != ne or sol.nfreq != len(cfg.freq)
+                     or not np.allclose(sol.freq, cfg.freq, rtol=1e-5))
+            if stale:
+                sol = None
+        if sol is None:
             dust = read_gset_dust(path)
             sol = solver_prep.build_solver(dust, cfg.freq, ne=ne)
             write_solver(out, sol)
-            solvers[path] = sol
-        else:
-            solvers[path] = read_solver(out)
+        solvers[path] = sol
     return solvers
 
 

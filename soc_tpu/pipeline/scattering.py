@@ -148,7 +148,8 @@ def _run_inner(cfg, write_files, nlanes):
         rl_nelem = rl_data.shape[1] // rl_npix
         roi_load = (rnx, rny, rnz, rl_nelem, rl_npix, rl_data)
 
-    lev = _cell_levels(grid)
+    from ..solve.equilibrium import cell_levels
+    lev = np.asarray(cell_levels(grid))
     dens = np.asarray(grid.dens)
 
     def sim(physics, params, total, kind, ffs):
@@ -273,9 +274,3 @@ def _run_inner(cfg, write_files, nlanes):
     return outcoming
 
 
-def _cell_levels(grid):
-    lev = np.zeros(grid.cells, np.int32)
-    off = np.asarray(grid.off)
-    for l in range(1, grid.levels):
-        lev[off[l]:] = l
-    return lev

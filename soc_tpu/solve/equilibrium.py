@@ -62,19 +62,12 @@ def cell_levels(grid):
     return lev
 
 
-@partial(jax.jit, static_argnames=())
-def solve_temperature(grid, table, absorbed_integrated, gl_pc_parsec,
-                      beta=1.0, cr_heating=0.0):
-    """Per-cell equilibrium temperature from integrated absorbed energy.
-
-    absorbed_integrated : [CELLS] the TABS tally (trapezoid-weighted photon
-    counts carrying FACTOR); gl_pc_parsec : GL*PARSEC in cm.
-    Matches the device EqTemperature kernel: empty/parent cells get T=10,
-    valid cells are clamped to [3, 1600] K.
-    """
+def temperature_lookup(table, absorbed_integrated, dens, lev, gl_pc_parsec,
+                       beta=1.0, cr_heating=0.0):
+    """Shared per-cell E->T lookup used by the single-device and the
+    sharded (parallel/mesh.py) solvers: TABS tally -> absorbed energy per H
+    -> log-grid interpolation of the precomputed TTT table."""
     scale = (PLANCK * FACTOR) / gl_pc_parsec
-    lev = cell_levels(grid)
-    dens = grid.dens
     # beta: ALI escape probability per cell (Ein/beta in the lookup,
     # ASOC.py:2056-2062); scalar 1.0 without ALI
     ein = (scale * absorbed_integrated
@@ -91,6 +84,21 @@ def solve_temperature(grid, table, absorbed_integrated, gl_pc_parsec,
     wi = (e_lo * table.ke - ein) / (e_lo * (table.ke - 1.0))
     t = wi * table.ttt[ie] + (1.0 - wi) * table.ttt[ie + 1]
     return jnp.where(dens > 1.0e-7, jnp.clip(t, 3.0, 1600.0), 10.0)
+
+
+@partial(jax.jit, static_argnames=())
+def solve_temperature(grid, table, absorbed_integrated, gl_pc_parsec,
+                      beta=1.0, cr_heating=0.0):
+    """Per-cell equilibrium temperature from integrated absorbed energy.
+
+    absorbed_integrated : [CELLS] the TABS tally (trapezoid-weighted photon
+    counts carrying FACTOR); gl_pc_parsec : GL*PARSEC in cm.
+    Matches the device EqTemperature kernel: empty/parent cells get T=10,
+    valid cells are clamped to [3, 1600] K.
+    """
+    return temperature_lookup(table, absorbed_integrated, grid.dens,
+                              cell_levels(grid), gl_pc_parsec,
+                              beta=beta, cr_heating=cr_heating)
 
 
 @jax.jit

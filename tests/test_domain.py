@@ -59,8 +59,9 @@ def test_domain_matches_single_device(grid_kind):
     n = 8 * (2 * (36 + 48 + 48))
     mesh = make_mesh(jax.devices(), freq_axis=1)      # dp = 8
     slabs = split_grid_slabs(grid, 8)
-    tabs_d, esc_d = domain_background_run(slabs, physics, jnp.float32(1.0),
-                                          n, 7, mesh, nlanes=512)
+    tabs_d, esc_d, lost = domain_background_run(
+        slabs, physics, jnp.float32(1.0), n, 7, mesh, nlanes=512)
+    assert lost == 0.0            # pending queue never overflowed
 
     params = dict(photons=jnp.float32(1.0), ifreq=jnp.int32(0),
                   per_freq=jnp.int32(n),
