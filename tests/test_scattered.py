@@ -111,3 +111,30 @@ def test_healpix_peeloff_internal_observer():
     # d ~ nx/4..nx/2 to the observer at the centre (optically thin)
     rough = event_weight / (4 * np.pi) / (nx / 3) ** 2
     assert 0.2 * rough < out.sum() < 5 * rough
+
+
+def test_ffs_thin_channel_keeps_every_packet():
+    """Forced first scattering must produce one event per packet even when
+    the cloud's scattering depth is near the float32 epsilon (regression:
+    1-exp(-tau) / -log(1-w*u) rounding lost 62% of forced scatterings on
+    optically thin channels; now expm1/log1p + boundary clamp)."""
+    import jax.numpy as jnp
+    from soc_tpu.render.scattered import (spawn, propagate_events,
+                                          empty_events)
+    grid = uniform_grid(16, 16, 16, density=1.0)
+    physics = setup_physics(ksca=1e-7, kabs=0.0, g=0.0)
+    n = 2048
+    params = dict(photons=jnp.float32(1.0), ifreq=jnp.int32(0),
+                  per_freq=jnp.int32(n))
+    b, fp, _ = spawn(grid, physics, params, jnp.int32(n), jnp.int32(0),
+                     np.uint32(3), source_kind="bg", nlanes=n, ffs=True)
+    ev = empty_events(1 << 13)
+    b, fp, ev, ec = propagate_events(grid, physics, b, fp, ev,
+                                     jnp.int32(0), np.uint32(3),
+                                     capacity=1 << 13)
+    # every forced packet scatters at least once inside the cloud
+    assert int(ec) >= n
+    # and the FFS weight is the exact 1-exp(-tau) (expm1), not quantized
+    tau_max = 1e-7 * 16 * np.sqrt(3)
+    ph = np.asarray(ev.photons)[:int(ec)]
+    assert 0 < ph.max() <= -np.expm1(-tau_max) * 1.0001
