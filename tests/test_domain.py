@@ -78,3 +78,43 @@ def test_domain_matches_single_device(grid_kind):
     assert abs(esc_d - float(esc[0])) / float(esc[0]) < 1e-3
     good = np.isclose(tabs_d, tabs, rtol=1e-3, atol=1e-6)
     assert good.mean() > 0.98, f"only {good.mean():.3f} cells match"
+
+
+@pytest.mark.parametrize("grid_kind", ["uniform", "octree"])
+def test_domain_cell_emission_matches_single_device(grid_kind):
+    """The iteration hot path (SimRAM_CL) under domain decomposition:
+    per-slab cell ownership + halo exchange reproduces the single-grid
+    cell-emission tallies packet for packet."""
+    from soc_tpu.parallel.domain import domain_cell_emission_run
+    if grid_kind == "uniform":
+        grid = uniform_grid(6, 6, 8, density=1.0)
+    else:
+        grid = octree_grid(6, 6, 8, refine_roots=[50, 130, 200])
+    dsc, csc = hg_scattering_function([0.5], 128)
+    physics = dict(kabs=jnp.float32(0.12), ksca=jnp.float32(0.22),
+                   csc=jnp.asarray(csc[0]), tw=jnp.float32(1.0))
+    rng = np.random.default_rng(4)
+    emit = rng.uniform(0.5, 1.5, grid.cells).astype(np.float32)
+    emit[np.asarray(grid.dens) <= 0] = 0.0       # parent link cells
+    per_cell = 4
+    n = per_cell * grid.cells
+
+    mesh = make_mesh(jax.devices(), freq_axis=1)      # dp = 8
+    slabs = split_grid_slabs(grid, 8)
+    tabs_d, esc_d, lost = domain_cell_emission_run(
+        slabs, physics, emit, per_cell, 7, mesh, nlanes=512)
+    assert lost == 0.0
+
+    params = dict(emit=jnp.asarray(emit), per_cell=jnp.int32(per_cell),
+                  ifreq=jnp.int32(0), per_freq=jnp.int32(n),
+                  hi_base=jnp.uint32(stream_hi_base("cell")))
+    tabs = jnp.zeros(grid.cells, jnp.float32)
+    intf = jnp.zeros((1, 1), jnp.float32)
+    tabs, _, esc, _ = transport_run(grid, physics, params, jnp.int32(n),
+                                    tabs, intf, 7, source_kind="cell",
+                                    nlanes=512)
+    tabs = np.asarray(tabs)
+    assert abs(tabs_d.sum() - tabs.sum()) / tabs.sum() < 1e-3
+    assert abs(esc_d - float(esc[0])) / float(esc[0]) < 1e-3
+    good = np.isclose(tabs_d, tabs, rtol=1e-3, atol=1e-6)
+    assert good.mean() > 0.98, f"only {good.mean():.3f} cells match"
