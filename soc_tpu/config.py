@@ -92,6 +92,7 @@ class RunConfig:
         self.ps_scale = []
         self.scale_background = 1.0
         self.do_split = 0
+        self.n_domains = 0
         # --- simulation control
         self.iterations = 1
         self.seed = pi / 4.0
@@ -354,6 +355,10 @@ class RunConfig:
             # SimBgSplit); here: stratified per-element budgets, arg =
             # boost factor (default 8)
             self.do_split = n() if a else 8
+        elif key.startswith("domains"):
+            # Z-slab spatial domain decomposition over the dp mesh axis
+            # (parallel/domain.py); arg = slab/device count
+            self.n_domains = n()
         elif key.startswith("threshold"):
             self.level_threshold = n()
         elif key.startswith("yshear"):
@@ -489,6 +494,9 @@ iterations      1                   # dust self-heating iterations
 # optishalf                         # store per-cell OPT in bfloat16
 # CR_HEATING    1.0                 # cosmic-ray heating mode/rate
 # checkpoint    run.ckpt 1          # mid-run preemption checkpoint [every N]
+# domains       8                   # Z-slab domain decomposition over N
+#                                   # devices (bg + cell emission; needs
+#                                   # noabsorbed and NZ divisible by N)
 
 # ---- outputs ----------------------------------------------------------
 prefix          soc                 # output name prefix

@@ -128,7 +128,7 @@ def _run_over_freqs(grid, medium, kind, make_params, per_freq, tabs, intf,
 def simulate_background(grid, medium, cfg, ibg, tabs, intf, seed,
                         lanes=DEFAULT_LANES, per_freq_tally=False,
                         mixed=True, chunk=4 << 20, freq_mask=None, roi=None,
-                        physics_extra=None, ckpt=None):
+                        physics_extra=None, ckpt=None, domain=None):
     """Phase-1 isotropic background over all frequencies.
 
     Packet budget: the reference sends 8*AREA*BATCH packets per frequency
@@ -151,6 +151,32 @@ def simulate_background(grid, medium, cfg, ibg, tabs, intf, seed,
     split_max = split_max_of(cfg, grid)
 
     from ..transport.sources import stream_hi_base
+    if domain is not None:
+        # `domains N`: Z-slab decomposition, per-frequency uniform pools
+        from ..parallel.domain import domain_background_run
+        slabs, dmesh = domain
+        nfreq = medium.nfreq
+        dn = max(256, lanes // slabs.n_slabs)
+        hi0 = stream_hi_base("bg")
+        escaped = np.zeros(nfreq)
+        tabs_np = np.zeros(grid.cells, np.float32)
+        for ifreq in range(nfreq):
+            if freq_mask is not None and not bool(freq_mask[ifreq]):
+                continue
+            physics = dict(kabs=medium.abs_gl[ifreq],
+                           ksca=medium.sca_gl[ifreq],
+                           csc=medium.csc[ifreq], tw=medium.tw[ifreq])
+            t, e, lost = domain_background_run(
+                slabs, physics, jnp.float32(bg_photons[ifreq]), per_freq,
+                seed, dmesh, nlanes=dn, hi_base=hi0 + ifreq)
+            assert lost == 0.0, "domain pending-queue overflow"
+            tabs_np += t
+            escaped[ifreq] = e
+        tabs = tabs + jnp.asarray(tabs_np)
+        injected = np.float64(per_freq) * np.asarray(bg_photons, np.float64)
+        if freq_mask is not None:
+            injected = np.where(freq_mask, injected, 0.0)
+        return tabs, intf, escaped, injected
     if freq_mask is not None or roi is not None \
             or physics_extra is not None or ckpt is not None:
         mixed = False    # mask/ROI/OPT/checkpoint handling is per-frequency
@@ -315,7 +341,7 @@ def emweight_allocation(emit_col, clpac, lims=(0.0, 1e10), rng=None):
 
 def simulate_cell_emission(grid, medium, cfg, emitted, tabs, intf, seed,
                            lanes=DEFAULT_LANES, per_freq_tally=False,
-                           iteration=0, physics_extra=None):
+                           iteration=0, physics_extra=None, domain=None):
     """Phase-2 dust re-emission (SimRAM_CL equivalent).
 
     emitted : [CELLS, NFREQ] photons/Hz/H per cell. Uniform allocation:
@@ -328,6 +354,28 @@ def simulate_cell_emission(grid, medium, cfg, emitted, tabs, intf, seed,
     emitted_np = np.asarray(emitted)
     emitted = jnp.asarray(emitted)
     hi_base = stream_hi_base("cell", iteration)
+
+    if domain is not None:
+        # `domains N`: per-slab cell ownership + halo exchange
+        from ..parallel.domain import domain_cell_emission_run
+        slabs, dmesh = domain
+        dn = max(256, lanes // slabs.n_slabs)
+        per_cell = max(1, int(cfg.clpac) // grid.cells)
+        escaped = np.zeros(medium.nfreq)
+        tabs_np = np.zeros(grid.cells, np.float32)
+        for ifreq in range(medium.nfreq):
+            physics = dict(kabs=medium.abs_gl[ifreq],
+                           ksca=medium.sca_gl[ifreq],
+                           csc=medium.csc[ifreq], tw=medium.tw[ifreq])
+            t, e, lost = domain_cell_emission_run(
+                slabs, physics, emitted_np[:, ifreq] / np.float32(per_cell),
+                per_cell, seed, dmesh, nlanes=dn,
+                hi_base=hi_base + ifreq)
+            assert lost == 0.0, "domain pending-queue overflow"
+            tabs_np += t
+            escaped[ifreq] = e
+        tabs = tabs + jnp.asarray(tabs_np)
+        return tabs, intf, escaped, None
 
     if cfg.use_emweight > 0:
         # allocation varies per frequency => per-frequency pools with a
@@ -562,6 +610,36 @@ def split_max_of(cfg, grid):
     return int(cfg.do_split) if grid.levels > 1 else 0
 
 
+def _domain_setup(cfg, grid, per_freq_tally):
+    """`domains N` keyword: Z-slab spatial domain decomposition of the
+    bg + cell-emission transport over N devices (parallel/domain.py).
+    Returns (slabs, mesh) or None when disabled."""
+    n = int(cfg.n_domains)
+    if n <= 1:
+        return None
+    import jax
+    from ..parallel.mesh import make_mesh
+    from ..parallel.domain import split_grid_slabs
+    if len(jax.devices()) < n:
+        raise ValueError("domains %d: only %d devices visible"
+                         % (n, len(jax.devices())))
+    if grid.nz % n:
+        raise ValueError("domains %d: NZ=%d not divisible" % (n, grid.nz))
+    if per_freq_tally:
+        raise ValueError("domains: per-frequency absorption arrays are "
+                         "not decomposed; add `noabsorbed` (and saveint "
+                         "off) to run domain-decomposed")
+    for bad, name in ((cfg.mirror, "mirror"), (cfg.roi, "roi"),
+                      (cfg.with_ali, "ali"), (cfg.use_emweight, "emweight"),
+                      (split_max_of(cfg, grid), "split"),
+                      (cfg.has_key("SUBITERATIONS"), "SUBITERATIONS")):
+        if bad:
+            raise ValueError("domains: `%s` is not supported under "
+                             "domain decomposition" % name)
+    mesh = make_mesh(jax.devices()[:n], freq_axis=1)
+    return split_grid_slabs(grid, n), mesh
+
+
 def remit_mask_of(cfg, freq):
     """bool[NFREQ]: frequencies inside the `remit` re-emission band
     (reference REMIT_I1..REMIT_I2, ASOC.py:604-612)."""
@@ -762,6 +840,7 @@ def _run_inner(cfg, lanes, write_files, t_start):
     # ---- phase 1: constant sources
     t0 = time.time()
     per_freq_tally = (not cfg.noabsorbed) or cfg.save_intensity > 0
+    domain = _domain_setup(cfg, grid, per_freq_tally)
     if cfg.save_intensity == 2:
         tally_shape = (grid.cells, nfreq, 4)      # (I, Ix, Iy, Iz)
     elif per_freq_tally:
@@ -791,7 +870,7 @@ def _run_inner(cfg, lanes, write_files, t_start):
             tabs, intf, esc, inj = simulate_background(
                 grid, medium, cfg, ibg, tabs, intf, seed, lanes,
                 per_freq_tally, freq_mask=freq_mask, roi=roi,
-                physics_extra=physics_extra, ckpt=ckpt)
+                physics_extra=physics_extra, ckpt=ckpt, domain=domain)
             escaped += np.asarray(esc)
             injected += inj
         if cfg.bgpac > 0 and cfg.file_hpbg:
@@ -918,7 +997,7 @@ def _run_inner(cfg, lanes, write_files, t_start):
                 tabs_it, intf, _, xab = simulate_cell_emission(
                     grid, medium, cfg, sim_emit, tabs_it, intf,
                     seed, lanes, per_freq_tally, iteration=iteration,
-                    physics_extra=physics_extra)
+                    physics_extra=physics_extra, domain=domain)
                 if delta_sim:
                     tabs_it = tabs_it + otabs
                 if wr:

@@ -1,5 +1,7 @@
 """Spatial domain decomposition: slab split + live ppermute halo exchange."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -118,3 +120,47 @@ def test_domain_cell_emission_matches_single_device(grid_kind):
     assert abs(esc_d - float(esc[0])) / float(esc[0]) < 1e-3
     good = np.isclose(tabs_d, tabs, rtol=1e-3, atol=1e-6)
     assert good.mean() > 0.98, f"only {good.mean():.3f} cells match"
+
+
+def test_domains_keyword_end_to_end(tmp_path):
+    """`domains 8` in the ini runs the whole rt pipeline with Z-slab
+    decomposition on the 8-device mesh and reproduces the single-device
+    results (same packet ids and RNG streams)."""
+    import shutil
+    from soc_tpu.io.cloud import write_hierarchy
+    from soc_tpu.pipeline import driver
+
+    for f in ("tmp.dust", "tmp.dsc", "bg_intensity.bin"):
+        shutil.copy(os.path.join("/tmp/socex", f), tmp_path)
+    n = 8
+    write_hierarchy(tmp_path / "tmp.cloud", n, n, n, [n ** 3],
+                    [np.ones(n ** 3, np.float32)])
+    base = """
+gridlength      0.01
+cloud           tmp.cloud
+mapping         8 8 1.0
+density         3.0e4
+seed            1.0
+directions      0.0 0.0
+optical         tmp.dust
+dsc             tmp.dsc 2500
+background      bg_intensity.bin
+bgpackets       {bgpac}
+cellpackets     {clpac}
+iterations      1
+noabsorbed
+temperature     tmp.T
+"""
+    bgpac, clpac = 8 * 6 * n * n, 2 * n ** 3
+    (tmp_path / "plain.ini").write_text(base.format(bgpac=bgpac,
+                                                    clpac=clpac))
+    (tmp_path / "dom.ini").write_text(
+        base.format(bgpac=bgpac, clpac=clpac) + "domains 8\n")
+    res_s = driver.run(str(tmp_path / "plain.ini"), lanes=1 << 10)
+    res_d = driver.run(str(tmp_path / "dom.ini"), lanes=1 << 10)
+    rel = abs(res_d.ctabs.sum() - res_s.ctabs.sum()) / res_s.ctabs.sum()
+    assert rel < 1e-3
+    good = np.isclose(res_d.temperature, res_s.temperature, rtol=2e-3)
+    assert good.mean() > 0.98
+    np.testing.assert_allclose(res_d.escaped.sum(), res_s.escaped.sum(),
+                               rtol=1e-3)
