@@ -500,7 +500,7 @@ def read_diffuse_field(path, cells):
 def simulate_diffuse(grid, medium, cfg, diffuserad, tabs, intf, seed,
                      lanes=DEFAULT_LANES, per_freq_tally=False,
                      freq_mask=None, roi=None, physics_extra=None,
-                     ckpt=None):
+                     ckpt=None, domain=None):
     """Phase-1 diffuse volume emission (SimRAM_CL SOURCE==2, the reference's
     II==2 source block, ASOC.py:1250-1272).
 
@@ -531,6 +531,30 @@ def simulate_diffuse(grid, medium, cfg, diffuserad, tabs, intf, seed,
     if freq_mask is not None:
         mask &= np.asarray(freq_mask, bool)
     injected[~mask] = 0.0
+
+    if domain is not None:
+        # `domains N`: the diffuse field uses the cell-emission generator,
+        # so the per-slab ownership runner applies directly
+        from ..parallel.domain import domain_cell_emission_run
+        from ..transport.sources import stream_hi_base
+        slabs, dmesh = domain
+        dn = max(256, lanes // slabs.n_slabs)
+        hi0 = stream_hi_base("diffuse")
+        escaped = np.zeros(nfreq)
+        tabs_np = np.zeros(grid.cells, np.float32)
+        for ifreq, emit_col in emit_cols.items():
+            if not mask[ifreq]:
+                continue
+            physics = dict(kabs=medium.abs_gl[ifreq],
+                           ksca=medium.sca_gl[ifreq],
+                           csc=medium.csc[ifreq], tw=medium.tw[ifreq])
+            t, e, lost = domain_cell_emission_run(
+                slabs, physics, np.asarray(emit_col), per_cell, seed,
+                dmesh, nlanes=dn, hi_base=hi0 + ifreq)
+            assert lost == 0.0, "domain pending-queue overflow"
+            tabs_np += t
+            escaped[ifreq] = e
+        return tabs + jnp.asarray(tabs_np), intf, escaped, injected
 
     def make_params(ifreq):
         return dict(emit=emit_cols[ifreq], per_cell=jnp.int32(per_cell))
@@ -898,7 +922,7 @@ def _run_inner(cfg, lanes, write_files, t_start):
             tabs, intf, esc, inj = simulate_diffuse(
                 grid, medium, cfg, diffuserad, tabs, intf, seed + 5, lanes,
                 per_freq_tally, freq_mask=freq_mask, roi=roi,
-                physics_extra=physics_extra, ckpt=ckpt)
+                physics_extra=physics_extra, ckpt=ckpt, domain=domain)
             escaped += np.asarray(esc)
             injected += inj
         if cfg.file_roi_load and cfg.roipac > 0:

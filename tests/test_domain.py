@@ -152,10 +152,18 @@ noabsorbed
 temperature     tmp.T
 """
     bgpac, clpac = 8 * 6 * n * n, 2 * n ** 3
+    # a diffuse volume field exercises the third domain-decomposed source
+    rng = np.random.default_rng(2)
+    field = np.zeros((n ** 3, 44), np.float32)
+    field[:, 20] = (1e-12 * rng.uniform(0.5, 1.5, n ** 3)).astype(np.float32)   # ~physical cgs scale: avoids f32 inf
+    with open(tmp_path / "diffuse.bin", "wb") as fp:
+        np.asarray([n ** 3, 44], np.int32).tofile(fp)
+        field.tofile(fp)
+    extra = "diffuse  diffuse.bin\ndiffpack %d\n" % (2 * n ** 3)
     (tmp_path / "plain.ini").write_text(base.format(bgpac=bgpac,
-                                                    clpac=clpac))
+                                                    clpac=clpac) + extra)
     (tmp_path / "dom.ini").write_text(
-        base.format(bgpac=bgpac, clpac=clpac) + "domains 8\n")
+        base.format(bgpac=bgpac, clpac=clpac) + extra + "domains 8\n")
     res_s = driver.run(str(tmp_path / "plain.ini"), lanes=1 << 10)
     res_d = driver.run(str(tmp_path / "dom.ini"), lanes=1 << 10)
     rel = abs(res_d.ctabs.sum() - res_s.ctabs.sum()) / res_s.ctabs.sum()
