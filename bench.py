@@ -229,10 +229,11 @@ def bench_octree(medium, lanes, total_packets=1 << 23, repeats=3):
         return tabs
 
     best = None
+    sane = True
     for _ in range(repeats):
         t0 = _t.time()
         tabs = go()
-        sane = bool(np.isfinite(np.asarray(tabs)).all())   # forced readback
+        sane &= bool(np.isfinite(np.asarray(tabs)).all())  # forced readback
         dt = _t.time() - t0
         best = dt if best is None or dt < best else best
     assert sane

@@ -158,41 +158,17 @@ def domain_background_run(slabs, physics, bg_photons, total_packets, seed,
     Returns (tabs [GLOBAL CELLS] host order, escaped, lost) -- `lost` is
     the photon weight destroyed by pending-queue overflow (0 in any sane
     configuration; nonzero means nlanes is too small for the flux).
+
+    Per-frequency callers pass hi_base = stream_hi_base("bg") + ifreq so
+    every channel gets independent RNG streams; all per-frequency values
+    (cross sections, photons, hi) are traced arguments of ONE cached
+    jitted executable, so a frequency loop compiles exactly once.
     """
-    # per-frequency callers pass hi_base = stream_hi_base("bg") + ifreq
-    # so every channel gets independent RNG streams (the single-device
-    # packet-identity convention of sources.packet_identity)
     hi = jnp.uint32(stream_hi_base("bg") if hi_base is None else hi_base)
-    seed_u = jnp.uint32(seed)
-    nx, ny, nz, nzl = slabs.nx, slabs.ny, slabs.nz, slabs.nz_local
-
-    def make_spawn(rank, grid):
-        def spawn_from_ids(ids, can):
-            """Global source eval + slab-ownership filter."""
-            stream = ids.astype(jnp.uint32)
-            pos_g, dir = background_entry(nx, ny, nz, stream,
-                                          jnp.full_like(stream, hi), seed_u)
-            own = (jnp.floor(pos_g[:, 2] / nzl).astype(jnp.int32)
-                   == rank)
-            ok = can & own
-            pos_l = pos_g.at[:, 2].add(-(rank * nzl).astype(jnp.float32))
-            pos_l = pos_l.at[:, 2].set(
-                jnp.clip(pos_l[:, 2], PEPS, nzl - PEPS))
-            p, lev, ind = traverse.index_global(grid, pos_l)
-            ind = jnp.where(ok, ind, -1)
-            fp_u = socrng.uniform1(seed_u, stream,
-                                   jnp.full_like(stream, 2),
-                                   jnp.full_like(stream, hi))
-            return (p, dir, lev, ind,
-                    jnp.full(ids.shape, bg_photons, jnp.float32),
-                    stream, jnp.full_like(stream, hi),
-                    jnp.full_like(stream, 3),          # counter
-                    jnp.zeros(ids.shape, jnp.int32),   # scatterings
-                    -jnp.log(fp_u))
-        return spawn_from_ids
-
-    return _domain_run(slabs, physics, total_packets, seed, mesh, nlanes,
-                       k_inner, max_super, make_spawn)
+    return _domain_call(
+        slabs, physics, total_packets, seed, mesh, nlanes, k_inner,
+        max_super, "bg", statics=(),
+        src_values=(jnp.float32(bg_photons), hi))
 
 
 def domain_cell_emission_run(slabs, physics, emit, per_cell, seed, mesh,
@@ -209,104 +185,169 @@ def domain_cell_emission_run(slabs, physics, emit, per_cell, seed, mesh,
     the single-device run per packet.
     Returns (tabs [GLOBAL CELLS] host order, escaped, lost).
     """
-    from ..transport.sources import _isotropic_dir, _uniforms
     S = slabs.n_slabs
-    nx, ny, nzl = slabs.nx, slabs.ny, slabs.nz_local
-    levels = slabs.levels
     hi = jnp.uint32(stream_hi_base("cell") if hi_base is None else hi_base)
-    seed_u = jnp.uint32(seed)
     gcells = int(np.sum(np.asarray(slabs.lcells)))
     total_packets = per_cell * gcells
     # host-side inverse maps: global flat cell -> local flat cell per slab
-    inv = np.full((S, gcells), -1, np.int32)
-    for s in range(S):
-        m = slabs.gidx[s] >= 0
-        inv[s, slabs.gidx[s][m]] = np.nonzero(m)[0].astype(np.int32)
-    off_l = np.asarray(slabs.off)
-    emit_g = jnp.asarray(np.asarray(emit, np.float32))
-
-    def make_spawn(rank, grid, inv_l):
-        def spawn_from_ids(ids, can):
-            stream = ids.astype(jnp.uint32)
-            gcell = jnp.clip(ids // per_cell, 0, gcells - 1)
-            lflat = inv_l[gcell]
-            own = lflat >= 0
-            ok = can & own
-            lflat = jnp.maximum(lflat, 0)
-            lev = jnp.zeros_like(lflat)
-            for l in range(1, levels):
-                lev = jnp.where(lflat >= off_l[l], l, lev)
-            loc = lflat - jnp.asarray(off_l)[lev]
-            u1, u2, u3, u4, u5, _ = _uniforms(
-                seed_u, stream, jnp.full_like(stream, hi))
-            if levels == 1:
-                x0 = (loc % nx).astype(jnp.float32)
-                y0 = ((loc // nx) % ny).astype(jnp.float32)
-                z0 = (loc // (nx * ny)).astype(jnp.float32)
-            else:
-                sid = loc % 8
-                rx = (loc % nx).astype(jnp.float32)
-                ry = ((loc // nx) % ny).astype(jnp.float32)
-                rz = (loc // (nx * ny)).astype(jnp.float32)
-                x0 = jnp.where(lev == 0, rx, (sid % 2).astype(jnp.float32))
-                y0 = jnp.where(lev == 0, ry,
-                               ((sid // 2) % 2).astype(jnp.float32))
-                z0 = jnp.where(lev == 0, rz, (sid // 4).astype(jnp.float32))
-            pos = jnp.stack([x0 + u1, y0 + u2, z0 + u3], -1)
-            dir = _isotropic_dir(u4, u5).astype(jnp.float32)
-            photons = emit_g[gcell]
-            ind = jnp.where(ok, loc.astype(jnp.int32), -1)
-            fp_u = socrng.uniform1(seed_u, stream,
-                                   jnp.full_like(stream, 2),
-                                   jnp.full_like(stream, hi))
-            return (pos, dir, lev.astype(jnp.int32), ind, photons,
-                    stream, jnp.full_like(stream, hi),
-                    jnp.full_like(stream, 3),
-                    jnp.zeros(ids.shape, jnp.int32),
-                    -jnp.log(fp_u))
-        return spawn_from_ids
-
-    return _domain_run(slabs, physics, total_packets, seed, mesh, nlanes,
-                       k_inner, max_super, make_spawn,
-                       extra_arrays=(jnp.asarray(inv),),
-                       extra_specs=(P("dp"),))
+    # (cached on the SlabSet: rebuilding per frequency is pure waste)
+    inv = getattr(slabs, "_inv_cache", None)
+    if inv is None:
+        inv = np.full((S, gcells), -1, np.int32)
+        for s in range(S):
+            m = slabs.gidx[s] >= 0
+            inv[s, slabs.gidx[s][m]] = np.nonzero(m)[0].astype(np.int32)
+        slabs._inv_cache = inv
+    return _domain_call(
+        slabs, physics, total_packets, seed, mesh, nlanes, k_inner,
+        max_super, "cell", statics=(int(per_cell), gcells),
+        src_values=(jnp.asarray(np.asarray(emit, np.float32)), hi),
+        extra_arrays=(jnp.asarray(inv),), extra_specs=(P("dp"),))
 
 
-def _domain_run(slabs, physics, total_packets, seed, mesh, nlanes,
-                k_inner, max_super, make_spawn, extra_arrays=(),
-                extra_specs=()):
-    """Shared Z-slab transport core: lane pool + k_inner local steps +
-    ppermute exchange of boundary crossings, parameterized by the packet
-    source (make_spawn(rank, grid, *extras) -> spawn_from_ids)."""
+_RUNNER_CACHE = {}
+
+
+def _domain_call(slabs, physics, total_packets, seed, mesh, nlanes,
+                 k_inner, max_super, spawn_kind, statics, src_values,
+                 extra_arrays=(), extra_specs=()):
+    """Invoke the cached jitted Z-slab runner and assemble host tallies."""
     S = slabs.n_slabs
     assert mesh.shape["dp"] == S, "dp axis must equal the slab count"
     assert mesh.shape.get("freq", 1) == 1, "freq axis unused here"
+    bins = physics["csc"].shape[-1]
+    key = (spawn_kind, statics, S, slabs.nx, slabs.ny, slabs.nz,
+           slabs.nz_local, slabs.levels, slabs.cells_pad,
+           tuple(int(x) for x in slabs.off), nlanes, k_inner, max_super,
+           bins, len(extra_specs), mesh)
+    runner = _RUNNER_CACHE.get(key)
+    if runner is None:
+        runner = _build_domain_runner(slabs, mesh, nlanes, k_inner,
+                                      max_super, spawn_kind, statics,
+                                      tuple(extra_specs))
+        _RUNNER_CACHE[key] = runner
+    phys = (physics["kabs"], physics["ksca"], physics["tw"],
+            physics["csc"])
+    tabs_s, esc, lost = runner(
+        jnp.asarray(slabs.dens), jnp.asarray(slabs.lcells),
+        jnp.asarray(slabs.par), phys, tuple(src_values),
+        jnp.int32(total_packets), jnp.uint32(seed), *extra_arrays)
+    # assemble global tallies from per-slab local cells
+    tabs_s = np.asarray(tabs_s).reshape(S, slabs.cells_pad)
+    total_cells = int(np.sum(np.asarray(slabs.lcells)))
+    tabs = np.zeros(total_cells, np.float32)
+    for s in range(S):
+        m = slabs.gidx[s] >= 0
+        tabs[slabs.gidx[s][m]] = tabs_s[s][m]
+    return tabs, float(np.asarray(esc)), float(np.asarray(lost))
+
+
+def _build_domain_runner(slabs, mesh, nlanes, k_inner, max_super,
+                         spawn_kind, statics, extra_specs):
+    """Build the jitted shard_map superstep loop for one static config:
+    lane pool + k_inner local steps + ppermute exchange, parameterized by
+    the packet source (spawn_kind: "bg" | "cell"). Everything that varies
+    per frequency (cross sections, photon weights, hi, seed, budget) is a
+    traced argument."""
+    from ..transport.sources import _isotropic_dir, _uniforms
+    S = slabs.n_slabs
     nx, ny, nz, nzl = slabs.nx, slabs.ny, slabs.nz, slabs.nz_local
     levels, cells_pad = slabs.levels, slabs.cells_pad
-    kabs = physics["kabs"]
-    ksca = physics["ksca"]
-    csc = physics["csc"]
-    tw = physics["tw"]
-    bins = csc.shape[-1]
-    seed = jnp.uint32(seed)
     PCAP = 4 * nlanes
     fwd = [(i, (i + 1) % S) for i in range(S)]       # to upper neighbor
     bwd = [(i, (i - 1) % S) for i in range(S)]       # to lower neighbor
-
+    off_l = np.asarray(slabs.off)
     off_c = jnp.asarray(slabs.off)
 
     def local_grid(dens_l, lcells_l, par_l):
         return Grid(dens=dens_l, lcells=lcells_l, off=off_c, par=par_l,
                     nx=nx, ny=ny, nz=nzl, levels=levels, cells=cells_pad)
 
+    @jax.jit
     @partial(shard_map, mesh=mesh,
-             in_specs=(P("dp"), P("dp"), P("dp")) + tuple(extra_specs),
+             in_specs=(P("dp"), P("dp"), P("dp"),
+                       (P(), P(), P(), P()), (P(), P()), P(), P())
+                      + tuple(extra_specs),
              out_specs=(P("dp"), P(), P()), check_vma=False)
-    def run(dens_s, lcells_s, par_s, *extras):
+    def run(dens_s, lcells_s, par_s, phys, srcv, total_packets, seed,
+            *extras):
+        kabs, ksca, tw, csc = phys
+        bins = csc.shape[-1]
         rank = lax.axis_index("dp")
         grid = local_grid(dens_s[0], lcells_s[0], par_s[0])
-        spawn_from_ids = make_spawn(rank, grid,
-                                    *[e[0] for e in extras])
+
+        if spawn_kind == "bg":
+            bg_photons, hi = srcv
+
+            def spawn_from_ids(ids, can):
+                """Global source eval + slab-ownership filter."""
+                stream = ids.astype(jnp.uint32)
+                pos_g, dir = background_entry(nx, ny, nz, stream,
+                                              jnp.full_like(stream, hi),
+                                              seed)
+                own = (jnp.floor(pos_g[:, 2] / nzl).astype(jnp.int32)
+                       == rank)
+                ok = can & own
+                pos_l = pos_g.at[:, 2].add(-(rank * nzl)
+                                           .astype(jnp.float32))
+                pos_l = pos_l.at[:, 2].set(
+                    jnp.clip(pos_l[:, 2], PEPS, nzl - PEPS))
+                p, lev, ind = traverse.index_global(grid, pos_l)
+                ind = jnp.where(ok, ind, -1)
+                fp_u = socrng.uniform1(seed, stream,
+                                       jnp.full_like(stream, 2),
+                                       jnp.full_like(stream, hi))
+                return (p, dir, lev, ind,
+                        jnp.full(ids.shape, bg_photons, jnp.float32),
+                        stream, jnp.full_like(stream, hi),
+                        jnp.full_like(stream, 3),          # counter
+                        jnp.zeros(ids.shape, jnp.int32),   # scatterings
+                        -jnp.log(fp_u))
+        else:
+            per_cell, gcells = statics
+            emit_g, hi = srcv
+            inv_l = extras[0][0]
+
+            def spawn_from_ids(ids, can):
+                stream = ids.astype(jnp.uint32)
+                gcell = jnp.clip(ids // per_cell, 0, gcells - 1)
+                lflat = inv_l[gcell]
+                own = lflat >= 0
+                ok = can & own
+                lflat = jnp.maximum(lflat, 0)
+                lev = jnp.zeros_like(lflat)
+                for l in range(1, levels):
+                    lev = jnp.where(lflat >= off_l[l], l, lev)
+                loc = lflat - off_c[lev]
+                u1, u2, u3, u4, u5, _ = _uniforms(
+                    seed, stream, jnp.full_like(stream, hi))
+                if levels == 1:
+                    x0 = (loc % nx).astype(jnp.float32)
+                    y0 = ((loc // nx) % ny).astype(jnp.float32)
+                    z0 = (loc // (nx * ny)).astype(jnp.float32)
+                else:
+                    sid = loc % 8
+                    rx = (loc % nx).astype(jnp.float32)
+                    ry = ((loc // nx) % ny).astype(jnp.float32)
+                    rz = (loc // (nx * ny)).astype(jnp.float32)
+                    x0 = jnp.where(lev == 0, rx,
+                                   (sid % 2).astype(jnp.float32))
+                    y0 = jnp.where(lev == 0, ry,
+                                   ((sid // 2) % 2).astype(jnp.float32))
+                    z0 = jnp.where(lev == 0, rz,
+                                   (sid // 4).astype(jnp.float32))
+                pos = jnp.stack([x0 + u1, y0 + u2, z0 + u3], -1)
+                dir = _isotropic_dir(u4, u5).astype(jnp.float32)
+                photons = emit_g[gcell]
+                ind = jnp.where(ok, loc.astype(jnp.int32), -1)
+                fp_u = socrng.uniform1(seed, stream,
+                                       jnp.full_like(stream, 2),
+                                       jnp.full_like(stream, hi))
+                return (pos, dir, lev.astype(jnp.int32), ind, photons,
+                        stream, jnp.full_like(stream, hi),
+                        jnp.full_like(stream, 3),
+                        jnp.zeros(ids.shape, jnp.int32),
+                        -jnp.log(fp_u))
 
         def step_once(st):
             (pos, dir, lev, ind, photons, stream, hi, counter, scat,
@@ -521,14 +562,4 @@ def _domain_run(slabs, physics, total_packets, seed, mesh, nlanes,
         lost = lax.psum(carry[18], "dp")
         return tabs[None, :], esc, lost
 
-    tabs_s, esc, lost = run(jnp.asarray(slabs.dens),
-                            jnp.asarray(slabs.lcells),
-                            jnp.asarray(slabs.par), *extra_arrays)
-    # assemble global tallies from per-slab local cells
-    tabs_s = np.asarray(tabs_s).reshape(S, cells_pad)
-    total_cells = int(np.sum(np.asarray(slabs.lcells)))
-    tabs = np.zeros(total_cells, np.float32)
-    for s in range(S):
-        m = slabs.gidx[s] >= 0
-        tabs[slabs.gidx[s][m]] = tabs_s[s][m]
-    return tabs, float(np.asarray(esc)), float(np.asarray(lost))
+    return run

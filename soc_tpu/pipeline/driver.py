@@ -155,23 +155,10 @@ def simulate_background(grid, medium, cfg, ibg, tabs, intf, seed,
         # `domains N`: Z-slab decomposition, per-frequency uniform pools
         from ..parallel.domain import domain_background_run
         slabs, dmesh = domain
-        nfreq = medium.nfreq
-        dn = max(256, lanes // slabs.n_slabs)
-        hi0 = stream_hi_base("bg")
-        escaped = np.zeros(nfreq)
-        tabs_np = np.zeros(grid.cells, np.float32)
-        for ifreq in range(nfreq):
-            if freq_mask is not None and not bool(freq_mask[ifreq]):
-                continue
-            physics = dict(kabs=medium.abs_gl[ifreq],
-                           ksca=medium.sca_gl[ifreq],
-                           csc=medium.csc[ifreq], tw=medium.tw[ifreq])
-            t, e, lost = domain_background_run(
-                slabs, physics, jnp.float32(bg_photons[ifreq]), per_freq,
-                seed, dmesh, nlanes=dn, hi_base=hi0 + ifreq)
-            assert lost == 0.0, "domain pending-queue overflow"
-            tabs_np += t
-            escaped[ifreq] = e
+        tabs_np, escaped = _run_domain_freqs(
+            domain_background_run, slabs, dmesh, medium, lanes, freq_mask,
+            lambda i: (jnp.float32(bg_photons[i]), per_freq),
+            stream_hi_base("bg"), seed, grid.cells)
         tabs = tabs + jnp.asarray(tabs_np)
         injected = np.float64(per_freq) * np.asarray(bg_photons, np.float64)
         if freq_mask is not None:
@@ -359,21 +346,11 @@ def simulate_cell_emission(grid, medium, cfg, emitted, tabs, intf, seed,
         # `domains N`: per-slab cell ownership + halo exchange
         from ..parallel.domain import domain_cell_emission_run
         slabs, dmesh = domain
-        dn = max(256, lanes // slabs.n_slabs)
         per_cell = max(1, int(cfg.clpac) // grid.cells)
-        escaped = np.zeros(medium.nfreq)
-        tabs_np = np.zeros(grid.cells, np.float32)
-        for ifreq in range(medium.nfreq):
-            physics = dict(kabs=medium.abs_gl[ifreq],
-                           ksca=medium.sca_gl[ifreq],
-                           csc=medium.csc[ifreq], tw=medium.tw[ifreq])
-            t, e, lost = domain_cell_emission_run(
-                slabs, physics, emitted_np[:, ifreq] / np.float32(per_cell),
-                per_cell, seed, dmesh, nlanes=dn,
-                hi_base=hi_base + ifreq)
-            assert lost == 0.0, "domain pending-queue overflow"
-            tabs_np += t
-            escaped[ifreq] = e
+        tabs_np, escaped = _run_domain_freqs(
+            domain_cell_emission_run, slabs, dmesh, medium, lanes, None,
+            lambda i: (emitted_np[:, i] / np.float32(per_cell), per_cell),
+            hi_base, seed, grid.cells)
         tabs = tabs + jnp.asarray(tabs_np)
         return tabs, intf, escaped, None
 
@@ -538,22 +515,11 @@ def simulate_diffuse(grid, medium, cfg, diffuserad, tabs, intf, seed,
         from ..parallel.domain import domain_cell_emission_run
         from ..transport.sources import stream_hi_base
         slabs, dmesh = domain
-        dn = max(256, lanes // slabs.n_slabs)
-        hi0 = stream_hi_base("diffuse")
-        escaped = np.zeros(nfreq)
-        tabs_np = np.zeros(grid.cells, np.float32)
-        for ifreq, emit_col in emit_cols.items():
-            if not mask[ifreq]:
-                continue
-            physics = dict(kabs=medium.abs_gl[ifreq],
-                           ksca=medium.sca_gl[ifreq],
-                           csc=medium.csc[ifreq], tw=medium.tw[ifreq])
-            t, e, lost = domain_cell_emission_run(
-                slabs, physics, np.asarray(emit_col), per_cell, seed,
-                dmesh, nlanes=dn, hi_base=hi0 + ifreq)
-            assert lost == 0.0, "domain pending-queue overflow"
-            tabs_np += t
-            escaped[ifreq] = e
+        tabs_np, escaped = _run_domain_freqs(
+            domain_cell_emission_run, slabs, dmesh, medium, lanes, mask,
+            lambda i: ((np.asarray(emit_cols[i]), per_cell)
+                       if i in emit_cols else None),
+            stream_hi_base("diffuse"), seed, grid.cells)
         return tabs + jnp.asarray(tabs_np), intf, escaped, injected
 
     def make_params(ifreq):
@@ -656,12 +622,46 @@ def _domain_setup(cfg, grid, per_freq_tally):
     for bad, name in ((cfg.mirror, "mirror"), (cfg.roi, "roi"),
                       (cfg.with_ali, "ali"), (cfg.use_emweight, "emweight"),
                       (split_max_of(cfg, grid), "split"),
-                      (cfg.has_key("SUBITERATIONS"), "SUBITERATIONS")):
+                      (cfg.has_key("SUBITERATIONS"), "SUBITERATIONS"),
+                      (cfg.file_checkpoint, "checkpoint"),
+                      (len(cfg.file_optical) > 1 and cfg.file_abundance,
+                       "abundance (per-cell OPT)"),
+                      (cfg.step_weight[0] == 1 and cfg.step_weight[1] > 0,
+                       "stepweight"),
+                      (cfg.dir_weight[0] >= 0
+                       and abs(cfg.dir_weight[1]) > 1e-6, "direweight")):
         if bad:
             raise ValueError("domains: `%s` is not supported under "
                              "domain decomposition" % name)
     mesh = make_mesh(jax.devices()[:n], freq_axis=1)
     return split_grid_slabs(grid, n), mesh
+
+
+def _run_domain_freqs(runner, slabs, dmesh, medium, lanes, freq_mask,
+                      src_of_freq, hi0, seed, cells):
+    """Shared per-frequency loop of the three domain-decomposed sources:
+    one runner call per channel (all hit one cached executable)."""
+    dn = max(256, lanes // slabs.n_slabs)
+    escaped = np.zeros(medium.nfreq)
+    tabs_np = np.zeros(cells, np.float32)
+    for ifreq in range(medium.nfreq):
+        if freq_mask is not None and not bool(freq_mask[ifreq]):
+            continue
+        src = src_of_freq(ifreq)
+        if src is None:
+            continue
+        physics = dict(kabs=medium.abs_gl[ifreq],
+                       ksca=medium.sca_gl[ifreq],
+                       csc=medium.csc[ifreq], tw=medium.tw[ifreq])
+        t, e, lost = runner(slabs, physics, *src, seed, dmesh,
+                            nlanes=dn, hi_base=hi0 + ifreq)
+        if lost:
+            raise RuntimeError(
+                "domains: pending-queue overflow destroyed %g photon "
+                "weight at channel %d; raise `lanes`" % (lost, ifreq))
+        tabs_np += t
+        escaped[ifreq] = e
+    return tabs_np, escaped
 
 
 def remit_mask_of(cfg, freq):

@@ -57,6 +57,7 @@ def prepare_solver_files(cfg, ne=128, force=False):
     frequency grid and enthalpy-bin count -- a stale file from an earlier
     run with a different freq.dat or `nenumber` is rebuilt, not silently
     solved on the wrong axes."""
+    ne = cfg.ne_number or ne      # ini `nenumber` wins for every caller
     solvers = {}
     stoch, _ = classify_dusts(cfg)
     for path in stoch:

@@ -107,7 +107,12 @@ def render_pol(grid, emit_map, ext_gl, bfield, p0, odir, ra, de, centre,
             sz = jnp.exp(-tau) * attw * (w * dens)[:, None] * emit
         # `polmap .. minlos maxlos`: nothing registers before the LOS
         # reaches minlos (kernel_ASOC_map_H.c:776 "do not register yet")
-        # or after it passes maxlos (rays terminate below, :743)
+        # or after it passes maxlos (rays terminate below, :743).
+        # NOTE the reference's `continue` also skips the TAU accumulation
+        # before minlos -- optical depth deliberately counts from minlos,
+        # not from the observer (foreground material inside the excluded
+        # interval does not extinguish the windowed emission); we
+        # reproduce that by gating tau on the same mask.
         reg = ((los >= minlos) & (los < maxlos))[:, None]
         s_i = s_i + jnp.where(
             reg, sz * (1.0 - p[:, None] * (cc - 2.0 / 3.0)[:, None]), 0.0)
