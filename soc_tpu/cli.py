@@ -137,7 +137,8 @@ def _dispatch(argv):
             dens = np.asarray(
                 read_cloud(cfg.file_cloud, cfg.kdensity,
                            cfg.max_levels).dens)
-        emitted = emission_stage(cfg, comps, clean, abu, freq, dens=dens)
+        emitted, pemitted = emission_stage(cfg, comps, clean, abu, freq,
+                                           dens=dens)
         emitted[~valid] = 0.0
         # output-frequency selection (A2E_MABU.py:316-323 NOFREQ): the
         # optional 4th argument is an ofreq.dat frequency list; otherwise
@@ -157,6 +158,13 @@ def _dispatch(argv):
             emitted = np.ascontiguousarray(emitted[:, sel])
         write_cell_frequency_array(args[2], emitted)
         print("wrote %s: %s" % (args[2], emitted.shape))
+        if pemitted is not None:
+            # polarised emission (`polarisation` keyword) -> <emitted>.P
+            # (A2E_MABU.py:589, 651-656)
+            pemitted[~valid] = 0.0
+            if sel is not None and len(sel) < len(freq):
+                pemitted = np.ascontiguousarray(pemitted[:, sel])
+            write_cell_frequency_array(args[2] + ".P", pemitted)
         return 0
 
     if cmd == "pipeline":

@@ -6,7 +6,13 @@ keyword matching by prefix. Unknown keywords are retained in ``self.keys`` so
 feature code can probe them (the reference's ``'CLT' in USER.KEYS`` pattern).
 
 Only semantics differ where the reference's GPU bookkeeping is meaningless on
-TPU (device/platform/local/global are accepted and ignored).
+TPU (device/platform/local/global/fission/batch, the mmapabs/mmapemit host
+mmap switches and the solveondev/xemonhost work-placement flags are accepted
+and retained in ``self.keys`` -- XLA owns those decisions here). Three
+reference keywords are parsed but never consumed by the reference itself
+(`bgmethod`: -D define no kernel reads; `dustfile`, `sourcemap`: assigned,
+never used -- ASOC_aux.py:320-322,336,403); they are likewise key-retained
+only.
 """
 
 import os
@@ -61,6 +67,10 @@ class RunConfig:
         self.nn_net = (13, 17, 13)
         self.nn_thin = 1
         self.abs_thin = 1
+        self.nnn_limit = 0.0            # density floor for absorbed/NN cells
+        self.aalg = {}                  # dust name -> aalg file (polarised
+        #                                 emission, A2E_MABU.py:158-167)
+        self.file_scattering = "scattering"   # ASOCS FITS output name
         self.b_files = []
         self.prefix = "soc"
         # --- geometry / scaling
@@ -301,10 +311,29 @@ class RunConfig:
             self.nn_emit = sorted(float(x) for x in a)
         elif key.startswith("nnnet"):
             self.nn_net = tuple(int(float(x)) for x in a)
+        elif key.startswith("nnnlimit"):
+            # density threshold: cells with DENS <= limit are marked -1e20
+            # in the absorbed file, excluding them from the solve / NN
+            # training sample (ASOC.py:2808-2825)
+            self.nnn_limit = f()
         elif key.startswith("nnthin"):
             self.nn_thin = n()
         elif key.startswith("absthin"):
             self.abs_thin = n()
+        elif key.startswith("polari"):
+            # 'polarisation dust_name aalg_file': also save the polarised
+            # emission of this dust (grains a >= aalg[cell]) to
+            # <emitted>.P (A2E_MABU.py:158-167, 615-637)
+            if len(a) >= 2:
+                self.aalg[os.path.basename(a[0]).replace(".dust", "")] = a[1]
+        elif key.startswith("dustem"):
+            # DustEM coupling: skip the absorbed file, save the radiation
+            # field intensities instead (ASOC_aux.py:279-281)
+            self.noabsorbed = True
+            self.save_intensity = max(1, self.save_intensity)
+        elif key.startswith("scatter"):
+            # output-name stem for ASOCS FITS images (ASOC_aux.py:104,326)
+            self.file_scattering = a[0]
         elif key.startswith("iterations"):
             self.iterations = n()
         elif key.startswith("seed"):
@@ -532,6 +561,8 @@ directions      0.0 0.0             # observer theta phi [deg]; repeatable
 # polstat       1                   # 1/3: B statistics, 2: replicated IQU
 # polred        R.bin               # polarization-reduction factor file
 # p0            0.2                 # intrinsic polarization fraction
+# polarisation  gs_aSilx.dust a.alg # per-cell aligned-size file: also
+#                                   # write polarised emission <emitted>.P
 
 # ---- stochastic heating / surrogates ----------------------------------
 # nenumber      128                 # enthalpy bins for generated .solver
@@ -545,6 +576,10 @@ directions      0.0 0.0             # observer theta phi [deg]; repeatable
 # nnnet         13 17 13            # MLP hidden-layer widths
 # nnthin        1                   # train on every Nth cell
 # absthin       1                   # subsample absorption cells
+# nnnlimit      1.0e3               # exclude cells with density <= limit
+# dustem                            # DustEM coupling: write intensities,
+#                                   # skip the absorbed file
+# scattering    scat                # ASOCS FITS output name stem (fits 1)
 
 # ---- accepted for compatibility, ignored on TPU -----------------------
 # device        g

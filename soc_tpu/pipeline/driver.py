@@ -680,10 +680,11 @@ def _apply_remit_band(cfg, freq, emitted):
     return emitted
 
 
-def _scaled_absorbed(grid, intf, gl_cm):
+def _scaled_absorbed(grid, intf, gl_cm, nnn_limit=0.0):
     """Per-frequency tallies -> absorbed.data payload: scale by
-    8^level*FACTOR/(GL*PARSEC)/DENS, mark parent cells -1e20
-    (ASOC.py:2782-2837)."""
+    8^level*FACTOR/(GL*PARSEC)/DENS, mark parent cells -1e20; cells with
+    DENS <= nnn_limit are excluded the same way (`nnnlimit` keyword,
+    ASOC.py:2782-2837, 2808-2825)."""
     from ..solve import equilibrium
     lev = np.asarray(equilibrium.cell_levels(grid))
     dens = np.asarray(grid.dens)
@@ -691,7 +692,7 @@ def _scaled_absorbed(grid, intf, gl_cm):
     coeff = (8.0 ** lev) * (FACTOR / gl_cm)
     with np.errstate(divide="ignore", invalid="ignore"):
         fabs = fabs * (coeff / np.maximum(dens, 1e-35))[:, None]
-    fabs[dens <= 0.0] = -1.0e20
+    fabs[dens <= max(0.0, nnn_limit)] = -1.0e20
     return fabs
 
 
@@ -953,7 +954,8 @@ def _run_inner(cfg, lanes, write_files, t_start):
     # (ASOC.py:63-65)
     if cfg.lib_abs:
         if per_freq_tally:
-            fabs = _scaled_absorbed(grid, intf, cfg.gl * PARSEC)
+            fabs = _scaled_absorbed(grid, intf, cfg.gl * PARSEC,
+                                    cfg.nnn_limit)
             res.absorbed = fabs
             if write_files and cfg.file_absorbed:
                 sel = np.zeros(nfreq, bool)
@@ -1117,7 +1119,7 @@ def _run_inner(cfg, lanes, write_files, t_start):
     if per_freq_tally and not cfg.noabsorbed:
         fabs = _scaled_absorbed(
             grid, intf[:, :, 0] if cfg.save_intensity == 2 else intf,
-            gl_cm)
+            gl_cm, cfg.nnn_limit)
         res.absorbed = fabs
         if write_files and cfg.file_absorbed:
             write_cell_frequency_array(cfg.file_absorbed, fabs)
@@ -1328,7 +1330,8 @@ def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
             # (NPIX.x == NSIDE; reference writes headerless map.healpix)
             intobs = cfg.intobs if cfg.intobs[0] > -1e7 else centre
             phot, tau, colden = render_mapping.render_healpix(
-                grid, emit_map, ext_gl, intobs, int(cfg.npix[0]))
+                grid, emit_map, ext_gl, intobs, int(cfg.npix[0]),
+                interpolate=int(cfg.interpolate))
             res.maps[0] = np.asarray(phot)
             res.tau_maps[0] = np.asarray(tau)
             if write_files:

@@ -113,6 +113,47 @@ def _nearest_indices(freq, values_um):
             for u in values_um]
 
 
+def _rpol_factor(name, freq, aalg):
+    """R(aalg[cell], freq): fraction of the cross section in aligned
+    grains a >= aalg, from the <dust>.rpol table (A2E_MABU.py:615-637 --
+    log-frequency interpolation between columns, then size interpolation
+    at each cell's aalg with zero fill outside the size grid)."""
+    tab = np.loadtxt("%s.rpol" % name)
+    apol, fpol, rpol = tab[1:, 0], tab[0, 1:], tab[1:, 1:]
+    lf = np.log(fpol)
+    out = np.zeros((len(aalg), len(freq)), np.float32)
+    for k, f in enumerate(np.asarray(freq, np.float64)):
+        i = int(np.argmin(np.abs(fpol - f)))
+        if fpol[i] > f:
+            i = max(i - 1, 0)
+        j = min(i + 1, len(fpol) - 1)
+        wj = 0.0 if i == j else (np.log(f) - lf[i]) / (lf[j] - lf[i])
+        col = (1.0 - wj) * rpol[:, i] + wj * rpol[:, j]
+        out[:, k] = np.interp(aalg, apol, col, left=0.0, right=0.0)
+    return out
+
+
+def pol_specs(cfg, comps, freq, cells):
+    """Per-component polarised-emission specs from the `polarisation`
+    keyword (cfg.aalg: dust name -> per-cell a_alg file written by RAT
+    alignment tools; A2E_MABU.py:158-167)."""
+    if not cfg.aalg:
+        return None
+    pol = {}
+    for d, comp in enumerate(comps):
+        f_aalg = cfg.aalg.get(comp.name)
+        if f_aalg is None:
+            continue
+        # aalg file = one leading count value + CELLS float32
+        # (A2E_MABU.py:636 fromfile(...)[1:])
+        aalg = np.fromfile(f_aalg, np.float32)[1:][:cells]
+        if comp.kind == "gset":
+            pol[d] = ("aalg", aalg)
+        else:
+            pol[d] = ("rfactor", _rpol_factor(comp.name, freq, aalg))
+    return pol or None
+
+
 def emission_stage(cfg, comps, absorbed, abu, freq, ne=128, dens=None):
     """A2E_MABU stage with the library / NN surrogate variants
     (ASOC_driver.py:91-133 nnmake/nnsolve; A2E_MABU.py:1017-1068 NN paths;
@@ -120,8 +161,9 @@ def emission_stage(cfg, comps, absorbed, abu, freq, ne=128, dens=None):
 
     absorbed : [CELLS, NF_ABS] cleaned payload (parents zeroed). For
     nnsolve/uselib runs NF_ABS may be the reduced nnabs/FSELECT set.
-    Returns EMITTED [CELLS, NFREQ] (nnsolve: nnemit columns only are
-    nonzero).
+    Returns (EMITTED [CELLS, NFREQ], PEMITTED or None) -- nnsolve fills
+    only the nnemit columns; PEMITTED is the polarised emission when the
+    `polarisation` keyword names any dust (surrogate paths: None).
     """
     from ..solve import nn as nnmod
     from ..solve import library as libmod
@@ -141,7 +183,7 @@ def emission_stage(cfg, comps, absorbed, abu, freq, ne=128, dens=None):
             y = nnmod.nn_solve(model, x)
             w = abu[:, d][:, None] if abu is not None else 1.0
             emitted[:, iemit] += y * w
-        return emitted
+        return emitted, None
 
     if cfg.file_library and os.path.exists(cfg.file_library):
         # uselib: absorbed holds the FSELECT reference frequencies
@@ -154,11 +196,13 @@ def emission_stage(cfg, comps, absorbed, abu, freq, ne=128, dens=None):
                              "absorbed has %d" % (nref, absorbed.shape[1]))
         lib_direct = dict(lib)
         lib_direct["ref_indices"] = list(range(absorbed.shape[1]))
-        return libmod.solve_with_library(lib_direct, absorbed)
+        return libmod.solve_with_library(lib_direct, absorbed), None
 
-    emitted, per_dust = mabu.solve_emission_multi(
+    pol = pol_specs(cfg, comps, freq, cells)
+    out = mabu.solve_emission_multi(
         comps, absorbed, abu, return_components=True,
-        cr_mode=int(cfg.cr_heating), dens=dens)
+        cr_mode=int(cfg.cr_heating), dens=dens, pol=pol)
+    (emitted, per_dust), pemitted = out[:2], out[2] if pol else None
 
     if cfg.nn_make:
         # train per-dust surrogates on this solve's (absorbed, emitted)
@@ -173,7 +217,7 @@ def emission_stage(cfg, comps, absorbed, abu, freq, ne=128, dens=None):
                                  emit_d[::thin][:, iemit],
                                  hidden=cfg.nn_net)
             nnmod.nn_save("%s_%s.nn" % (cfg.nn_make, comp.name), model)
-    return emitted
+    return emitted, pemitted
 
 
 def run_pipeline(ini_path, lanes=driver.DEFAULT_LANES, ne=128, mode=None):
@@ -280,18 +324,29 @@ def _run_pipeline_inner(ini_path, lanes, ne, mode):
         # (ASOC.py absthin); solve those and leave the rest zero
         abs_clean = abs_clean[::cfg.abs_thin]
     dens_full = np.asarray(res_rt.grid.dens)
-    emitted_part = emission_stage(cfg, comps, abs_clean,
-                                  abu[::cfg.abs_thin] if abu is not None
-                                  and cfg.abs_thin > 1 else abu, freq, ne=ne,
-                                  dens=dens_full[::cfg.abs_thin]
-                                  if cfg.abs_thin > 1 else dens_full)
-    if cfg.abs_thin > 1:
-        emitted = np.zeros((cells, len(freq)), np.float32)
-        emitted[::cfg.abs_thin] = emitted_part
-    else:
-        emitted = emitted_part
-    emitted[~valid] = 0.0
+    emitted_part, pemitted_part = emission_stage(
+        cfg, comps, abs_clean,
+        abu[::cfg.abs_thin] if abu is not None
+        and cfg.abs_thin > 1 else abu, freq, ne=ne,
+        dens=dens_full[::cfg.abs_thin]
+        if cfg.abs_thin > 1 else dens_full)
+
+    def _expand(part):
+        if cfg.abs_thin > 1:
+            out = np.zeros((cells, len(freq)), np.float32)
+            out[::cfg.abs_thin] = part
+        else:
+            out = part
+        out[~valid] = 0.0
+        return out
+
+    emitted = _expand(emitted_part)
     write_cell_frequency_array(cfg.file_emitted, emitted)
+    if pemitted_part is not None:
+        # polarised emission of the aligned dusts -> <emitted>.P
+        # (A2E_MABU.py:589, 651-656)
+        write_cell_frequency_array(cfg.file_emitted + ".P",
+                                   _expand(pemitted_part))
 
     if mode == "makelib":
         # build the binned lookup library from this full solve

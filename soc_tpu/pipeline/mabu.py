@@ -102,7 +102,8 @@ def solve_equilibrium_eqdust(kabs, freq, absorbed, ne=30000,
 
 
 def solve_emission_multi(components, absorbed, abu=None,
-                         return_components=False, cr_mode=0, dens=None):
+                         return_components=False, cr_mode=0, dens=None,
+                         pol=None):
     """Full multi-dust solve.
 
     components : list[DustComponent]
@@ -113,9 +114,16 @@ def solve_emission_multi(components, absorbed, abu=None,
                  any absorption (ratio of cross sections at the highest
                  frequency ~ physical grain cross sections,
                  A2E_MABU.py:780-817); mode 3 needs dens [CELLS].
+    pol        : optional {component index: spec} for the `polarisation`
+                 keyword (A2E_MABU.py:158-167, 615-637): spec is
+                 ('aalg', a_alg[CELLS]) for a stochastic dust (emission
+                 restricted to aligned sizes a >= a_alg) or
+                 ('rfactor', R[CELLS, NFREQ]) for an eqdust (the .rpol
+                 aligned-cross-section fraction interpolated per cell).
     Returns EMITTED [CELLS, NFREQ] float32; with return_components=True,
     (EMITTED, [per-dust (absorbed_d, emit_d)]) -- the training pairs the
-    NN surrogate path consumes (A2E_MABU.py:1017-1068).
+    NN surrogate path consumes (A2E_MABU.py:1017-1068). With pol given,
+    PEMITTED [CELLS, NFREQ] is appended to the return value.
     """
     cells, nfreq = absorbed.shape
     ndust = len(components)
@@ -132,23 +140,37 @@ def solve_emission_multi(components, absorbed, abu=None,
     rabs = np.clip(rabs, 1e-30, 1.0)
 
     emitted = np.zeros((cells, nfreq), np.float32)
+    pemitted = np.zeros((cells, nfreq), np.float32) if pol else None
     per_dust = []
     for d, comp in enumerate(components):
         absd = split_absorbed(absorbed, rabs, abu, d)
+        pol_d = pol.get(d) if pol else None
         if comp.kind == "gset":
             # stochastic grains: with CR heating the reference feeds the
             # extra channel to A2E as highest-frequency absorptions (the
             # split file keeps it); identical here
-            emit_d = stochastic.solve_emission(comp.solver, absd,
-                                               nstoch=comp.nstoch)
+            if pol_d is not None and pol_d[0] == "aalg":
+                emit_d, pemit_d = stochastic.solve_emission(
+                    comp.solver, absd, nstoch=comp.nstoch, aalg=pol_d[1])
+            else:
+                emit_d = stochastic.solve_emission(comp.solver, absd,
+                                                   nstoch=comp.nstoch)
+                pemit_d = None
         elif comp.kind == "eqdust":
             emit_d, _ = solve_equilibrium_eqdust(comp.kabs, comp.freq, absd,
                                                  cr_channel=cr_mode > 0)
+            pemit_d = emit_d * pol_d[1] \
+                if pol_d is not None and pol_d[0] == "rfactor" else None
         else:
             raise ValueError(f"unknown dust kind {comp.kind!r}")
         emitted += emit_d * abu[:, d][:, None]
+        if pemitted is not None and pemit_d is not None:
+            pemitted += pemit_d * abu[:, d][:, None]
         if return_components:
             per_dust.append((absd, emit_d))
+    out = (emitted,)
     if return_components:
-        return emitted, per_dust
-    return emitted
+        out += (per_dust,)
+    if pol:
+        out += (pemitted,)
+    return out if len(out) > 1 else emitted

@@ -264,13 +264,22 @@ def _run_inner(cfg, write_files, nlanes):
         outcoming[ifreq] *= k
 
     if write_files:
-        with open("outcoming.socs", "wb") as fp:
-            if healpix_nside > 0:
-                np.asarray([healpix_nside, nfreq], np.int32).tofile(fp)
-            else:
-                np.asarray([nyp, nxp, nfreq], np.int32).tofile(fp)
-            np.asarray(freq, np.float32).tofile(fp)
-            outcoming.tofile(fp)
+        if cfg.fits > 0 and healpix_nside <= 0 and ndir == 1:
+            # single-direction FITS image cube instead of the binary
+            # container (ASOCS.py:387-392, 892: '<file_scattering>.fits')
+            from ..io.fits import write_fits_image
+            pix_deg = np.degrees(cfg.map_dx * cfg.gl
+                                 / max(cfg.distance, 1e-30))
+            write_fits_image("%s.fits" % cfg.file_scattering,
+                             outcoming[:, 0], pix_deg=pix_deg)
+        else:
+            with open("outcoming.socs", "wb") as fp:
+                if healpix_nside > 0:
+                    np.asarray([healpix_nside, nfreq], np.int32).tofile(fp)
+                else:
+                    np.asarray([nyp, nxp, nfreq], np.int32).tofile(fp)
+                np.asarray(freq, np.float32).tofile(fp)
+                outcoming.tofile(fp)
     return outcoming
 
 

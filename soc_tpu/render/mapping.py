@@ -216,11 +216,81 @@ def render_ortho(grid, emit_map, ext_gl, odir, ra, de, centre, map_dx,
     return phot, tau, colden
 
 
-@partial(jax.jit, static_argnames=("nside", "max_steps"))
-def render_healpix(grid, emit_map, ext_gl, intobs, nside, max_steps=100000):
+def _interp_density(grid, mid, dens0, olevel, mode):
+    """LOS density smoothing for all-sky maps (`interpolation` keyword,
+    kernel_ASOC_map_H.c:654-733): density at the global step midpoint
+    `mid` instead of the cell value `dens0`.
+
+    mode 1: 4-point linear blend with one axis neighbor per dimension
+            (regular root grid only, like the reference).
+    mode 2: 3x3x3 inverse-distance weighting (regular root grid only).
+    mode 3: 3x3x3 IDW with full hierarchy lookups at +-one-cell-size
+            offsets (works on refined grids).
+    """
+    nx, ny, nz = grid.nx, grid.ny, grid.nz
+    if mode == 1:
+        i0 = jnp.clip(jnp.floor(mid[:, 0]).astype(jnp.int32), 0, nx - 1)
+        j0 = jnp.clip(jnp.floor(mid[:, 1]).astype(jnp.int32), 0, ny - 1)
+        k0 = jnp.clip(jnp.floor(mid[:, 2]).astype(jnp.int32), 0, nz - 1)
+        m = jnp.mod(mid, 1.0) - 0.5
+        s = (3.0 - jnp.abs(m).sum(-1)) * dens0
+        ix = jnp.where(m[:, 0] > 0, jnp.maximum(i0 - 1, 0),
+                       jnp.minimum(i0 + 1, nx - 1))
+        s = s + jnp.abs(m[:, 0]) * grid.dens[k0 * nx * ny + j0 * nx + ix]
+        iy = jnp.where(m[:, 1] > 0, jnp.maximum(j0 - 1, 0),
+                       jnp.minimum(j0 + 1, ny - 1))
+        s = s + jnp.abs(m[:, 1]) * grid.dens[k0 * nx * ny + iy * nx + i0]
+        iz = jnp.where(m[:, 2] > 0, jnp.maximum(k0 - 1, 0),
+                       jnp.minimum(k0 + 1, nz - 1))
+        s = s + jnp.abs(m[:, 2]) * grid.dens[iz * nx * ny + j0 * nx + i0]
+        return s / 3.0
+    if mode == 2:
+        i0 = jnp.floor(mid[:, 0]).astype(jnp.int32)
+        j0 = jnp.floor(mid[:, 1]).astype(jnp.int32)
+        k0 = jnp.floor(mid[:, 2]).astype(jnp.int32)
+        tot = jnp.zeros_like(dens0)
+        wtot = jnp.zeros_like(dens0)
+        for dk in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                for di in (-1, 0, 1):
+                    i, j, k = i0 + di, j0 + dj, k0 + dk
+                    ok = ((i >= 0) & (i < nx) & (j >= 0) & (j < ny)
+                          & (k >= 0) & (k < nz))
+                    d = mid - jnp.stack([i + 0.5, j + 0.5, k + 0.5],
+                                        -1).astype(mid.dtype)
+                    w = jnp.where(
+                        ok, 1.0 / (0.1 + jnp.linalg.norm(d, axis=-1)), 0.0)
+                    gi = jnp.clip(k, 0, nz - 1) * nx * ny \
+                        + jnp.clip(j, 0, ny - 1) * nx + jnp.clip(i, 0, nx - 1)
+                    tot = tot + w * grid.dens[gi]
+                    wtot = wtot + w
+        return tot / jnp.maximum(wtot, 1e-30)
+    # mode 3
+    delta = jnp.exp2(-olevel.astype(mid.dtype))[:, None]
+    tot = jnp.zeros_like(dens0)
+    wtot = jnp.zeros_like(dens0)
+    for dk in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            for di in (-1, 0, 1):
+                off3 = jnp.asarray([di, dj, dk], mid.dtype)
+                _, lvl, ind = traverse.index_global(grid, mid + delta * off3)
+                ok = ind >= 0
+                gi = jnp.clip(grid.off[jnp.clip(lvl, 0, grid.levels - 1)]
+                              + jnp.maximum(ind, 0), 0, grid.cells - 1)
+                w = jnp.where(
+                    ok, 1.0 / np.sqrt(0.2 + di * di + dj * dj + dk * dk), 0.0)
+                tot = tot + w * grid.dens[gi]
+                wtot = wtot + w
+    return tot / jnp.maximum(wtot, 1e-30)
+
+
+@partial(jax.jit, static_argnames=("nside", "max_steps", "interpolate"))
+def render_healpix(grid, emit_map, ext_gl, intobs, nside, max_steps=100000,
+                   interpolate=0):
     """All-sky map around an internal observer (HealpixMapping,
     kernel_ASOC_map.c:890-965): one ray per RING pixel stepping away from
-    INTOBS; (lon,lat)=(0,0) looks along -X.
+    INTOBS; (lon,lat)=(0,0) looks along -X. `interpolate` selects the LOS
+    density smoothing of the `interpolation` keyword (_interp_density).
 
     Returns (photons [NF, NPIX], tau [NF, NPIX], colden [NPIX]).
     """
@@ -252,10 +322,15 @@ def render_healpix(grid, emit_map, ext_gl, intobs, nside, max_steps=100000):
         gidx = jnp.clip(grid.off[jnp.clip(level, 0, grid.levels - 1)]
                         + jnp.maximum(ind, 0), 0, grid.cells - 1)
         dens = grid.dens[gidx]
+        if interpolate:
+            gpos = traverse.root_pos(grid, pos, level, ind)
         ds, npos, nlevel, nind = traverse.get_step(
             grid, pos, step_dir, level, ind, active)
         failed = active & (nlevel == level) & (nind == ind)
         npos = jnp.where(failed[:, None], npos + 1e-4 * step_dir, npos)
+        if interpolate:
+            dens = _interp_density(grid, gpos + (0.5 * ds)[:, None]
+                                   * step_dir, dens, level, interpolate)
         w = jnp.where(active, ds, 0.0)
         dtau = (w * dens)[:, None] * ext_gl[None, :]
         emit = emit_map[gidx, :]

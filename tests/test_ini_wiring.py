@@ -438,3 +438,52 @@ def test_sampleini_roundtrip(tmp_path, monkeypatch):
     assert cfg.gl == 0.01 and cfg.bgpac == 999999
     assert cfg.npix == (64, 64) and cfg.iterations == 1
     assert cfg.file_cloud == "tmp.cloud" and len(cfg.file_optical) == 1
+
+
+def test_nnnlimit_masks_low_density_cells(model_dir):
+    """`nnnlimit X`: cells with density <= X are marked -1e20 in the
+    absorbed payload, exactly like parent cells (ASOC.py:2808-2825)."""
+    # gradient cloud so part of the cells fall under the limit
+    dens = np.linspace(0.5, 2.0, N ** 3).astype(np.float32)
+    write_hierarchy(model_dir / "tmp.cloud", N, N, N, [N ** 3], [dens])
+    # the limit applies to the kdensity-scaled densities (DENS in ASOC.py)
+    res = run_ini(model_dir, "nnnlimit 3.0e4\n")
+    masked = res.absorbed[:, 0] < -1e19
+    expect = np.asarray(res.grid.dens) <= 3.0e4
+    assert masked.sum() > 0 and masked.sum() < N ** 3
+    np.testing.assert_array_equal(masked, expect)
+
+
+def test_dustem_keyword_saves_intensity(model_dir):
+    """`dustem`: skip the absorbed file, write the intensity file instead
+    (ASOC_aux.py:279-281)."""
+    res = run_ini(model_dir, "dustem /nonexistent/path\nnomap 1\n")
+    assert res.absorbed is None
+    assert (model_dir / "ISRF.DAT").exists()
+    from soc_tpu.io.fields import read_cell_frequency_array
+    isrf = read_cell_frequency_array(str(model_dir / "ISRF.DAT"))
+    assert isrf.shape[0] == N ** 3 and isrf.sum() > 0
+
+
+def test_interpolation_healpix_map(model_dir):
+    """`interpolation N`: LOS density smoothing in the all-sky healpix map
+    (kernel_ASOC_map_H.c:654-733). On a uniform cloud every mode must
+    reproduce the unsmoothed map exactly; on a gradient cloud the smoothed
+    map differs but conserves the total within a few percent."""
+    base = BASE_INI.replace("mapping         8 8 1.0",
+                            "mapping         4 0 1.0")
+    extra = "perspective 6.0 6.0 6.0\n"
+    res0 = run_ini(model_dir, extra, base=base)
+    for mode in (1, 2, 3):
+        res = run_ini(model_dir, extra + "interpolation %d\n" % mode,
+                      base=base)
+        np.testing.assert_allclose(res.maps[0], res0.maps[0], rtol=1e-4)
+    # gradient cloud: interpolation changes the map but not its scale
+    dens = np.linspace(0.5, 2.0, N ** 3).astype(np.float32)
+    write_hierarchy(model_dir / "tmp.cloud", N, N, N, [N ** 3], [dens])
+    g0 = run_ini(model_dir, extra, base=base)
+    for mode in (1, 2, 3):
+        g = run_ini(model_dir, extra + "interpolation %d\n" % mode,
+                    base=base)
+        assert not np.allclose(g.maps[0], g0.maps[0])
+        assert abs(g.maps[0].sum() / g0.maps[0].sum() - 1.0) < 0.05, mode

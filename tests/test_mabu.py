@@ -96,3 +96,69 @@ def test_cr_heating_modes():
     # modes 1/2 are density-independent constants
     assert np.allclose(cr_heating_channel(1, None, cells),
                        1e-27 * 1e20)
+
+
+def test_polarised_emission_gset():
+    """`polarisation` keyword path for a stochastic dust: PEMITTED from
+    aligned sizes a >= aalg -- full alignment reproduces EMITTED, an
+    unreachable aalg gives zero (A2E_MABU.py:971-983 / A2E.py aalg)."""
+    dust = synthetic_dust()
+    freq = np.logspace(11.3, 15.2, 40)
+    sol = solver_prep.build_solver(dust, freq, ne=64)
+    comps = [mabu.DustComponent(name="gs", kind="gset", kabs=sol.k_abs,
+                                solver=sol)]
+    absorbed = np.tile(isrf_absorptions(dust, freq), (5, 1))
+    cells = absorbed.shape[0]
+    tiny = np.full(cells, 0.5 * sol.size_a.min(), np.float32)
+    huge = np.full(cells, 10.0 * sol.size_a.max(), np.float32)
+    e_all, p_all = mabu.solve_emission_multi(
+        comps, absorbed, pol={0: ("aalg", tiny)})
+    np.testing.assert_allclose(p_all, e_all, rtol=1e-5)
+    e_none, p_none = mabu.solve_emission_multi(
+        comps, absorbed, pol={0: ("aalg", huge)})
+    np.testing.assert_allclose(e_none, e_all, rtol=1e-5)
+    assert np.all(p_none == 0.0)
+    # intermediate cutoff: strictly between the extremes
+    mid = np.full(cells, np.exp(0.5 * (np.log(sol.size_a.min())
+                                       + np.log(sol.size_a.max()))),
+                  np.float32)
+    _, p_mid = mabu.solve_emission_multi(comps, absorbed,
+                                         pol={0: ("aalg", mid)})
+    assert 0.0 < p_mid.sum() < p_all.sum()
+
+
+def test_polarised_emission_eqdust_rfactor(tmp_path, monkeypatch):
+    """eqdust `polarisation` path: PEMITTED = EMITTED * R(aalg, freq) with
+    R interpolated from the .rpol table (A2E_MABU.py:615-637)."""
+    from soc_tpu.config import RunConfig
+    from soc_tpu.pipeline import full
+
+    freq = np.logspace(11.5, 15, 30)
+    kabs = 1e-21 * (freq / 1e12) ** 1.7
+    comps = [mabu.DustComponent(name="eq", kind="eqdust", kabs=kabs,
+                                freq=freq)]
+    rng = np.random.default_rng(3)
+    cells = 16
+    absorbed = (1e3 * rng.random((cells, 30)) * (freq / freq.max()) ** -1
+                ).astype(np.float32)
+    # synthetic .rpol: R constant 0.25 over a size x frequency grid
+    sizes = np.logspace(-7, -4, 8)
+    tab = np.zeros((9, 5))
+    tab[0, 1:] = np.logspace(11.0, 15.5, 4)
+    tab[1:, 0] = sizes
+    tab[1:, 1:] = 0.25
+    monkeypatch.chdir(tmp_path)
+    np.savetxt("eq.rpol", tab)
+    aalg = np.full(cells, sizes[3], np.float32)
+    (tmp_path / "eq.aalg").write_bytes(
+        np.asarray([cells], np.float32).tobytes() + aalg.tobytes())
+    cfg = RunConfig(text="polarisation eq.dust eq.aalg\n")
+    pol = full.pol_specs(cfg, comps, freq, cells)
+    assert pol is not None and pol[0][0] == "rfactor"
+    emitted, pemitted = mabu.solve_emission_multi(comps, absorbed, pol=pol)
+    np.testing.assert_allclose(pemitted, 0.25 * emitted, rtol=1e-5)
+    # aalg below the table -> interp hits the table edge (still 0.25);
+    # aalg above the size grid -> zero fill
+    aalg_hi = np.full(cells, 1.0, np.float32)
+    r_hi = full._rpol_factor("eq", freq, aalg_hi)
+    assert np.all(r_hi == 0.0)

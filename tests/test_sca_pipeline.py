@@ -138,3 +138,16 @@ def test_roi_load_scattering(model_dir):
     out = scattering.run(str(ini2), nlanes=1 << 11)
     assert out[40].sum() > 0
     assert out.sum() == pytest.approx(out[40].sum())
+
+
+def test_fits_scattering_output(model_dir):
+    """`fits 1` + one direction: the scattered-light image is written as
+    '<file_scattering>.fits' instead of the binary container
+    (ASOCS.py:387-392, 892; `scatter` keyword = output name stem)."""
+    from soc_tpu.io.fits import read_fits_image
+    ini = write_ini(model_dir, extra="fits 1\nscattering scat\n"
+                                     "distance 100.0\n")
+    out = scattering.run(ini, nlanes=1 << 11)
+    assert not (model_dir / "outcoming.socs").exists()
+    data, hdr = read_fits_image(str(model_dir / "scat.fits"))
+    np.testing.assert_allclose(data, out[:, 0], rtol=1e-6)
