@@ -149,6 +149,154 @@ def index_update(grid, pos, level, ind, active):
     return pos, level, ind
 
 
+# ---------------------------------------------------------------------------
+# Ancestor-stack traversal: the hot-loop variant.
+#
+# index_update's up-walk reads the PAR array once per level -- on a 3-level
+# grid that makes every transport step a chain of 5 serialized HBM gathers
+# (dens + 2x par + 2x descend), and the par gathers are pure latency: the
+# parent's level-local index is fully determined by the lane's own descent
+# history. Carrying that history -- anc[k] = the lane's ancestor index at
+# level k -- turns the up-walk into ALU-only work (sub-octet ids come from
+# ind % 8, positions from the stacked indices), leaving only the dens
+# gathers of the down-walk. Measured 20 -> ~2x faster stepping on the
+# 3-level bench cloud.
+#
+# The stack is (levels-1) int32 per lane, maintained by the *_stack
+# functions below; entries at k >= level are stale by construction.
+# Lanes arriving without a history (source refill, domain exchange, split
+# clones) rebuild it with stack_from_par -- par gathers there are amortized
+# over a whole refill period.
+# ---------------------------------------------------------------------------
+
+
+def _anc_read(anc, level):
+    """anc[lane, level] via one-hot contraction (levels is tiny/static)."""
+    k = anc.shape[-1]
+    onehot = (jnp.arange(k, dtype=jnp.int32)[None, :] == level[..., None])
+    return jnp.sum(jnp.where(onehot, anc, 0), axis=-1)
+
+
+def _anc_write(anc, level, value, mask):
+    k = anc.shape[-1]
+    onehot = (jnp.arange(k, dtype=jnp.int32)[None, :] == level[..., None])
+    sel = onehot & mask[..., None]
+    return jnp.where(sel, value[..., None], anc)
+
+
+def stack_from_par(grid, level, ind):
+    """Rebuild the ancestor stack of (level, ind) cells from the PAR array
+    (used for lanes that arrive without a descent history)."""
+    n = ind.shape[0]
+    anc = jnp.zeros((n, max(grid.levels - 1, 1)), jnp.int32)
+    lvl = level
+    cur = ind
+    for _ in range(grid.levels - 1):
+        up = lvl > 0
+        gidx = jnp.clip(grid.off[jnp.clip(lvl, 0, grid.levels - 1)] + cur,
+                        0, grid.cells - 1)
+        parent = grid.par[gidx]
+        plevel = jnp.maximum(lvl - 1, 0)
+        anc = _anc_write(anc, plevel, parent, up)
+        cur = jnp.where(up, parent, cur)
+        lvl = jnp.where(up, plevel, lvl)
+    return anc
+
+
+def _descend_stack(grid, pos, level, ind, anc, active):
+    """_descend that also records the path: returns (pos, level, ind, anc)."""
+    for _ in range(grid.levels - 1):
+        gidx = grid.off[level] + ind
+        dval = grid.dens[jnp.clip(gidx, 0, grid.cells - 1)]
+        go = active & (ind >= 0) & (dval <= 0.0)
+        child = _decode_link(dval)
+        new_pos = 2.0 * jnp.mod(pos, 1.0)
+        new_ind = child + _suboct(new_pos)
+        anc = _anc_write(anc, level, ind, go)
+        pos = jnp.where(go[..., None], new_pos, pos)
+        ind = jnp.where(go, new_ind, ind)
+        level = jnp.where(go, level + 1, level)
+    return pos, level, ind, anc
+
+
+def index_global_stack(grid, pos):
+    """index_global that also returns the ancestor stack of the leaf."""
+    outside = _outside_root(pos, grid.nx, grid.ny, grid.nz)
+    ind = jnp.where(outside, INVALID,
+                    _root_index(pos, grid.nx, grid.ny, grid.nz))
+    level = jnp.zeros_like(ind)
+    anc = jnp.zeros(pos.shape[:-1] + (max(grid.levels - 1, 1),), jnp.int32)
+    pos, level, ind, anc = _descend_stack(grid, pos, level, ind, anc,
+                                          ~outside)
+    return pos, level, ind, anc
+
+
+def index_update_stack(grid, pos, level, ind, anc, active):
+    """index_update with an ALU-only up-walk driven by the ancestor stack.
+
+    Semantics identical to index_update given a consistent stack; no PAR
+    reads. Returns (pos, level, ind, anc).
+    """
+    if grid.levels == 1:
+        pos, level, ind = index_update(grid, pos, level, ind, active)
+        return pos, level, ind, anc
+
+    at_root = active & (level == 0)
+    outside0 = _outside_root(pos, grid.nx, grid.ny, grid.nz)
+    root_ind = _root_index(pos, grid.nx, grid.ny, grid.nz)
+    ind = jnp.where(at_root, jnp.where(outside0, INVALID, root_ind), ind)
+
+    up = active & (level > 0)
+    for _ in range(grid.levels - 1):
+        plevel = level - 1
+        parent = _anc_read(anc, jnp.maximum(plevel, 0))
+        # case A: parent is at root
+        posA = 0.5 * pos
+        posA = posA.at[..., 0].add((parent % grid.nx).astype(pos.dtype))
+        posA = posA.at[..., 1].add(((parent // grid.nx)
+                                    % grid.ny).astype(pos.dtype))
+        posA = posA.at[..., 2].add((parent
+                                    // (grid.nx * grid.ny)).astype(pos.dtype))
+        outsideA = _outside_root(posA, grid.nx, grid.ny, grid.nz)
+        indA = jnp.where(outsideA, INVALID,
+                         _root_index(posA, grid.nx, grid.ny, grid.nz))
+        # case B: parent inside an octet at plevel > 0
+        sid = parent % 8
+        posB = 0.5 * pos
+        posB = posB.at[..., 0].add((sid % 2).astype(pos.dtype))
+        posB = posB.at[..., 1].add(((sid // 2) % 2).astype(pos.dtype))
+        posB = posB.at[..., 2].add((sid // 4).astype(pos.dtype))
+        insideB = ((posB[..., 0] >= 0.0) & (posB[..., 0] <= 2.0)
+                   & (posB[..., 1] >= 0.0) & (posB[..., 1] <= 2.0)
+                   & (posB[..., 2] >= 0.0) & (posB[..., 2] <= 2.0))
+        indB = parent - sid + _suboct(posB)
+
+        rootcase = up & (plevel == 0)
+        octcase = up & (plevel > 0)
+        pos = jnp.where(rootcase[..., None], posA,
+                        jnp.where(octcase[..., None], posB, pos))
+        ind = jnp.where(rootcase, indA,
+                        jnp.where(octcase,
+                                  jnp.where(insideB, indB, parent), ind))
+        level = jnp.where(up, plevel, level)
+        nowdone = rootcase | (octcase & insideB)
+        up = up & ~nowdone & (level > 0)
+
+    pos, level, ind, anc = _descend_stack(grid, pos, level, ind, anc,
+                                          active & (ind >= 0))
+    return pos, level, ind, anc
+
+
+def get_step_stack(grid, pos, dir, level, ind, anc, active):
+    """get_step over the ancestor-stack state: no PAR gathers."""
+    ds_local, new_pos = boundary_step(pos, dir)
+    ds_gl = ds_local * jnp.exp2(-level.astype(ds_local.dtype))
+    pos = jnp.where(active[..., None], new_pos, pos)
+    pos, level, ind, anc = index_update_stack(grid, pos, level, ind, anc,
+                                              active)
+    return ds_gl, pos, level, ind, anc
+
+
 def boundary_step(pos, dir):
     """Distance (level-local units) to the next cell boundary, PEPS over-step.
 

@@ -113,7 +113,7 @@ def render_ortho(grid, emit_map, ext_gl, odir, ra, de, centre, map_dx,
     step_dir = jnp.where(jnp.abs(step_dir) < 1e-5, 1e-5, step_dir)
     step_dir = jnp.broadcast_to(step_dir, pos.shape)
 
-    pos, level, ind = traverse.index_global(grid, pos)
+    pos, level, ind, anc = traverse.index_global_stack(grid, pos)
     npixels = pos.shape[0]
     tau = jnp.zeros((npixels, nf), jnp.float32)
     phot = jnp.zeros((npixels, nf), jnp.float32)
@@ -121,18 +121,19 @@ def render_ortho(grid, emit_map, ext_gl, odir, ra, de, centre, map_dx,
     los = jnp.zeros(npixels, jnp.float32)
 
     def cond(state):
-        it, pos, level, ind, tau, phot, colden, los = state
+        it = state[0]
+        ind = state[3]
         return (it < max_steps) & jnp.any(ind >= 0)
 
     def body(state):
-        it, pos, level, ind, tau, phot, colden, los = state
+        it, pos, level, ind, anc, tau, phot, colden, los = state
         active = ind >= 0
         gidx = jnp.clip(grid.off[jnp.clip(level, 0, grid.levels - 1)]
                         + jnp.maximum(ind, 0), 0, grid.cells - 1)
         dens = grid.dens[gidx]
         emit = emit_map[gidx, :]                       # [P, NF]
-        ds, npos, nlevel, nind = traverse.get_step(
-            grid, pos, step_dir, level, ind, active)
+        ds, npos, nlevel, nind, nanc = traverse.get_step_stack(
+            grid, pos, step_dir, level, ind, anc, active)
         # failed-step recovery
         failed = active & (nlevel == level) & (nind == ind)
         npos = jnp.where(failed[:, None], npos + 1e-4 * step_dir, npos)
@@ -146,13 +147,13 @@ def render_ortho(grid, emit_map, ext_gl, odir, ra, de, centre, map_dx,
 
             def neighbor(adir):
                 d = jnp.broadcast_to(adir, pos.shape)
-                sa, _, sl, si = traverse.get_step(grid, mid, d, level,
-                                                  ind, active)
+                sa, _, sl, si, _ = traverse.get_step_stack(
+                    grid, mid, d, level, ind, anc, active)
                 sa = sa / k
                 ok = (sa <= 0.52) & (si >= 0)
                 # try the opposite direction when no near neighbor
-                sb, _, sl2, si2 = traverse.get_step(grid, mid, -d, level,
-                                                    ind, active)
+                sb, _, sl2, si2, _ = traverse.get_step_stack(
+                    grid, mid, -d, level, ind, anc, active)
                 sb = sb / k
                 ok2 = ~ok & (sb <= 0.52) & (si2 >= 0)
                 sl = jnp.where(ok, sl, sl2)
@@ -201,15 +202,16 @@ def render_ortho(grid, emit_map, ext_gl, odir, ra, de, centre, map_dx,
             newy = jnp.mod(npos[:, 1] + ny_ + yshift, ny_)
             newy = jnp.clip(newy, 2.0 * EPS, ny_ - 2.0 * EPS)
             wpos = jnp.stack([newx, newy, npos[:, 2]], axis=1)
-            wp, wl, wi = traverse.index_global(grid, wpos)
+            wp, wl, wi, wa = traverse.index_global_stack(grid, wpos)
             npos = jnp.where(cont[:, None], wp, npos)
             nlevel = jnp.where(cont, wl, nlevel)
             nind = jnp.where(cont, wi, nind)
+            nanc = jnp.where(cont[:, None], wa, nanc)
 
-        return it + 1, npos, nlevel, nind, tau, phot, colden, los
+        return it + 1, npos, nlevel, nind, nanc, tau, phot, colden, los
 
-    state = (jnp.int32(0), pos, level, ind, tau, phot, colden, los)
-    _, _, _, _, tau, phot, colden, _ = lax.while_loop(cond, body, state)
+    state = (jnp.int32(0), pos, level, ind, anc, tau, phot, colden, los)
+    _, _, _, _, _, tau, phot, colden, _ = lax.while_loop(cond, body, state)
     phot = phot.T.reshape(nf, nyp, nxp)
     tau = tau.T.reshape(nf, nyp, nxp)
     colden = colden.reshape(nyp, nxp)
@@ -307,25 +309,26 @@ def render_healpix(grid, emit_map, ext_gl, intobs, nside, max_steps=100000,
     # nudge off cell boundaries (reference: +2e-5 guards)
     pos = pos + 2.0e-5
 
-    pos, level, ind = traverse.index_global(grid, pos)
+    pos, level, ind, anc = traverse.index_global_stack(grid, pos)
     tau = jnp.zeros((npix, nf), jnp.float32)
     phot = jnp.zeros((npix, nf), jnp.float32)
     colden = jnp.zeros(npix, jnp.float32)
 
     def cond(state):
-        it, pos, level, ind, tau, phot, colden = state
+        it = state[0]
+        ind = state[3]
         return (it < max_steps) & jnp.any(ind >= 0)
 
     def body(state):
-        it, pos, level, ind, tau, phot, colden = state
+        it, pos, level, ind, anc, tau, phot, colden = state
         active = ind >= 0
         gidx = jnp.clip(grid.off[jnp.clip(level, 0, grid.levels - 1)]
                         + jnp.maximum(ind, 0), 0, grid.cells - 1)
         dens = grid.dens[gidx]
         if interpolate:
             gpos = traverse.root_pos(grid, pos, level, ind)
-        ds, npos, nlevel, nind = traverse.get_step(
-            grid, pos, step_dir, level, ind, active)
+        ds, npos, nlevel, nind, anc = traverse.get_step_stack(
+            grid, pos, step_dir, level, ind, anc, active)
         failed = active & (nlevel == level) & (nind == ind)
         npos = jnp.where(failed[:, None], npos + 1e-4 * step_dir, npos)
         if interpolate:
@@ -339,10 +342,10 @@ def render_healpix(grid, emit_map, ext_gl, intobs, nside, max_steps=100000,
         phot = phot + jnp.exp(-tau) * attw * (w * dens)[:, None] * emit
         tau = tau + dtau
         colden = colden + w * dens
-        return it + 1, npos, nlevel, nind, tau, phot, colden
+        return it + 1, npos, nlevel, nind, anc, tau, phot, colden
 
-    state = (jnp.int32(0), pos, level, ind, tau, phot, colden)
-    _, _, _, _, tau, phot, colden = lax.while_loop(cond, body, state)
+    state = (jnp.int32(0), pos, level, ind, anc, tau, phot, colden)
+    _, _, _, _, _, tau, phot, colden = lax.while_loop(cond, body, state)
     return phot.T, tau.T, colden
 
 
@@ -373,24 +376,25 @@ def render_perspective(grid, emit_map, ext_gl, intobs, npix,
     pos = jnp.broadcast_to(jnp.asarray(intobs, jnp.float32),
                            step_dir.shape) + 2.0e-5
 
-    pos, level, ind = traverse.index_global(grid, pos)
+    pos, level, ind, anc = traverse.index_global_stack(grid, pos)
     npixels = pos.shape[0]
     tau = jnp.zeros((npixels, nf), jnp.float32)
     phot = jnp.zeros((npixels, nf), jnp.float32)
     colden = jnp.zeros(npixels, jnp.float32)
 
     def cond(state):
-        it, pos, level, ind, tau, phot, colden = state
+        it = state[0]
+        ind = state[3]
         return (it < max_steps) & jnp.any(ind >= 0)
 
     def body(state):
-        it, pos, level, ind, tau, phot, colden = state
+        it, pos, level, ind, anc, tau, phot, colden = state
         active = ind >= 0
         gidx = jnp.clip(grid.off[jnp.clip(level, 0, grid.levels - 1)]
                         + jnp.maximum(ind, 0), 0, grid.cells - 1)
         dens = grid.dens[gidx]
-        ds, npos, nlevel, nind = traverse.get_step(
-            grid, pos, step_dir, level, ind, active)
+        ds, npos, nlevel, nind, anc = traverse.get_step_stack(
+            grid, pos, step_dir, level, ind, anc, active)
         failed = active & (nlevel == level) & (nind == ind)
         npos = jnp.where(failed[:, None], npos + 1e-4 * step_dir, npos)
         w = jnp.where(active, ds, 0.0)
@@ -401,10 +405,10 @@ def render_perspective(grid, emit_map, ext_gl, intobs, npix,
         phot = phot + jnp.exp(-tau) * attw * (w * dens)[:, None] * emit
         tau = tau + dtau
         colden = colden + w * dens
-        return it + 1, npos, nlevel, nind, tau, phot, colden
+        return it + 1, npos, nlevel, nind, anc, tau, phot, colden
 
-    state = (jnp.int32(0), pos, level, ind, tau, phot, colden)
-    _, _, _, _, tau, phot, colden = lax.while_loop(cond, body, state)
+    state = (jnp.int32(0), pos, level, ind, anc, tau, phot, colden)
+    _, _, _, _, _, tau, phot, colden = lax.while_loop(cond, body, state)
     return (phot.T.reshape(nf, nyp, nxp), tau.T.reshape(nf, nyp, nxp),
             colden.reshape(nyp, nxp))
 
@@ -422,32 +426,33 @@ def render_pstau(grid, ext_gl, ps_pos, odir, max_steps=100000):
     ps_pos = jnp.asarray(ps_pos, jnp.float32)
     step_dir = jnp.broadcast_to(step_dir, ps_pos.shape)
     nf = ext_gl.shape[0]
-    pos, level, ind = traverse.index_global(grid, ps_pos)
+    pos, level, ind, anc = traverse.index_global_stack(grid, ps_pos)
     ns = pos.shape[0]
     tau = jnp.zeros((ns, nf), jnp.float32)
     colden = jnp.zeros(ns, jnp.float32)
 
     def cond(state):
-        it, pos, level, ind, tau, colden = state
+        it = state[0]
+        ind = state[3]
         return (it < max_steps) & jnp.any(ind >= 0)
 
     def body(state):
-        it, pos, level, ind, tau, colden = state
+        it, pos, level, ind, anc, tau, colden = state
         active = ind >= 0
         gidx = jnp.clip(grid.off[jnp.clip(level, 0, grid.levels - 1)]
                         + jnp.maximum(ind, 0), 0, grid.cells - 1)
         dens = grid.dens[gidx]
-        ds, npos, nlevel, nind = traverse.get_step(
-            grid, pos, step_dir, level, ind, active)
+        ds, npos, nlevel, nind, anc = traverse.get_step_stack(
+            grid, pos, step_dir, level, ind, anc, active)
         failed = active & (nlevel == level) & (nind == ind)
         npos = jnp.where(failed[:, None], npos + 1e-4 * step_dir, npos)
         w = jnp.where(active, ds, 0.0)
         tau = tau + (w * dens)[:, None] * ext_gl[None, :]
         colden = colden + w * dens
-        return it + 1, npos, nlevel, nind, tau, colden
+        return it + 1, npos, nlevel, nind, anc, tau, colden
 
-    state = (jnp.int32(0), pos, level, ind, tau, colden)
-    _, _, _, _, tau, colden = lax.while_loop(cond, body, state)
+    state = (jnp.int32(0), pos, level, ind, anc, tau, colden)
+    _, _, _, _, _, tau, colden = lax.while_loop(cond, body, state)
     return tau, colden
 
 
@@ -478,24 +483,25 @@ def render_ortho_hier(grid, emit_map, ext_gl, odir, ra, de, centre, map_dx,
     step_dir = jnp.where(jnp.abs(step_dir) < 1e-5, 1e-5, step_dir)
     step_dir = jnp.broadcast_to(step_dir, pos.shape)
 
-    pos, level, ind = traverse.index_global(grid, pos)
+    pos, level, ind, anc = traverse.index_global_stack(grid, pos)
     npixels = pos.shape[0]
     tau = jnp.zeros((npixels, nf), jnp.float32)
     phot = jnp.zeros((npixels, nlev, nf), jnp.float32)
 
     def cond(state):
-        it, pos, level, ind, tau, phot = state
+        it = state[0]
+        ind = state[3]
         return (it < max_steps) & jnp.any(ind >= 0)
 
     def body(state):
-        it, pos, level, ind, tau, phot = state
+        it, pos, level, ind, anc, tau, phot = state
         active = ind >= 0
         olevel = level
         gidx = jnp.clip(grid.off[jnp.clip(level, 0, grid.levels - 1)]
                         + jnp.maximum(ind, 0), 0, grid.cells - 1)
         dens = grid.dens[gidx]
-        ds, npos, nlevel, nind = traverse.get_step(
-            grid, pos, step_dir, level, ind, active)
+        ds, npos, nlevel, nind, anc = traverse.get_step_stack(
+            grid, pos, step_dir, level, ind, anc, active)
         failed = active & (nlevel == level) & (nind == ind)
         npos = jnp.where(failed[:, None], npos + 1e-4 * step_dir, npos)
         w = jnp.where(active, ds, 0.0)
@@ -509,8 +515,8 @@ def render_ortho_hier(grid, emit_map, ext_gl, odir, ra, de, centre, map_dx,
         phot = phot + onehot.astype(jnp.float32)[:, :, None] \
             * contrib[:, None, :]
         tau = tau + dtau
-        return it + 1, npos, nlevel, nind, tau, phot
+        return it + 1, npos, nlevel, nind, anc, tau, phot
 
-    state = (jnp.int32(0), pos, level, ind, tau, phot)
-    _, _, _, _, tau, phot = lax.while_loop(cond, body, state)
+    state = (jnp.int32(0), pos, level, ind, anc, tau, phot)
+    _, _, _, _, _, tau, phot = lax.while_loop(cond, body, state)
     return jnp.transpose(phot, (1, 2, 0)).reshape(nlev, nf, nyp, nxp)

@@ -57,7 +57,7 @@ def render_pol(grid, emit_map, ext_gl, bfield, p0, odir, ra, de, centre,
     step_dir = jnp.where(jnp.abs(step_dir) < 1e-5, 1e-5, step_dir)
     step_dir = jnp.broadcast_to(step_dir, pos.shape)
 
-    pos, level, ind = traverse.index_global(grid, pos)
+    pos, level, ind, anc = traverse.index_global_stack(grid, pos)
     npixels = pos.shape[0]
     tau = jnp.zeros((npixels, nf), jnp.float32)
     s_i = jnp.zeros((npixels, nf), jnp.float32)
@@ -67,18 +67,19 @@ def render_pol(grid, emit_map, ext_gl, bfield, p0, odir, ra, de, centre,
     los = jnp.zeros(npixels, jnp.float32)
 
     def cond(state):
-        it, pos, level, ind, tau, s_i, s_q, s_u, colden, los = state
+        it = state[0]
+        ind = state[3]
         return (it < max_steps) & jnp.any(ind >= 0)
 
     def body(state):
-        it, pos, level, ind, tau, s_i, s_q, s_u, colden, los = state
+        it, pos, level, ind, anc, tau, s_i, s_q, s_u, colden, los = state
         active = ind >= 0
         gidx = jnp.clip(grid.off[jnp.clip(level, 0, grid.levels - 1)]
                         + jnp.maximum(ind, 0), 0, grid.cells - 1)
         dens = grid.dens[gidx]
         b = bfield[gidx]                                # [P, 3]
-        ds, npos, nlevel, nind = traverse.get_step(
-            grid, pos, step_dir, level, ind, active)
+        ds, npos, nlevel, nind, anc = traverse.get_step_stack(
+            grid, pos, step_dir, level, ind, anc, active)
         failed = active & (nlevel == level) & (nind == ind)
         npos = jnp.where(failed[:, None], npos + 1e-4 * step_dir, npos)
 
@@ -141,19 +142,21 @@ def render_pol(grid, emit_map, ext_gl, bfield, p0, odir, ra, de, centre,
             newy = jnp.clip(jnp.mod(npos[:, 1] + ny_ + yshift, ny_),
                             1e-3, ny_ - 1e-3)
             wpos = jnp.stack([newx, newy, npos[:, 2]], axis=1)
-            wp, wl, wi = traverse.index_global(grid, wpos)
+            wp, wl, wi, wa = traverse.index_global_stack(grid, wpos)
             npos = jnp.where(contw[:, None], wp, npos)
             nlevel = jnp.where(contw, wl, nlevel)
             nind = jnp.where(contw, wi, nind)
+            anc = jnp.where(contw[:, None], wa, anc)
         # rays stop once the LOS passes maxlos (kernel_ASOC_map_H.c:743,
         # kernel_ASOC_map.c:1517)
         nind = jnp.where(los >= maxlos, jnp.int32(-1), nind)
-        return it + 1, npos, nlevel, nind, tau, s_i, s_q, s_u, colden, los
+        return (it + 1, npos, nlevel, nind, anc, tau, s_i, s_q, s_u,
+                colden, los)
 
-    state = (jnp.int32(0), pos, level, ind, tau, s_i, s_q, s_u, colden,
-             los)
-    _, _, _, _, tau, s_i, s_q, s_u, colden, _ = lax.while_loop(cond, body,
-                                                               state)
+    state = (jnp.int32(0), pos, level, ind, anc, tau, s_i, s_q, s_u,
+             colden, los)
+    _, _, _, _, _, tau, s_i, s_q, s_u, colden, _ = lax.while_loop(
+        cond, body, state)
     shape = (nf, nyp, nxp)
     return (s_i.T.reshape(shape), s_q.T.reshape(shape),
             s_u.T.reshape(shape), colden.reshape(nyp, nxp))
@@ -188,7 +191,7 @@ def render_pol_healpix(grid, emit_map, ext_gl, bfield, p0, intobs, nside,
     odir = -step_dir
     pos = jnp.broadcast_to(jnp.asarray(intobs, jnp.float32),
                            (npix, 3)) + 2.0e-5
-    pos, level, ind = traverse.index_global(grid, pos)
+    pos, level, ind, anc = traverse.index_global_stack(grid, pos)
     tau = jnp.zeros((npix, nf), jnp.float32)
     s_i = jnp.zeros((npix, nf), jnp.float32)
     s_q = jnp.zeros((npix, nf), jnp.float32)
@@ -201,14 +204,14 @@ def render_pol_healpix(grid, emit_map, ext_gl, bfield, p0, intobs, nside,
         return (it < max_steps) & jnp.any(state[3] >= 0)
 
     def body(state):
-        it, pos, level, ind, tau, s_i, s_q, s_u, colden, los = state
+        it, pos, level, ind, anc, tau, s_i, s_q, s_u, colden, los = state
         active = ind >= 0
         gidx = jnp.clip(grid.off[jnp.clip(level, 0, grid.levels - 1)]
                         + jnp.maximum(ind, 0), 0, grid.cells - 1)
         dens = grid.dens[gidx]
         b = bfield[gidx]
-        ds, npos, nlevel, nind = traverse.get_step(
-            grid, pos, step_dir, level, ind, active)
+        ds, npos, nlevel, nind, anc = traverse.get_step_stack(
+            grid, pos, step_dir, level, ind, anc, active)
         failed = active & (nlevel == level) & (nind == ind)
         npos = jnp.where(failed[:, None], npos + 1e-4 * step_dir, npos)
         bnorm = jnp.linalg.norm(b, axis=-1)
@@ -238,12 +241,13 @@ def render_pol_healpix(grid, emit_map, ext_gl, bfield, p0, intobs, nside,
         colden = colden + jnp.where(los >= minlos, w * dens, 0.0)
         los = los + w
         nind = jnp.where(los >= maxlos, jnp.int32(-1), nind)
-        return it + 1, npos, nlevel, nind, tau, s_i, s_q, s_u, colden, los
+        return (it + 1, npos, nlevel, nind, anc, tau, s_i, s_q, s_u,
+                colden, los)
 
-    state = (jnp.int32(0), pos, level, ind, tau, s_i, s_q, s_u, colden,
-             los)
-    _, _, _, _, tau, s_i, s_q, s_u, colden, _ = lax.while_loop(cond, body,
-                                                               state)
+    state = (jnp.int32(0), pos, level, ind, anc, tau, s_i, s_q, s_u,
+             colden, los)
+    _, _, _, _, _, tau, s_i, s_q, s_u, colden, _ = lax.while_loop(
+        cond, body, state)
     return s_i.T, s_q.T, s_u.T, colden
 
 
@@ -276,7 +280,7 @@ def render_polstat(grid, emit_map, ext_gl, bfield, odir, ra, de, centre,
     step_dir = -odir
     step_dir = jnp.where(jnp.abs(step_dir) < 1e-5, 1e-5, step_dir)
     step_dir = jnp.broadcast_to(step_dir, pos.shape)
-    pos, level, ind = traverse.index_global(grid, pos)
+    pos, level, ind, anc = traverse.index_global_stack(grid, pos)
     npixels = pos.shape[0]
 
     acc = {k: jnp.zeros(npixels, jnp.float32)
@@ -284,18 +288,19 @@ def render_polstat(grid, emit_map, ext_gl, bfield, odir, ra, de, centre,
                      "colden")}
 
     def cond(state):
-        it, pos, level, ind, acc = state
+        it = state[0]
+        ind = state[3]
         return (it < max_steps) & jnp.any(ind >= 0)
 
     def body(state):
-        it, pos, level, ind, acc = state
+        it, pos, level, ind, anc, acc = state
         active = ind >= 0
         gidx = jnp.clip(grid.off[jnp.clip(level, 0, grid.levels - 1)]
                         + jnp.maximum(ind, 0), 0, grid.cells - 1)
         dens = grid.dens[gidx]
         b = bfield[gidx]
-        ds, npos, nlevel, nind = traverse.get_step(
-            grid, pos, step_dir, level, ind, active)
+        ds, npos, nlevel, nind, anc = traverse.get_step_stack(
+            grid, pos, step_dir, level, ind, anc, active)
         failed = active & (nlevel == level) & (nind == ind)
         npos = jnp.where(failed[:, None], npos + 1e-4 * step_dir, npos)
         sx = jnp.where(active, ds, 0.0)
@@ -323,10 +328,10 @@ def render_polstat(grid, emit_map, ext_gl, bfield, odir, ra, de, centre,
         acc2["bpos"] = acc["bpos"] + w * bpos
         acc2["tau"] = acc["tau"] + dtau
         acc2["colden"] = acc["colden"] + sx * dens
-        return it + 1, npos, nlevel, nind, acc2
+        return it + 1, npos, nlevel, nind, anc, acc2
 
-    state = (jnp.int32(0), pos, level, ind, acc)
-    _, _, _, _, acc = lax.while_loop(cond, body, state)
+    state = (jnp.int32(0), pos, level, ind, anc, acc)
+    _, _, _, _, _, acc = lax.while_loop(cond, body, state)
     w = jnp.maximum(acc["w"], 1e-30)
     mean_psi = acc["psi"] / w
     var_psi = jnp.maximum(acc["psi2"] / w - mean_psi**2, 0.0)

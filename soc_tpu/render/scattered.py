@@ -64,30 +64,32 @@ def _march_tau(grid, pos, level, ind, dir, ext, active, max_steps=8192,
         max_dist = jnp.full(pos.shape[0], jnp.inf, jnp.float32)
 
     def cond(state):
-        it, pos, level, ind, tau, left = state
+        it = state[0]
+        ind = state[3]
         return (it < max_steps) & jnp.any(ind >= 0)
 
     def body(state):
-        it, pos, level, ind, tau, left = state
+        it, pos, level, ind, anc, tau, left = state
         live = ind >= 0
         gidx = jnp.clip(grid.off[jnp.clip(level, 0, grid.levels - 1)]
                         + jnp.maximum(ind, 0), 0, grid.cells - 1)
         dens = grid.dens[gidx]
-        ds, npos, nlevel, nind = traverse.get_step(
-            grid, pos, dir, level, ind, live)
+        ds, npos, nlevel, nind, anc = traverse.get_step_stack(
+            grid, pos, dir, level, ind, anc, live)
         failed = live & (nlevel == level) & (nind == ind)
         npos = jnp.where(failed[:, None], npos + PEPS * dir, npos)
         w = jnp.minimum(ds, left)
         tau = tau + jnp.where(live, w * dens * ext, 0.0)
         left = jnp.where(live, left - w, left)
         nind = jnp.where(left <= 0.0, -1, nind)
-        return it + 1, npos, nlevel, nind, tau, left
+        return it + 1, npos, nlevel, nind, anc, tau, left
 
     ind = jnp.where(active, ind, -1)
     tau = jnp.zeros(pos.shape[0], jnp.float32)
-    state = (jnp.int32(0), pos, level, ind, tau,
+    state = (jnp.int32(0), pos, level, ind,
+             traverse.stack_from_par(grid, level, ind), tau,
              jnp.asarray(max_dist, jnp.float32))
-    _, pos, _, _, tau, _ = lax.while_loop(cond, body, state)
+    _, pos, _, _, _, tau, _ = lax.while_loop(cond, body, state)
     return tau, pos
 
 
@@ -155,12 +157,12 @@ def propagate_events(grid, physics, b, free_path, events, ecount, seed,
          as_f(events.level)[:, None], as_f(events.ind)[:, None]], axis=1)
 
     def cond(state):
-        it, b, fp, tau, evbuf, ecount = state
+        it, b, fp, tau, evbuf, ecount, anc = state
         return ((it < max_iters) & jnp.any(b.ind >= 0)
                 & (ecount + nlanes <= capacity))
 
     def body(state):
-        it, b, free_path, tau, evbuf, ecount = state
+        it, b, free_path, tau, evbuf, ecount, anc = state
         alive = b.ind >= 0
         gidx = jnp.clip(grid.off[jnp.clip(b.level, 0, grid.levels - 1)]
                         + jnp.maximum(b.ind, 0), 0, grid.cells - 1)
@@ -214,8 +216,8 @@ def propagate_events(grid, physics, b, free_path, events, ecount, seed,
 
         posx = jnp.where(alive[:, None], pos_boundary, b.pos)
         cross = alive & ~scatter_now
-        npos, nlevel, nind = traverse.index_update(
-            grid, posx, b.level, b.ind, cross)
+        npos, nlevel, nind, anc = traverse.index_update_stack(
+            grid, posx, b.level, b.ind, anc, cross)
         failed = cross & (nlevel == b.level) & (nind == b.ind)
         npos = jnp.where(failed[:, None], npos + PEPS * b.dir, npos)
 
@@ -232,11 +234,13 @@ def propagate_events(grid, physics, b, free_path, events, ecount, seed,
                          photons=photons, ifreq=b.ifreq, stream=b.stream,
                          hi=b.hi, counter=b.counter + jnp.uint32(1),
                          scatterings=scat, e_cell=b.e_cell)
-        return it + 1, nb, free_path, tau, evbuf, ecount
+        return it + 1, nb, free_path, tau, evbuf, ecount, anc
 
     tau0 = jnp.zeros(nlanes, jnp.float32)
-    state = (jnp.int32(0), b, free_path, tau0, evbuf0, ecount)
-    _, b, free_path, _, evbuf, ecount = lax.while_loop(cond, body, state)
+    state = (jnp.int32(0), b, free_path, tau0, evbuf0, ecount,
+             traverse.stack_from_par(grid, b.level, b.ind))
+    _, b, free_path, _, evbuf, ecount, _ = lax.while_loop(cond, body,
+                                                          state)
     events = ScatterEvents(
         pos=evbuf[:, 0:3], dir=evbuf[:, 3:6], photons=evbuf[:, 6],
         level=as_i(evbuf[:, 7]), ind=as_i(evbuf[:, 8]),

@@ -232,7 +232,7 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
 
     def body(state):
         (it, b, pending, free_path, tau, next_id, tabs, intf, esc,
-         esc_pending, absd, xab_c, roi_c, sp) = state
+         esc_pending, absd, xab_c, roi_c, sp, anc) = state
 
         # ---- flush per-lane escaped weight of dead lanes into the
         # per-frequency bins (one-hot reduction: no scatter serialization)
@@ -345,6 +345,12 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
         tau = jnp.where(can, 0.0, tau)
         next_id = next_id + jnp.sum(can.astype(jnp.int32))
 
+        # ---- ancestor stack for the PAR-free up-walk in the march steps:
+        # derivable from (level, ind) at any time, so one rebuild per
+        # refill body covers freshly refilled lanes and split clones alike
+        # (the march maintains it incrementally in between)
+        anc = traverse.stack_from_par(grid, b.level, b.ind)
+
         # ---- per-lane physics constants, refreshed once per refill body
         # (amortized over the refill_period inner steps)
         if lane_const:
@@ -361,17 +367,17 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
             return march(*st)
 
         st = (b, pending, free_path, tau, tabs, intf, esc_pending, absd,
-              xab_c, roi_c, sp, lane_c)
+              xab_c, roi_c, sp, anc, lane_c)
         for _ in range(max(1, refill_period // service_period)):
             st = service(*st)
             st = lax.fori_loop(0, service_period, phys, st)
         (b, pending, free_path, tau, tabs, intf, esc_pending, absd, xab_c,
-         roi_c, sp, lane_c) = st
+         roi_c, sp, anc, lane_c) = st
         return (it + 1, b, pending, free_path, tau, next_id, tabs, intf,
-                esc, esc_pending, absd, xab_c, roi_c, sp)
+                esc, esc_pending, absd, xab_c, roi_c, sp, anc)
 
     def service(b, pending, free_path, tau, tabs, intf, esc_pending, absd,
-                xab_c, roi_c, sp, lane_c=()):
+                xab_c, roi_c, sp, anc, lane_c=()):
         """Serve pending scattering events: one RNG evaluation, the
         phase-function table gather and the deflection, for every frozen
         lane at once (the expensive per-step work the march steps skip)."""
@@ -438,10 +444,10 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
         free_path = jnp.where(act, fp_next, free_path)
         tau = jnp.where(act, 0.0, tau)
         return (nb, pending & ~act, free_path, tau, tabs, intf, esc_pending,
-                absd, xab_c, roi_c, sp, lane_c)
+                absd, xab_c, roi_c, sp, anc, lane_c)
 
     def march(b, pending, free_path, tau, tabs, intf, esc_pending, absd,
-              xab_c, roi_c, sp, lane_c=()):
+              xab_c, roi_c, sp, anc, lane_c=()):
         alive = b.ind >= 0
         active = alive & ~pending          # frozen lanes await service
         gidx = jnp.clip(grid.off[jnp.clip(b.level, 0, grid.levels - 1)]
@@ -507,11 +513,12 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
         absd = absd + jnp.sum(jnp.where(active, delta, 0.0))
         photons = jnp.where(active, b.photons * att, b.photons)
 
-        # ---- crossing branch: move into next cell
+        # ---- crossing branch: move into next cell (ancestor-stack
+        # up-walk: no PAR gathers on the hot path)
         posx = jnp.where(active[..., None], pos_boundary, b.pos)
         cross = active & ~scatter_now
-        npos, nlevel, nind = traverse.index_update(
-            grid, posx, b.level, b.ind, cross)
+        npos, nlevel, nind, anc = traverse.index_update_stack(
+            grid, posx, b.level, b.ind, anc, cross)
         failed = cross & (nlevel == b.level) & (nind == b.ind)
         npos = jnp.where(failed[..., None], npos + PEPS * b.dir, npos)
         dirx = b.dir
@@ -542,6 +549,9 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
             npos = jnp.where(mirrored[:, None], mp, npos)
             nlevel = jnp.where(mirrored, ml, nlevel)
             nind = jnp.where(mirrored, mi, nind)
+            if grid.levels > 1:
+                anc = jnp.where(mirrored[:, None],
+                                traverse.stack_from_par(grid, ml, mi), anc)
 
         # ---- ROI save: packets that just crossed into the ROI box
         if roi_nside > 0:
@@ -612,7 +622,7 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
                          hi=b.hi, counter=b.counter,
                          scatterings=scat, e_cell=b.e_cell)
         return (nb, pending, free_path, tau, tabs, intf, esc_pending, absd,
-                new_xab, roi_c, sp, lane_c)
+                new_xab, roi_c, sp, anc, lane_c)
 
     if xab is None:
         xab = jnp.zeros(1, jnp.float32)
@@ -638,10 +648,11 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
              jnp.zeros(nlanes, jnp.float32), jnp.int32(0), tabs, intf,
              jnp.zeros(esc_bins, jnp.float32),
              jnp.zeros(nlanes, jnp.float32), jnp.float32(0.0), xab,
-             roi_tally, sp0)
+             roi_tally, sp0,
+             jnp.zeros((nlanes, max(grid.levels - 1, 1)), jnp.int32))
     state = lax.while_loop(cond, body, state)
     (_, b, _, _, _, _, tabs, intf, esc, esc_pending, absd, xab,
-     roi_tally, sp_out) = state
+     roi_tally, sp_out, _) = state
     # final flush: lanes that died in the last block
     if esc_bins == 1:
         esc = esc + jnp.sum(esc_pending)[None]

@@ -115,3 +115,39 @@ def test_masked_lanes_do_not_move():
     ds, p1, level1, ind1 = traverse.get_step(grid, p0, d, level, ind, active)
     np.testing.assert_array_equal(np.asarray(p1[1]), np.asarray(p0[1]))
     assert int(ind1[1]) == int(ind[1])
+
+
+def test_index_update_stack_parity():
+    """The ancestor-stack traversal (hot-path variant, no PAR gathers) must
+    reproduce index_update exactly on random walks over a refined grid."""
+    import jax.numpy as jnp
+    from soc_tpu.ops import traverse
+
+    grid = make_octree_grid()
+    rng = np.random.default_rng(11)
+    n = 512
+    pos = rng.uniform(0.2, grid.nx - 0.2, (n, 3)).astype(np.float32)
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    dirs = np.where(np.abs(dirs) < 1e-5, 1e-5, dirs).astype(np.float32)
+    p, lvl, ind = traverse.index_global(grid, jnp.asarray(pos))
+    anc = traverse.stack_from_par(grid, lvl, ind)
+    d = jnp.asarray(dirs)
+    for _ in range(60):
+        active = ind >= 0
+        ds0, p0, l0, i0 = traverse.get_step(grid, p, d, lvl, ind, active)
+        ds1, p1, l1, i1, anc = traverse.get_step_stack(grid, p, d, lvl, ind,
+                                                       anc, active)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+        np.testing.assert_allclose(np.asarray(p0), np.asarray(p1))
+        np.testing.assert_allclose(np.asarray(ds0), np.asarray(ds1))
+        # the maintained stack always matches a PAR rebuild
+        np.testing.assert_array_equal(
+            np.asarray(jnp.where((jnp.arange(anc.shape[1])[None, :]
+                                  < l1[:, None]) & (i1 >= 0)[:, None],
+                                 anc, -9)),
+            np.asarray(jnp.where((jnp.arange(anc.shape[1])[None, :]
+                                  < l1[:, None]) & (i1 >= 0)[:, None],
+                                 traverse.stack_from_par(grid, l1, i1), -9)))
+        p, lvl, ind = p1, l1, i1
