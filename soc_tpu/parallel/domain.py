@@ -351,7 +351,7 @@ def _build_domain_runner(slabs, mesh, nlanes, k_inner, max_super,
 
         def step_once(st):
             (pos, dir, lev, ind, photons, stream, hi, counter, scat,
-             free_path, tau, emig, tabs, esc) = st
+             free_path, tau, emig, tabs, esc, anc) = st
             alive = (ind >= 0) & (emig == 0)
             ci = jnp.clip(off_c[jnp.clip(lev, 0, levels - 1)]
                           + jnp.maximum(ind, 0), 0, cells_pad - 1)
@@ -383,8 +383,8 @@ def _build_domain_runner(slabs, mesh, nlanes, k_inner, max_super,
 
             posx = jnp.where(alive[:, None], pos_boundary, pos)
             cross = alive & ~scatter_now
-            npos, nlev, nind = traverse.index_update(grid, posx, lev, ind,
-                                                     cross)
+            npos, nlev, nind, anc = traverse.index_update_stack(
+                grid, posx, lev, ind, anc, cross)
             failed = cross & (nlev == lev) & (nind == ind)
             npos = jnp.where(failed[:, None], npos + PEPS * dir, npos)
 
@@ -422,7 +422,7 @@ def _build_domain_runner(slabs, mesh, nlanes, k_inner, max_super,
             emig = jnp.where(alive, new_emig, emig)
             # emigrant lanes freeze at the boundary position
             return (posm, dirm, levm, indm, photons, stream, hi, counter,
-                    scatm, free_path, tau, emig, tabs, esc)
+                    scatm, free_path, tau, emig, tabs, esc, anc)
 
         def superstep(carry):
             (it, pos, dir, lev, ind, photons, stream, hi, counter, scat,
@@ -472,12 +472,14 @@ def _build_domain_runner(slabs, mesh, nlanes, k_inner, max_super,
             tau = jnp.where(can, 0.0, tau)
             next_id = next_id + jnp.sum(can.astype(jnp.int32))
 
-            # ---- k_inner local steps
+            # ---- k_inner local steps (ancestor stack rebuilt once per
+            # superstep: drained arrivals and refills just changed lanes)
             st = (pos, dir, lev, ind, photons, stream, hi, counter, scat,
-                  free_path, tau, emig, tabs, esc)
+                  free_path, tau, emig, tabs, esc,
+                  traverse.stack_from_par(grid, lev, ind))
             st = lax.fori_loop(0, k_inner, lambda _, s: step_once(s), st)
             (pos, dir, lev, ind, photons, stream, hi, counter, scat,
-             free_path, tau, emig, tabs, esc) = st
+             free_path, tau, emig, tabs, esc, _) = st
 
             # ---- pack + exchange emigrants (z shifted to neighbor frame)
             def pack_dirn(sign):

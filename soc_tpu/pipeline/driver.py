@@ -1444,7 +1444,8 @@ def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
             s_i, s_q, s_u, colden = render_pol_healpix(
                 grid, emit_map, ext_gl, bfield, cfg.p0,
                 jnp.asarray(intobs, jnp.float32), nside_p, polred=polred,
-                maxlos=cfg.maxlos, minlos=cfg.minlos)
+                maxlos=cfg.maxlos, minlos=cfg.minlos,
+                interpolate=int(cfg.interpolate))
             res.maps[("pol_hp", 0)] = (np.asarray(s_i), np.asarray(s_q),
                                        np.asarray(s_u), np.asarray(colden))
             if write_files:

@@ -162,14 +162,17 @@ def render_pol(grid, emit_map, ext_gl, bfield, p0, odir, ra, de, centre,
             s_u.T.reshape(shape), colden.reshape(nyp, nxp))
 
 
-@partial(jax.jit, static_argnames=("nside", "max_steps"))
+@partial(jax.jit, static_argnames=("nside", "max_steps",
+                                   "interpolate"))
 def render_pol_healpix(grid, emit_map, ext_gl, bfield, p0, intobs, nside,
                        polred=False, max_steps=100000,
-                       maxlos=1e10, minlos=-1.0):
+                       maxlos=1e10, minlos=-1.0, interpolate=0):
     """All-sky Stokes I/Q/U(,N) maps around an internal observer
     (PolHealpixMapping, kernel_ASOC_map_H.c:576-867): one ray per RING
     pixel stepping away from INTOBS; per-step polarization geometry as in
     render_pol with (RA, DE) the local tangent basis of each pixel.
+    `interpolate` applies the `interpolation` keyword's LOS density
+    smoothing (kernel_ASOC_map_H.c:654-733).
 
     Returns (I, Q, U) each [NF, NPIX] + colden [NPIX] (GL units).
     """
@@ -210,10 +213,16 @@ def render_pol_healpix(grid, emit_map, ext_gl, bfield, p0, intobs, nside,
                         + jnp.maximum(ind, 0), 0, grid.cells - 1)
         dens = grid.dens[gidx]
         b = bfield[gidx]
+        if interpolate:
+            gpos = traverse.root_pos(grid, pos, level, ind)
         ds, npos, nlevel, nind, anc = traverse.get_step_stack(
             grid, pos, step_dir, level, ind, anc, active)
         failed = active & (nlevel == level) & (nind == ind)
         npos = jnp.where(failed[:, None], npos + 1e-4 * step_dir, npos)
+        if interpolate:
+            from .mapping import _interp_density
+            dens = _interp_density(grid, gpos + (0.5 * ds)[:, None]
+                                   * step_dir, dens, level, interpolate)
         bnorm = jnp.linalg.norm(b, axis=-1)
         p = bnorm if polred else jnp.full_like(bnorm, p0)
         bn = b / jnp.maximum(bnorm, 1e-30)[:, None]

@@ -198,3 +198,30 @@ def test_minlos_maxlos_window():
     none = render_pol(grid, emit, ext, b, 0.2, odir, ra, de, centre, 1.0,
                       (nx, nx), minlos=100.0)
     assert float(none[0].max()) == 0.0
+
+
+def test_pol_healpix_interpolation():
+    """`interpolation` smoothing in the all-sky polarization map: exact on
+    a uniform cloud, different-but-conserving on a gradient."""
+    import jax.numpy as jnp
+    from soc_tpu.render.polarization import render_pol_healpix
+    n = 8
+    emit = jnp.ones((n ** 3, 2), jnp.float32)
+    ext = jnp.asarray([0.05, 0.1], jnp.float32)
+    b = jnp.tile(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (n ** 3, 1))
+    obs = jnp.asarray([4.0, 4.0, 4.0], jnp.float32)
+    from soc_tpu.grid import grid_from_arrays
+    g_uni = uniform_grid(n, n, n)
+    i0, q0, u0, c0 = render_pol_healpix(g_uni, emit, ext, b, 0.2, obs, 2)
+    for mode in (1, 2, 3):
+        i1, q1, u1, c1 = render_pol_healpix(g_uni, emit, ext, b, 0.2, obs,
+                                            2, interpolate=mode)
+        np.testing.assert_allclose(np.asarray(i1), np.asarray(i0),
+                                   rtol=1e-4)
+    grad = np.linspace(0.5, 2.0, n ** 3).astype(np.float32)
+    g_grad = grid_from_arrays(n, n, n, [n ** 3], [grad])
+    gi0, _, _, _ = render_pol_healpix(g_grad, emit, ext, b, 0.2, obs, 2)
+    gi1, _, _, _ = render_pol_healpix(g_grad, emit, ext, b, 0.2, obs, 2,
+                                      interpolate=2)
+    assert not np.allclose(np.asarray(gi1), np.asarray(gi0))
+    assert abs(np.asarray(gi1).sum() / np.asarray(gi0).sum() - 1.0) < 0.05
