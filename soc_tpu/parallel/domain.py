@@ -205,6 +205,29 @@ def domain_cell_emission_run(slabs, physics, emit, per_cell, seed, mesh,
         extra_arrays=(jnp.asarray(inv),), extra_specs=(P("dp"),))
 
 
+def domain_generator_run(slabs, physics, gen_name, params, total_packets,
+                         seed, mesh, nlanes=1 << 10, k_inner=32,
+                         max_super=1 << 20, hi_base=None):
+    """Z-slab transport for any *surface/point* packet generator
+    (point sources incl. all PS_METHODs, healpix background, ROI re-load).
+
+    Entry states are geometry-only: the global generator is evaluated
+    against a levels==1 dummy grid of the global dimensions (no density
+    reads happen at level 0), each device keeps the ids whose entry
+    position falls in its slab, and re-indexes them on its local slab
+    octree. RNG identity matches the single-device per-frequency call
+    (params gain ifreq=0 / hi_base=hi so hi equals base + channel).
+    """
+    params = dict(params)
+    params["ifreq"] = jnp.int32(0)
+    params["hi_base"] = jnp.uint32(stream_hi_base(gen_name)
+                                   if hi_base is None else hi_base)
+    return _domain_call(
+        slabs, physics, total_packets, seed, mesh, nlanes, k_inner,
+        max_super, "gen", statics=(gen_name, tuple(sorted(params))),
+        src_values=(params, jnp.uint32(0)))
+
+
 _RUNNER_CACHE = {}
 
 
@@ -302,6 +325,37 @@ def _build_domain_runner(slabs, mesh, nlanes, k_inner, max_super,
                         stream, jnp.full_like(stream, hi),
                         jnp.full_like(stream, 3),          # counter
                         jnp.zeros(ids.shape, jnp.int32),   # scatterings
+                        -jnp.log(fp_u))
+        elif spawn_kind == "gen":
+            # generic geometry-only source: evaluate the global generator
+            # on a levels==1 dummy grid (entry positions never read the
+            # density at level 0), keep the slab's own ids, re-index on
+            # the local octree
+            from ..transport.sources import GENERATORS
+            gen_name = statics[0]
+            gen = GENERATORS[gen_name]
+            params_t, _ = srcv
+            dummy = Grid(dens=jnp.zeros(1, jnp.float32),
+                         lcells=jnp.asarray([nx * ny * nz], jnp.int32),
+                         off=jnp.zeros(1, jnp.int32),
+                         par=jnp.zeros(1, jnp.int32),
+                         nx=nx, ny=ny, nz=nz, levels=1, cells=nx * ny * nz)
+
+            def spawn_from_ids(ids, can):
+                nb = gen(dummy, ids, seed, params_t)
+                own = (jnp.floor(nb.pos[:, 2] / nzl).astype(jnp.int32)
+                       == rank)
+                ok = can & own & (nb.ind >= 0)
+                pos_l = nb.pos.at[:, 2].add(-(rank * nzl)
+                                            .astype(jnp.float32))
+                pos_l = pos_l.at[:, 2].set(
+                    jnp.clip(pos_l[:, 2], PEPS, nzl - PEPS))
+                p, lev, ind = traverse.index_global(grid, pos_l)
+                ind = jnp.where(ok, ind, -1)
+                fp_u = socrng.uniform1(seed, nb.stream,
+                                       jnp.full_like(nb.stream, 2), nb.hi)
+                return (p, nb.dir, lev, ind, nb.photons, nb.stream, nb.hi,
+                        nb.counter, jnp.zeros(ids.shape, jnp.int32),
                         -jnp.log(fp_u))
         else:
             per_cell, gcells = statics

@@ -212,7 +212,8 @@ def simulate_background(grid, medium, cfg, ibg, tabs, intf, seed,
 
 def simulate_hpbg(grid, medium, cfg, hpbg, tabs, intf, seed,
                   lanes=DEFAULT_LANES, per_freq_tally=False, weighted=False,
-                  freq_mask=None, roi=None, physics_extra=None, ckpt=None):
+                  freq_mask=None, roi=None, physics_extra=None, ckpt=None,
+                  domain=None):
     """Phase-1 Healpix-sky background (SimRAM_HP equivalent).
 
     hpbg : [NFREQ, NPIX] sky intensities; photons per packet =
@@ -243,6 +244,19 @@ def simulate_hpbg(grid, medium, cfg, hpbg, tabs, intf, seed,
         injected[ifreq] = vals.mean()
         return dict(hpbg=jnp.asarray(vals.astype(np.float32)), cdf=None)
 
+    if domain is not None:
+        # `domains N`: healpix-sky packets through the generic Z-slab
+        # generator runner (entry states are geometry-only)
+        from ..parallel.domain import domain_generator_run
+        from ..transport.sources import stream_hi_base
+        slabs, dmesh = domain
+        tabs_np, escaped = _run_domain_freqs(
+            domain_generator_run, slabs, dmesh, medium, lanes, freq_mask,
+            lambda i: ("hpbg", make_params(i), per_freq),
+            stream_hi_base("hpbg"), seed, grid.cells)
+        tabs = tabs + jnp.asarray(tabs_np)
+        return tabs, intf, escaped, injected * per_freq
+
     tabs, intf, escaped, absorbed = _run_over_freqs(
         grid, medium, "hpbg", make_params, per_freq, tabs, intf, seed,
         lanes, per_freq_tally, mirror_mask=mirror_mask_of(cfg),
@@ -255,7 +269,7 @@ def simulate_hpbg(grid, medium, cfg, hpbg, tabs, intf, seed,
 def simulate_point_sources(grid, medium, cfg, lps, tabs, intf, seed,
                            lanes=DEFAULT_LANES, per_freq_tally=False,
                            freq_mask=None, roi=None, physics_extra=None,
-                           ckpt=None):
+                           ckpt=None, domain=None):
     """Phase-1 point sources (internal positions)."""
     if cfg.no_ps < 1 or cfg.pspac < 1:
         return tabs, intf, np.zeros(medium.nfreq), 0.0
@@ -289,6 +303,23 @@ def simulate_point_sources(grid, medium, cfg, lps, tabs, intf, seed,
     def make_params(ifreq):
         return dict(ps_pos=ps_pos,
                     photons=jnp.asarray(ps_photons[:, ifreq]), **extra)
+
+    if domain is not None:
+        # `domains N`: point-source packets (all PS_METHODs) through the
+        # generic Z-slab generator runner
+        from ..parallel.domain import domain_generator_run
+        from ..transport.sources import stream_hi_base
+        slabs, dmesh = domain
+        tabs_np, escaped = _run_domain_freqs(
+            domain_generator_run, slabs, dmesh, medium, lanes, freq_mask,
+            lambda i: ("ps", make_params(i), per_freq),
+            stream_hi_base("ps"), seed, grid.cells)
+        tabs = tabs + jnp.asarray(tabs_np)
+        injected = np.sum(np.asarray(ps_photons, np.float64), axis=0) \
+            * pspac
+        if freq_mask is not None:
+            injected = np.where(freq_mask, injected, 0.0)
+        return tabs, intf, escaped, injected
 
     tabs, intf, escaped, absorbed = _run_over_freqs(
         grid, medium, "ps", make_params, per_freq, tabs, intf, seed,
@@ -602,7 +633,8 @@ def split_max_of(cfg, grid):
 
 def _domain_setup(cfg, grid, per_freq_tally):
     """`domains N` keyword: Z-slab spatial domain decomposition of the
-    bg + cell-emission transport over N devices (parallel/domain.py).
+    transport over N devices (parallel/domain.py) -- covers every source
+    type: bg, healpix bg, point sources, diffuse field, cell emission.
     Returns (slabs, mesh) or None when disabled."""
     n = int(cfg.n_domains)
     if n <= 1:
@@ -905,7 +937,7 @@ def _run_inner(cfg, lanes, write_files, t_start):
                 grid, medium, cfg, hpbg, tabs, intf, seed + 3, lanes,
                 per_freq_tally, weighted=cfg.has_key("hpbgw"),
                 freq_mask=freq_mask, roi=roi,
-                physics_extra=physics_extra, ckpt=ckpt)
+                physics_extra=physics_extra, ckpt=ckpt, domain=domain)
             escaped += np.asarray(esc)
             injected += inj
         if cfg.no_ps > 0 and cfg.pspac > 0:
@@ -915,7 +947,7 @@ def _run_inner(cfg, lanes, write_files, t_start):
             tabs, intf, esc, inj = simulate_point_sources(
                 grid, medium, cfg, lps, tabs, intf, seed, lanes,
                 per_freq_tally, freq_mask=freq_mask, roi=roi,
-                physics_extra=physics_extra, ckpt=ckpt)
+                physics_extra=physics_extra, ckpt=ckpt, domain=domain)
             escaped += np.asarray(esc)
             injected += inj
         if cfg.file_diffuse and (cfg.dfpac > 0 or cfg.clpac > 0):

@@ -160,6 +160,14 @@ temperature     tmp.T
         np.asarray([n ** 3, 44], np.int32).tofile(fp)
         field.tofile(fp)
     extra = "diffuse  diffuse.bin\ndiffpack %d\n" % (2 * n ** 3)
+    # point source + healpix sky exercise the generic generator runner
+    lps = (1e20 * np.ones(44, np.float32))
+    lps.tofile(tmp_path / "ps.bin")
+    extra += "pointsource 4.0 4.0 4.0 ps.bin\npspackets 4096\n"
+    sky = np.tile(np.fromfile(tmp_path / "bg_intensity.bin",
+                              np.float32)[:, None], (1, 12 * 64 * 64))
+    sky.tofile(tmp_path / "sky.bin")
+    extra += "hpbg sky.bin\n"
     (tmp_path / "plain.ini").write_text(base.format(bgpac=bgpac,
                                                     clpac=clpac) + extra)
     (tmp_path / "dom.ini").write_text(
@@ -172,3 +180,50 @@ temperature     tmp.T
     assert good.mean() > 0.98
     np.testing.assert_allclose(res_d.escaped.sum(), res_s.escaped.sum(),
                                rtol=1e-3)
+
+
+@pytest.mark.parametrize("kind", ["ps", "hpbg"])
+def test_domain_generator_sources_match_single_device(kind):
+    """The generic Z-slab generator runner (point sources / healpix sky)
+    reproduces the single-device tallies with the same RNG streams."""
+    from soc_tpu.parallel.domain import domain_generator_run
+    grid = octree_grid(6, 6, 8, refine_roots=[50, 130, 200])
+    dsc, csc = hg_scattering_function([0.5], 128)
+    physics = dict(kabs=jnp.float32(0.12), ksca=jnp.float32(0.22),
+                   csc=jnp.asarray(csc[0]), tw=jnp.float32(1.0))
+    if kind == "ps":
+        # one internal + one external source (PS_METHOD 0 surface hits)
+        params = dict(ps_pos=jnp.asarray([[3.0, 3.0, 2.0],
+                                          [-4.0, 3.0, 4.0]], jnp.float32),
+                      photons=jnp.asarray([1.0, 2.0], jnp.float32))
+        n = 4096
+    else:
+        rng_np = np.random.default_rng(8)
+        sky = rng_np.uniform(0.5, 1.5, 12 * 8 * 8).astype(np.float32)
+        params = dict(hpbg=jnp.asarray(sky), cdf=None)
+        n = 4096
+    mesh = make_mesh(jax.devices(), freq_axis=1)
+    slabs = split_grid_slabs(grid, 8)
+    hi0 = stream_hi_base(kind)
+    tabs_d, esc_d, lost = domain_generator_run(
+        slabs, physics, kind, params, n, 7, mesh, nlanes=512, hi_base=hi0)
+    assert lost == 0.0
+
+    sparams = dict(params)
+    sparams.update(ifreq=jnp.int32(0), per_freq=jnp.int32(n),
+                   hi_base=jnp.uint32(hi0))
+    tabs = jnp.zeros(grid.cells, jnp.float32)
+    intf = jnp.zeros((1, 1), jnp.float32)
+    tabs, _, esc, _ = transport_run(grid, physics, sparams, jnp.int32(n),
+                                    tabs, intf, 7, source_kind=kind,
+                                    nlanes=512)
+    tabs = np.asarray(tabs)
+    assert tabs.sum() > 0
+    assert abs(tabs_d.sum() - tabs.sum()) / tabs.sum() < 1e-3
+    assert abs(esc_d - float(esc[0])) / max(float(esc[0]), 1e-9) < 1e-3
+    # per-cell agreement: identical streams => the L1 deviation is pure
+    # float32 summation-order noise (a point source piles thousands of
+    # deposits into the near cells, so elementwise rtol is the wrong test)
+    assert np.abs(tabs_d - tabs).sum() / tabs.sum() < 1e-3
+    match = np.isclose(tabs_d, tabs, rtol=1e-3, atol=1e-6 * tabs.max())
+    assert match.mean() > 0.95
