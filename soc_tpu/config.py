@@ -348,8 +348,11 @@ class RunConfig:
             self.load_temperature = True
         elif key.startswith("forcedfirst") or key.startswith("ffs"):
             self.ffs = n()
-        elif key.startswith("ali"):
+        elif key.startswith("ali") and not key.startswith("alibeta"):
             self.with_ali = n()
+        elif key.startswith("alibeta"):
+            # beta(T, tau) refinement flag: probed via has_key (driver)
+            pass
         elif key.startswith("reference"):
             self.with_reference = n()
         elif key.startswith("emwei"):

@@ -460,7 +460,7 @@ def _build_domain_runner(slabs, mesh, nlanes, k_inner, max_super,
             dirm = jnp.where(scatter_now[:, None], new_dir, dir)
             scatm = scat + scatter_now.astype(jnp.int32)
             over = scatter_now & (scatm > MAX_SCATTERINGS)
-            faint = alive & (photons < PHOTON_LIMIT)
+            faint = alive & (jnp.abs(photons) < PHOTON_LIMIT)
             esc = esc + jnp.sum(jnp.where((escaped_now | over) & alive,
                                           photons, 0.0))
             indm = jnp.where(over | faint, -1, indm)

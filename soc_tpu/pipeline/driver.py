@@ -228,7 +228,11 @@ def simulate_hpbg(grid, medium, cfg, hpbg, tabs, intf, seed,
     freq = np.asarray(cfg.freq, np.float64)
     injected = np.zeros(nfreq)
 
-    def make_params(ifreq):
+    def _channel(ifreq):
+        """(params, expected mean injected weight per packet) for one
+        channel -- injected is computed here, NOT as a make_params side
+        effect, so checkpoint-resumed runs (which skip completed channels
+        before building params) still report the full injected energy."""
         vals = np.asarray(hpbg[ifreq], np.float64) * (wbg / freq[ifreq])
         npx = len(vals)
         if weighted:
@@ -238,11 +242,20 @@ def simulate_hpbg(grid, medium, cfg, hpbg, tabs, intf, seed,
             w = (1.0 / npx) / p                  # packet weight correction
             cdf = np.cumsum(p)
             cdf[-1] = 1.00001
-            injected[ifreq] = np.sum(p * (vals * w))
             return dict(hpbg=jnp.asarray((vals * w).astype(np.float32)),
-                        cdf=jnp.asarray(cdf.astype(np.float32)))
-        injected[ifreq] = vals.mean()
-        return dict(hpbg=jnp.asarray(vals.astype(np.float32)), cdf=None)
+                        cdf=jnp.asarray(cdf.astype(np.float32))), \
+                np.sum(p * (vals * w))
+        return dict(hpbg=jnp.asarray(vals.astype(np.float32)),
+                    cdf=None), vals.mean()
+
+    for i in range(nfreq):
+        if freq_mask is None or bool(freq_mask[i]):
+            injected[i] = _channel(i)[1] if weighted else \
+                float(np.asarray(hpbg[i], np.float64).mean()
+                      * (wbg / freq[i]))
+
+    def make_params(ifreq):
+        return _channel(ifreq)[0]
 
     if domain is not None:
         # `domains N`: healpix-sky packets through the generic Z-slab
@@ -696,6 +709,16 @@ def _run_domain_freqs(runner, slabs, dmesh, medium, lanes, freq_mask,
     return tabs_np, escaped
 
 
+def nearest_freq_mask(freq, values):
+    """bool[NFREQ] with the channel nearest each value set (the FSELECT /
+    mapum / wavelength 'nearest frequency' rule, shared by every caller)."""
+    freq = np.asarray(freq)
+    mask = np.zeros(len(freq), bool)
+    for fv in values:
+        mask[int(np.argmin(np.abs(freq - fv)))] = True
+    return mask
+
+
 def remit_mask_of(cfg, freq):
     """bool[NFREQ]: frequencies inside the `remit` re-emission band
     (reference REMIT_I1..REMIT_I2, ASOC.py:604-612)."""
@@ -845,9 +868,7 @@ def _run_inner(cfg, lanes, write_files, t_start):
             # remit-band (or libmaps) file: embed into the full grid
             mask = remit_mask_of(cfg, freq)
             if cfg.lib_maps and cfg.fselect:
-                mask = np.zeros(nfreq, bool)
-                for fv in cfg.fselect:
-                    mask[int(np.argmin(np.abs(freq - fv)))] = True
+                mask = nearest_freq_mask(freq, cfg.fselect)
             if mask.sum() != emitted.shape[1]:
                 raise ValueError(
                     "emitted file has %d freqs; remit/libmaps selection "
@@ -871,9 +892,7 @@ def _run_inner(cfg, lanes, write_files, t_start):
     if not sim_mask.all():
         freq_mask = sim_mask
     if cfg.lib_abs and cfg.fselect:
-        sel = np.zeros(nfreq, bool)
-        for fv in cfg.fselect:
-            sel[int(np.argmin(np.abs(freq - fv)))] = True
+        sel = nearest_freq_mask(freq, cfg.fselect)
         freq_mask = sel if freq_mask is None else (freq_mask & sel)
 
     # ---- WITH_ROI_SAVE: histogram packets crossing into the ROI box
@@ -911,7 +930,16 @@ def _run_inner(cfg, lanes, write_files, t_start):
     ckpt = None
     if cfg.file_checkpoint:
         from ..utils.checkpoint import RunCheckpoint
-        ckpt = RunCheckpoint(cfg.file_checkpoint, cfg.checkpoint_every)
+        # fingerprint = hash of every ini keyword except the checkpoint
+        # line itself: a checkpoint written under different inputs (other
+        # seed, packet counts, model files...) must not be resumed
+        import hashlib
+        items = sorted((k, tuple(map(tuple, v)))
+                       for k, v in cfg.keys.items()
+                       if not k.startswith(("checkpoint", "verbose")))
+        fp = hashlib.sha256(repr(items).encode()).hexdigest()[:16]
+        ckpt = RunCheckpoint(cfg.file_checkpoint, cfg.checkpoint_every,
+                             fingerprint=fp)
         tabs, intf = ckpt.restore(tabs, intf)
         if roi is not None:
             roi["tally"] = ckpt.restore_roi(roi["tally"])
@@ -990,9 +1018,7 @@ def _run_inner(cfg, lanes, write_files, t_start):
                                     cfg.nnn_limit)
             res.absorbed = fabs
             if write_files and cfg.file_absorbed:
-                sel = np.zeros(nfreq, bool)
-                for fv in cfg.fselect:
-                    sel[int(np.argmin(np.abs(freq - fv)))] = True
+                sel = nearest_freq_mask(freq, cfg.fselect)
                 write_cell_frequency_array(cfg.file_absorbed, fabs[:, sel])
         timings["total"] = time.time() - t_start
         return res
@@ -1079,18 +1105,24 @@ def _run_inner(cfg, lanes, write_files, t_start):
                         (xem - xab) / np.maximum(xem, 1e-30), 1e-2, 1.0)
                     beta_np[xem <= 0] = 1.0
                     beta = jnp.asarray(beta_np.astype(np.float32))
+            t_prev = temperature         # previous iteration's field
             temperature = equilibrium.solve_temperature(
                 grid, table, emit_total, gl_cm, beta=beta,
                 cr_heating=cfg.cr_heating)
             if cfg.has_key("alibeta") and cfg.with_ali \
-                    and temperature is not None and not np.isscalar(beta):
+                    and temperature is not None and t_prev is not None \
+                    and not np.isscalar(beta):
                 # optional beta(T, tau) spline refinement of the escape
                 # probability (ASOC_aux.py:1446-1502; the reference builds
-                # the interpolator but ships the refinement disabled)
+                # the interpolator but ships the refinement disabled):
+                # beta *= beta(T_new, tau)/beta(T_old, tau) with T_old the
+                # PREVIOUS iteration's temperature -- passing t_old=T_new
+                # would make the correction identically 1
                 from ..solve.ali import refine_beta
                 beta2 = refine_beta(np.asarray(beta), np.asarray(temperature),
                                     freq, np.asarray(medium.abs_gl),
-                                    np.asarray(grid.dens))
+                                    np.asarray(grid.dens),
+                                    t_old=np.asarray(t_prev))
                 temperature = equilibrium.solve_temperature(
                     grid, table, emit_total, gl_cm,
                     beta=jnp.asarray(beta2), cr_heating=cfg.cr_heating)
@@ -1273,15 +1305,9 @@ def map_freq_mask(cfg, freq):
     frequencies, or libmaps FSELECT (ASOC.py:3003-3075 selection logic)."""
     freq = np.asarray(freq)
     if cfg.lib_maps and cfg.fselect:
-        mask = np.zeros(len(freq), bool)
-        for fv in cfg.fselect:
-            mask[int(np.argmin(np.abs(freq - fv)))] = True
-        return mask
+        return nearest_freq_mask(freq, cfg.fselect)
     if cfg.single_map_freq:
-        mask = np.zeros(len(freq), bool)
-        for fv in cfg.single_map_freq:
-            mask[int(np.argmin(np.abs(freq - fv)))] = True
-        return mask
+        return nearest_freq_mask(freq, cfg.single_map_freq)
     return (freq >= cfg.map_freq[0]) & (freq <= cfg.map_freq[1])
 
 

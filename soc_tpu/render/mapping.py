@@ -236,15 +236,24 @@ def _interp_density(grid, mid, dens0, olevel, mode):
         k0 = jnp.clip(jnp.floor(mid[:, 2]).astype(jnp.int32), 0, nz - 1)
         m = jnp.mod(mid, 1.0) - 0.5
         s = (3.0 - jnp.abs(m).sum(-1)) * dens0
+
+        def leafd(gi):
+            # refined root cells store bit-cast child links (<= 0):
+            # substitute the ray's own leaf density rather than blending
+            # link garbage (the reference restricts modes 1/2 to regular
+            # grids by convention only)
+            v = grid.dens[gi]
+            return jnp.where(v > 0.0, v, dens0)
+
         ix = jnp.where(m[:, 0] > 0, jnp.maximum(i0 - 1, 0),
                        jnp.minimum(i0 + 1, nx - 1))
-        s = s + jnp.abs(m[:, 0]) * grid.dens[k0 * nx * ny + j0 * nx + ix]
+        s = s + jnp.abs(m[:, 0]) * leafd(k0 * nx * ny + j0 * nx + ix)
         iy = jnp.where(m[:, 1] > 0, jnp.maximum(j0 - 1, 0),
                        jnp.minimum(j0 + 1, ny - 1))
-        s = s + jnp.abs(m[:, 1]) * grid.dens[k0 * nx * ny + iy * nx + i0]
+        s = s + jnp.abs(m[:, 1]) * leafd(k0 * nx * ny + iy * nx + i0)
         iz = jnp.where(m[:, 2] > 0, jnp.maximum(k0 - 1, 0),
                        jnp.minimum(k0 + 1, nz - 1))
-        s = s + jnp.abs(m[:, 2]) * grid.dens[iz * nx * ny + j0 * nx + i0]
+        s = s + jnp.abs(m[:, 2]) * leafd(iz * nx * ny + j0 * nx + i0)
         return s / 3.0
     if mode == 2:
         i0 = jnp.floor(mid[:, 0]).astype(jnp.int32)
@@ -256,17 +265,20 @@ def _interp_density(grid, mid, dens0, olevel, mode):
             for dj in (-1, 0, 1):
                 for di in (-1, 0, 1):
                     i, j, k = i0 + di, j0 + dj, k0 + dk
+                    gi = jnp.clip(k, 0, nz - 1) * nx * ny \
+                        + jnp.clip(j, 0, ny - 1) * nx + jnp.clip(i, 0, nx - 1)
+                    v = grid.dens[gi]
+                    # skip out-of-bounds neighbors AND refined cells whose
+                    # slot holds a bit-cast child link instead of a density
                     ok = ((i >= 0) & (i < nx) & (j >= 0) & (j < ny)
-                          & (k >= 0) & (k < nz))
+                          & (k >= 0) & (k < nz) & (v > 0.0))
                     d = mid - jnp.stack([i + 0.5, j + 0.5, k + 0.5],
                                         -1).astype(mid.dtype)
                     w = jnp.where(
                         ok, 1.0 / (0.1 + jnp.linalg.norm(d, axis=-1)), 0.0)
-                    gi = jnp.clip(k, 0, nz - 1) * nx * ny \
-                        + jnp.clip(j, 0, ny - 1) * nx + jnp.clip(i, 0, nx - 1)
-                    tot = tot + w * grid.dens[gi]
+                    tot = tot + w * v
                     wtot = wtot + w
-        return tot / jnp.maximum(wtot, 1e-30)
+        return jnp.where(wtot > 0.0, tot / jnp.maximum(wtot, 1e-30), dens0)
     # mode 3
     delta = jnp.exp2(-olevel.astype(mid.dtype))[:, None]
     tot = jnp.zeros_like(dens0)

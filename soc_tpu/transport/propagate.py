@@ -192,9 +192,17 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
     sw_a = physics.get("sw_a", None)
     if sw_a is not None:
         split_max = 0          # splitting assumes memoryless free paths
+    # clone RNG identity: a clone keeps the donor packet's (stream, hi)
+    # and draws from a disjoint counter block 64*path, where `path` is the
+    # binary split-path code (bit k set <=> this node is the clone branch
+    # of a split at depth k+1). Unique per clone, independent of phase,
+    # frequency, or host-side chunking -- unlike a global clone counter,
+    # which collides across sources and across 4M-packet chunks. The
+    # 64-slot block bound holds because a lane consumes at most 3 birth
+    # slots + MAX_SCATTERINGS counter steps; path*64 stays in uint32 for
+    # split_max <= 26.
+    split_max = min(split_max, 26)
     do_split = split_max > 0
-    from .sources import stream_hi_base
-    split_hi = int(stream_hi_base("split")) if do_split else 0
 
     def draw_fp_weighted(u):
         if sw_a is None:
@@ -261,13 +269,13 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
                 jnp.where(pend, prank, nlanes)].set(lanes_idx, mode="drop")
             adopt = dead & (drank < n_pend)
             donor = donor_map[jnp.clip(drank, 0, nlanes - 1)]
-            new_stream = sp["clones"] + drank.astype(jnp.uint32)
-            hi_clone = jnp.uint32(split_hi) \
-                + sp["ifreq"][donor].astype(jnp.uint32)
+            new_stream = sp["stream"][donor]
+            hi_clone = sp["hi"][donor]
+            cbase = sp["path"][donor] * jnp.uint32(64)
             # re-sample the clone's entry point over the crossed octet
-            # face (tangential coords uniform in [PEPS, 2-PEPS])
-            u1, u2 = socrng.uniform2(seed, new_stream,
-                                     jnp.zeros_like(new_stream), hi_clone)
+            # face (tangential coords uniform in [PEPS, 2-PEPS]); draw
+            # from the clone's own counter block
+            u1, u2 = socrng.uniform2(seed, new_stream, cbase, hi_clone)
             dpos = sp["pos"][donor]
             axis = sp["face"][donor]                  # 0/1/2 crossing axis
             span = jnp.float32(2.0 - 2.0 * PEPS)
@@ -295,16 +303,23 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
                 ifreq=jnp.where(adopt, sp["ifreq"][donor], b.ifreq),
                 stream=jnp.where(adopt, new_stream, b.stream),
                 hi=jnp.where(adopt, hi_clone, b.hi),
-                counter=jnp.where(adopt, jnp.uint32(3), b.counter),
+                counter=jnp.where(adopt, cbase + jnp.uint32(3), b.counter),
                 scatterings=jnp.where(adopt, 0, b.scatterings),
                 e_cell=jnp.where(adopt, -1, b.e_cell))
-            fp_c, _ = draw_birth_fp(b.stream, b.hi)
-            free_path = jnp.where(adopt, fp_c, free_path)
+            # birth free path from slot cbase+2 for clones, slot 2 for
+            # everyone else (the batch-wide draw is masked away)
+            fp_u = socrng.uniform1(
+                seed, b.stream,
+                jnp.where(adopt, cbase + jnp.uint32(2), jnp.uint32(2)),
+                b.hi)
+            free_path = jnp.where(adopt, -jnp.log(fp_u), free_path)
             tau = jnp.where(adopt, 0.0, tau)
             pending = pending & ~adopt
             sp = {**sp,
                   "lane_depth": jnp.where(adopt, sp["depth"][donor],
                                           sp["lane_depth"]),
+                  "lane_path": jnp.where(adopt, sp["path"][donor],
+                                         sp["lane_path"]),
                   "pending": pend & ~(prank < n_dead),
                   "clones": sp["clones"]
                   + jnp.sum(adopt.astype(jnp.uint32))}
@@ -334,7 +349,9 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
         free_path = jnp.where(can, fp_new, free_path)
         pending = pending & ~can
         if do_split:
-            sp = {**sp, "lane_depth": jnp.where(can, 0, sp["lane_depth"])}
+            sp = {**sp, "lane_depth": jnp.where(can, 0, sp["lane_depth"]),
+                  "lane_path": jnp.where(can, jnp.uint32(0),
+                                         sp["lane_path"])}
         if sw_a is not None:
             b = PacketBatch(pos=b.pos, dir=b.dir, level=b.level, ind=b.ind,
                             photons=jnp.where(can, b.photons * w_new,
@@ -588,6 +605,9 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
             fdist = jnp.minimum(npos, 2.0 - npos)
             face = jnp.argmin(fdist, axis=1).astype(jnp.int32)
             wl = want[..., None]
+            clone_path = sp["lane_path"] | jnp.left_shift(
+                jnp.uint32(1),
+                jnp.clip(depth_new - 1, 0, 31).astype(jnp.uint32))
             sp = {**sp,
                   "pos": jnp.where(wl, npos, sp["pos"]),
                   "dir": jnp.where(wl, dirx, sp["dir"]),
@@ -595,6 +615,9 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
                   "ind": jnp.where(want, nind, sp["ind"]),
                   "photons": jnp.where(want, photons, sp["photons"]),
                   "ifreq": jnp.where(want, b.ifreq, sp["ifreq"]),
+                  "stream": jnp.where(want, b.stream, sp["stream"]),
+                  "hi": jnp.where(want, b.hi, sp["hi"]),
+                  "path": jnp.where(want, clone_path, sp["path"]),
                   "depth": jnp.where(want, depth_new, sp["depth"]),
                   "face": jnp.where(want, face, sp["face"]),
                   "pending": sp["pending"] | want,
@@ -608,7 +631,9 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
         dir = jnp.where(scatter_now[..., None], b.dir, dirx)
         scat = b.scatterings + scatter_now.astype(jnp.int32)
         overscattered = scatter_now & (scat > MAX_SCATTERINGS)
-        exhausted = active & (photons < PHOTON_LIMIT)
+        # magnitude test: WITH_REFERENCE delta packets carry NEGATIVE
+        # weights that must keep propagating (the tally math is linear)
+        exhausted = active & (jnp.abs(photons) < PHOTON_LIMIT)
         exited = cross & (nind < 0)
         esc_pending = esc_pending + jnp.where(
             (exited | overscattered) & active, photons, 0.0)
@@ -636,9 +661,13 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
                    ind=jnp.zeros(nlanes, jnp.int32),
                    photons=jnp.zeros(nlanes, jnp.float32),
                    ifreq=jnp.zeros(nlanes, jnp.int32),
+                   stream=jnp.zeros(nlanes, jnp.uint32),
+                   hi=jnp.zeros(nlanes, jnp.uint32),
+                   path=jnp.zeros(nlanes, jnp.uint32),
                    depth=jnp.zeros(nlanes, jnp.int32),
                    face=jnp.zeros(nlanes, jnp.int32),
                    lane_depth=jnp.zeros(nlanes, jnp.int32),
+                   lane_path=jnp.zeros(nlanes, jnp.uint32),
                    pending=jnp.zeros(nlanes, bool),
                    clones=jnp.uint32(0))
     else:

@@ -22,15 +22,29 @@ import numpy as np
 
 
 class RunCheckpoint:
-    def __init__(self, path, every=1):
+    def __init__(self, path, every=1, fingerprint=""):
+        """fingerprint: a string identifying the run configuration (seed +
+        the ini parameters that change the physics). A checkpoint written
+        under a different fingerprint is STALE -- resuming from it would
+        silently return the old configuration's tallies -- so it is
+        ignored and overwritten instead."""
         self.path = path
         self.every = max(1, int(every))
+        self.fingerprint = str(fingerprint)
         self.done = []
         self.esc = []
         self.arrays = None
         self._since_save = 0
         if path and os.path.exists(path):
             with np.load(path, allow_pickle=False) as z:
+                saved_fp = str(z["fingerprint"]) if "fingerprint" in z.files \
+                    else ""
+                if saved_fp != self.fingerprint:
+                    import sys
+                    print("checkpoint %s: configuration changed since it "
+                          "was written -- starting fresh" % path,
+                          file=sys.stderr)
+                    return
                 self.done = [str(k) for k in z["done"]]
                 self.esc = [float(v) for v in z["esc"]]
                 self.arrays = dict(tabs=z["tabs"], intf=z["intf"])
@@ -76,5 +90,6 @@ class RunCheckpoint:
         with open(tmp, "wb") as fp:
             np.savez(fp, done=np.asarray(self.done, dtype="U64"),
                      esc=np.asarray(self.esc, np.float64),
+                     fingerprint=np.asarray(self.fingerprint),
                      tabs=np.asarray(tabs), intf=np.asarray(intf), **extra)
         os.replace(tmp, self.path)

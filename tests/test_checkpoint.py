@@ -120,3 +120,56 @@ def test_preempted_roi_save_resumes_identically(tmp_path, monkeypatch):
     driver.run(ini, lanes=1 << 10)
     _, _, _, _, data2 = read_roi_file(str(tmp_path / "roi.photons"))
     np.testing.assert_array_equal(data2, data_full)
+
+
+def test_stale_checkpoint_is_ignored(tmp_path):
+    """A checkpoint written under a different configuration (other seed)
+    must not be resumed: the re-run starts fresh and matches a clean run
+    of the NEW configuration."""
+    ini = make_model(tmp_path)
+    driver.run(ini, lanes=1 << 10)                 # leaves run.ckpt behind
+    assert (tmp_path / "run.ckpt").exists()
+
+    new_text = INI.format(bgpac=8 * 6 * N * N).replace(
+        "seed            1.0", "seed            0.25")
+    (tmp_path / "run.ini").write_text(new_text)
+    res_stale = driver.run(str(tmp_path / "run.ini"), lanes=1 << 10)
+
+    os.remove(tmp_path / "run.ckpt")
+    res_clean = driver.run(str(tmp_path / "run.ini"), lanes=1 << 10)
+    np.testing.assert_array_equal(res_stale.ctabs, res_clean.ctabs)
+
+
+def test_hpbg_resume_reports_full_injected(tmp_path, monkeypatch):
+    """`injected` bookkeeping must cover checkpoint-skipped channels
+    (it was a make_params side effect that resume never executed)."""
+    from soc_tpu.io.cloud import write_hierarchy as _wh
+    for f in ("tmp.dust", "tmp.dsc", "bg_intensity.bin"):
+        shutil.copy(os.path.join(SOCEX, f), tmp_path)
+    _wh(tmp_path / "tmp.cloud", N, N, N, [N ** 3],
+        [np.ones(N ** 3, np.float32)])
+    sky = np.tile(np.fromfile(tmp_path / "bg_intensity.bin",
+                              np.float32)[:, None], (1, 12 * 64 * 64))
+    sky.tofile(tmp_path / "sky.bin")
+    ini = tmp_path / "run.ini"
+    ini.write_text(INI.format(bgpac=2048).replace(
+        "background      bg_intensity.bin", "hpbg            sky.bin"))
+    res_full = driver.run(str(ini), lanes=1 << 10)
+    os.remove(tmp_path / "run.ckpt")
+
+    real = driver.transport_run
+    calls = {"n": 0}
+
+    def flaky(*args, **kwargs):
+        if calls["n"] >= 11:
+            raise Preempt()
+        calls["n"] += 1
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(driver, "transport_run", flaky)
+    with pytest.raises(Preempt):
+        driver.run(str(ini), lanes=1 << 10)
+    monkeypatch.setattr(driver, "transport_run", real)
+    res2 = driver.run(str(ini), lanes=1 << 10)
+    np.testing.assert_allclose(res2.injected, res_full.injected, rtol=1e-12)
+    np.testing.assert_array_equal(res2.ctabs, res_full.ctabs)

@@ -487,3 +487,70 @@ def test_interpolation_healpix_map(model_dir):
                     base=base)
         assert not np.allclose(g.maps[0], g0.maps[0])
         assert abs(g.maps[0].sum() / g0.maps[0].sum() - 1.0) < 0.05, mode
+
+
+def test_interpolation_on_octree_ignores_links(model_dir):
+    """`interpolation 1/2` on a refined cloud: refined root cells hold
+    bit-cast child links in the density array; the LOS smoothing must not
+    blend those into the map (regression: negative/garbage intensities)."""
+    from soc_tpu.io.cloud import write_hierarchy as _wh
+    from soc_tpu.grid import encode_link_np
+    root = np.ones(N ** 3, np.float32)
+    refined = [0, 5, N ** 3 // 2, N ** 3 - 1]
+    for j, r in enumerate(refined):
+        root[r] = encode_link_np(np.asarray([8 * j], np.int32))[0]
+    child = np.ones(8 * len(refined), np.float32)
+    _wh(model_dir / "tmp.cloud", N, N, N,
+        [N ** 3, len(child)], [root, child])
+    base = BASE_INI.replace("mapping         8 8 1.0",
+                            "mapping         4 0 1.0")
+    extra = "perspective 6.0 6.0 6.0\n"
+    res0 = run_ini(model_dir, extra, base=base)
+    for mode in (1, 2, 3):
+        res = run_ini(model_dir, extra + "interpolation %d\n" % mode,
+                      base=base)
+        m = res.maps[0]
+        assert np.isfinite(m).all() and (m >= 0).all(), mode
+        # uniform physical density everywhere -> smoothing is a no-op up
+        # to float noise; link contamination would blow this up
+        np.testing.assert_allclose(m, res0.maps[0], rtol=1e-3)
+
+
+def test_alibeta_refinement_is_active(model_dir, monkeypatch):
+    """`alibeta` must feed the PREVIOUS iteration's temperature into
+    refine_beta (regression: it was called without t_old, making the
+    correction identically 1 -- a silent no-op)."""
+    from soc_tpu.solve import ali
+    calls = []
+    real = ali.refine_beta
+
+    def spy(beta0, t_new, freq, kabs, dens, t_old=None, table=None):
+        calls.append((np.asarray(t_new).copy(),
+                      None if t_old is None else np.asarray(t_old).copy()))
+        return real(beta0, t_new, freq, kabs, dens, t_old=t_old,
+                    table=table)
+
+    monkeypatch.setattr(ali, "refine_beta", spy)
+    dens = np.linspace(0.5, 4.0, N ** 3).astype(np.float32)
+    write_hierarchy(model_dir / "tmp.cloud", N, N, N, [N ** 3], [dens])
+    extra = "cellpackets %d\niterations 3\nali 1\nalibeta\n" % (4 * N ** 3)
+    res = run_ini(model_dir, extra)
+    # iteration 0 has no previous T -> skipped; iterations 1,2 refine
+    assert len(calls) == 2
+    for t_new, t_old in calls:
+        assert t_old is not None
+        assert t_old.shape == t_new.shape
+    # the second call's t_old is the previous iteration's (refined) T
+    assert np.isfinite(res.temperature).all()
+    # sanity on the correction itself: distinct temperatures move beta
+    from soc_tpu.solve.ali import beta_table, refine_beta as rb
+    freq = res.freq
+    kabs = 0.2 * (freq / freq[-1]) ** 1.5
+    beta0 = np.full(N ** 3, 0.5, np.float32)
+    hot = np.full(N ** 3, 40.0)
+    cold = np.full(N ** 3, 10.0)
+    out = rb(beta0, hot, freq, kabs, np.full(N ** 3, 100.0), t_old=cold)
+    # hotter dust weights more opaque channels -> lower escape probability
+    # (the effect is small by construction: the reference's tau grid tops
+    # out at ~100 and FIR channels stay thin)
+    assert np.all(out <= beta0) and np.max(beta0 - out) > 1e-4

@@ -166,3 +166,38 @@ def test_point_source_inverse_square():
     rel = np.asarray(sums) / sums[0]
     np.testing.assert_allclose(rel, 1.0, atol=0.08)
     assert abs(field.sum() + float(esc[0]) - n) / n < 3e-3
+
+
+def test_negative_weight_packets_propagate():
+    """WITH_REFERENCE delta packets carry negative weights; the transport
+    must treat them linearly: tallies of emit and -emit are exact mirrors
+    (the old `photons < PHOTON_LIMIT` kill destroyed them at birth)."""
+    import jax.numpy as jnp
+    from soc_tpu.grid import uniform_grid
+    from soc_tpu.io.dust import hg_scattering_function
+    from soc_tpu.transport.propagate import transport_run
+    from soc_tpu.transport.sources import stream_hi_base
+
+    grid = uniform_grid(8, 8, 8, density=1.0)
+    dsc, csc = hg_scattering_function([0.5], 128)
+    physics = dict(kabs=jnp.float32(0.15), ksca=jnp.float32(0.25),
+                   csc=jnp.asarray(csc[0]), tw=jnp.float32(1.0))
+    n = 4 * grid.cells
+
+    def run(sign):
+        emit = jnp.full(grid.cells, sign * 0.5, jnp.float32)
+        params = dict(emit=emit / 4.0, per_cell=jnp.int32(4),
+                      ifreq=jnp.int32(0), per_freq=jnp.int32(n),
+                      hi_base=jnp.uint32(stream_hi_base("cell")))
+        tabs = jnp.zeros(grid.cells, jnp.float32)
+        intf = jnp.zeros((1, 1), jnp.float32)
+        tabs, _, esc, _ = transport_run(grid, physics, params,
+                                        jnp.int32(n), tabs, intf, 7,
+                                        source_kind="cell", nlanes=512)
+        return np.asarray(tabs), float(esc[0])
+
+    tp, ep = run(+1.0)
+    tn, en = run(-1.0)
+    assert tp.sum() > 0
+    np.testing.assert_allclose(tn, -tp, rtol=1e-6)
+    np.testing.assert_allclose(en, -ep, rtol=1e-6)
