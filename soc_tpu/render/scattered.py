@@ -133,17 +133,27 @@ def spawn(grid, physics, source_params, total_packets, next_id, seed,
     return b, free_path, next_id + jnp.int32(nlanes)
 
 
-@partial(jax.jit, static_argnames=("capacity", "max_iters"))
-def propagate_events(grid, physics, b, free_path, events, ecount, seed,
-                     capacity=1 << 16, max_iters=1 << 20):
-    """Phase B: step the pool, appending scattering events, until the pool is
-    dead or the buffer cannot hold another full-pool round of events.
+@partial(jax.jit, static_argnames=("capacity", "max_iters",
+                                   "service_period"))
+def propagate_events(grid, physics, b, free_path, tau, pending, events,
+                     ecount, seed, capacity=1 << 16, max_iters=1 << 20,
+                     service_period=4):
+    """Phase B: step the pool, appending scattering events, until the pool
+    is dead or the buffer cannot hold another full-pool round of events.
 
-    The loop carries the events as ONE packed [capacity, 9] float32 buffer
-    (pos3 | dir3 | photons | level | ind bit-cast) so each step issues a
-    single row scatter instead of six separate full-lane scatters --
-    measured 6x cheaper on the TPU scalar-scatter path -- and unpacks into
-    the ScatterEvents struct once at the end."""
+    March/service split (same as transport_run): the march steps do pure
+    geometry + tau accumulation and FREEZE lanes whose free path ends;
+    a periodic service pass then handles every frozen lane at once --
+    the event append (one packed row scatter: pos3 | dir3 | photons |
+    level | ind bit-cast), the RNG draw, the deflection and the new free
+    path. RNG is consumed per scattering event, so a packet's sequence is
+    independent of the marching cadence.
+
+    (tau, pending) are part of the persistent pool state: a capacity-bound
+    exit must not reset a lane's optical-depth progress (that would
+    stretch its free path) nor lose its frozen-event flag -- the caller
+    flushes the buffer and calls again with the same pool.
+    """
     seed = jnp.uint32(seed)
     kabs = physics["kabs"]
     ksca = physics["ksca"]
@@ -156,48 +166,24 @@ def propagate_events(grid, physics, b, free_path, events, ecount, seed,
         [events.pos, events.dir, events.photons[:, None],
          as_f(events.level)[:, None], as_f(events.ind)[:, None]], axis=1)
 
-    def cond(state):
-        it, b, fp, tau, evbuf, ecount, anc = state
-        return ((it < max_iters) & jnp.any(b.ind >= 0)
-                & (ecount + nlanes <= capacity))
-
-    def body(state):
-        it, b, free_path, tau, evbuf, ecount, anc = state
-        alive = b.ind >= 0
-        gidx = jnp.clip(grid.off[jnp.clip(b.level, 0, grid.levels - 1)]
-                        + jnp.maximum(b.ind, 0), 0, grid.cells - 1)
-        dens = grid.dens[gidx]
-        ds_local, pos_boundary = traverse.boundary_step(b.pos, b.dir)
-        ds_gl = ds_local * jnp.exp2(-b.level.astype(jnp.float32))
-        dtau_sca = ds_gl * dens * ksca
-        scatter_now = alive & (free_path < tau + dtau_sca)
-
-        # scattering position: partial step within the current cell
-        dx_gl = (free_path - tau) / jnp.maximum(ksca * dens, 1e-30)
-        dx_local = jnp.maximum(
-            0.0, dx_gl * jnp.exp2(b.level.astype(jnp.float32)) - 2.0 * PEPS)
-        pos_scatter = b.pos + dx_local[:, None] * b.dir
-        # attenuation by absorption along the whole free path
-        # (kernel_ASOC_sca.c:296-300)
-        photons = jnp.where(
-            scatter_now,
-            b.photons * jnp.exp(-free_path * kabs
-                                / jnp.maximum(ksca, 1e-30)),
-            b.photons)
-
-        # append events at prefix-sum offsets: one packed row scatter
-        sc = scatter_now.astype(jnp.int32)
+    def service(b, pending, free_path, tau, evbuf, ecount, anc):
+        act = pending & (b.ind >= 0)
+        # ---- append the frozen events (b.dir is still the INCOMING
+        # direction; b.pos froze at the scattering point)
+        sc = act.astype(jnp.int32)
         rank = jnp.cumsum(sc) - sc
-        slot = jnp.where(scatter_now, ecount + rank, capacity)  # OOB drop
+        slot = jnp.where(act, ecount + rank, capacity)   # OOB drop
         payload = jnp.concatenate(
-            [pos_scatter, b.dir, photons[:, None],
+            [b.pos, b.dir, b.photons[:, None],
              as_f(b.level)[:, None], as_f(b.ind)[:, None]], axis=1)
         evbuf = evbuf.at[slot].set(payload, mode="drop")
         ecount = ecount + jnp.sum(sc)
 
-        # new direction + free path for scattered lanes
-        u_bin, u_phi, u_fp, u_sp = socrng.uniform4(seed, b.stream, b.counter,
-                                                   b.hi)
+        # ---- new direction + free path
+        u_bin, u_phi, u_fp, u_sp = socrng.uniform4(seed, b.stream,
+                                                   b.counter, b.hi)
+        gidx = jnp.clip(grid.off[jnp.clip(b.level, 0, grid.levels - 1)]
+                        + jnp.maximum(b.ind, 0), 0, grid.cells - 1)
         if "msf_csc" in physics:
             # WITH_MSF: scattering species ~ ABU[cell]*SCA per dust
             # (kernel_ASOC.c:786-795), then that species' CSC
@@ -213,9 +199,47 @@ def propagate_events(grid, physics, b, free_path, events, ecount, seed,
         else:
             cos_theta = _csc_lookup(csc, b.ifreq, u_bin, bins)
         new_dir = _deflect(b.dir, cos_theta, (2.0 * jnp.pi) * u_phi)
+        # lanes that hit the scattering cap die after their final peel-off
+        # event (the reference caps at MAX_SCATTERINGS, kernel cap 20)
+        over = act & (b.scatterings > MAX_SCATTERINGS)
+        nb = PacketBatch(
+            pos=b.pos,
+            dir=jnp.where(act[:, None], new_dir, b.dir),
+            level=b.level,
+            ind=jnp.where(over, -1, b.ind),
+            photons=b.photons, ifreq=b.ifreq, stream=b.stream, hi=b.hi,
+            counter=b.counter + act.astype(jnp.uint32),
+            scatterings=b.scatterings, e_cell=b.e_cell)
+        free_path = jnp.where(act, -jnp.log(u_fp), free_path)
+        tau = jnp.where(act, 0.0, tau)
+        return nb, pending & ~act, free_path, tau, evbuf, ecount, anc
 
-        posx = jnp.where(alive[:, None], pos_boundary, b.pos)
-        cross = alive & ~scatter_now
+    def march(b, pending, free_path, tau, evbuf, ecount, anc):
+        alive = b.ind >= 0
+        active = alive & ~pending
+        gidx = jnp.clip(grid.off[jnp.clip(b.level, 0, grid.levels - 1)]
+                        + jnp.maximum(b.ind, 0), 0, grid.cells - 1)
+        dens = grid.dens[gidx]
+        ds_local, pos_boundary = traverse.boundary_step(b.pos, b.dir)
+        ds_gl = ds_local * jnp.exp2(-b.level.astype(jnp.float32))
+        dtau_sca = ds_gl * dens * ksca
+        scatter_now = active & (free_path < tau + dtau_sca)
+
+        # scattering position: partial step within the current cell
+        dx_gl = (free_path - tau) / jnp.maximum(ksca * dens, 1e-30)
+        dx_local = jnp.maximum(
+            0.0, dx_gl * jnp.exp2(b.level.astype(jnp.float32)) - 2.0 * PEPS)
+        pos_scatter = b.pos + dx_local[:, None] * b.dir
+        # attenuation by absorption along the whole free path
+        # (kernel_ASOC_sca.c:296-300)
+        photons = jnp.where(
+            scatter_now,
+            b.photons * jnp.exp(-free_path * kabs
+                                / jnp.maximum(ksca, 1e-30)),
+            b.photons)
+
+        posx = jnp.where(active[:, None], pos_boundary, b.pos)
+        cross = active & ~scatter_now
         npos, nlevel, nind, anc = traverse.index_update_stack(
             grid, posx, b.level, b.ind, anc, cross)
         failed = cross & (nlevel == b.level) & (nind == b.ind)
@@ -224,28 +248,41 @@ def propagate_events(grid, physics, b, free_path, events, ecount, seed,
         pos = jnp.where(scatter_now[:, None], pos_scatter, npos)
         level = jnp.where(scatter_now, b.level, nlevel)
         ind = jnp.where(scatter_now, b.ind, nind)
-        dir = jnp.where(scatter_now[:, None], new_dir, b.dir)
-        scat = b.scatterings + sc
-        ind = jnp.where(scatter_now & (scat > MAX_SCATTERINGS), -1, ind)
-        free_path = jnp.where(scatter_now, -jnp.log(u_fp), free_path)
-        tau = jnp.where(scatter_now, 0.0,
+        scat = b.scatterings + scatter_now.astype(jnp.int32)
+        pending = pending | scatter_now
+        tau = jnp.where(scatter_now, free_path,
                         jnp.where(cross, tau + dtau_sca, tau))
-        nb = PacketBatch(pos=pos, dir=dir, level=level, ind=ind,
+        nb = PacketBatch(pos=pos, dir=b.dir, level=level, ind=ind,
                          photons=photons, ifreq=b.ifreq, stream=b.stream,
-                         hi=b.hi, counter=b.counter + jnp.uint32(1),
+                         hi=b.hi, counter=b.counter,
                          scatterings=scat, e_cell=b.e_cell)
-        return it + 1, nb, free_path, tau, evbuf, ecount, anc
+        return nb, pending, free_path, tau, evbuf, ecount, anc
 
-    tau0 = jnp.zeros(nlanes, jnp.float32)
-    state = (jnp.int32(0), b, free_path, tau0, evbuf0, ecount,
+    def cond(state):
+        it, b, pending, fp, tau, evbuf, ecount, anc = state
+        return ((it < max_iters) & jnp.any(b.ind >= 0)
+                & (ecount + nlanes <= capacity))
+
+    def body(state):
+        it, b, pending, free_path, tau, evbuf, ecount, anc = state
+        st = (b, pending, free_path, tau, evbuf, ecount, anc)
+        st = service(*st)
+        st = lax.fori_loop(0, service_period, lambda _, s: march(*s), st)
+        b, pending, free_path, tau, evbuf, ecount, anc = st
+        return it + 1, b, pending, free_path, tau, evbuf, ecount, anc
+
+    state = (jnp.int32(0), b, pending, free_path, tau, evbuf0, ecount,
              traverse.stack_from_par(grid, b.level, b.ind))
-    _, b, free_path, _, evbuf, ecount, _ = lax.while_loop(cond, body,
-                                                          state)
+    state = lax.while_loop(cond, body, state)
+    _, b, pending, free_path, tau, evbuf, ecount, _ = state
+    # the loop only exits with every lane dead (all owed events already
+    # appended by the service that killed them) or capacity-bound (frozen
+    # lanes stay pending for the caller's next invocation)
     events = ScatterEvents(
         pos=evbuf[:, 0:3], dir=evbuf[:, 3:6], photons=evbuf[:, 6],
         level=as_i(evbuf[:, 7]), ind=as_i(evbuf[:, 8]),
         valid=jnp.arange(capacity) < ecount)
-    return b, free_path, events, ecount
+    return b, free_path, tau, pending, events, ecount
 
 
 def _event_dsc(grid, physics, events, cos_theta):
@@ -391,12 +428,14 @@ def simulate_scattering(grid, physics, source_params, total_packets,
         b, free_path, next_id = spawn(
             grid, physics, source_params, total, next_id, seed,
             source_kind=source_kind, nlanes=nlanes, ffs=ffs)
+        tau = jnp.zeros(nlanes, jnp.float32)
+        pending = jnp.zeros(nlanes, bool)
         while True:
             events = empty_events(capacity)
             ecount = jnp.int32(0)
-            b, free_path, events, ecount = propagate_events(
-                grid, physics, b, free_path, events, ecount, seed,
-                capacity=capacity)
+            b, free_path, tau, pending, events, ecount = propagate_events(
+                grid, physics, b, free_path, tau, pending, events, ecount,
+                seed, capacity=capacity)
             ne = int(ecount)
             for k0 in range(0, max(ne, 1), chunk):
                 ev_c = tree_slice(events, k0)

@@ -92,11 +92,13 @@ def test_healpix_peeloff_internal_observer():
     while int(next_id) < n:
         b, fp, next_id = spawn(grid, physics, params, jnp.int32(n),
                                next_id, 5, nlanes=1 << 12)
+        tau = jnp.zeros(b.lanes, jnp.float32)
+        pending = jnp.zeros(b.lanes, bool)
         while True:
             ev = empty_events(1 << 14)
-            b, fp, ev, ec = propagate_events(grid, physics, b, fp, ev,
-                                             jnp.int32(0), 5,
-                                             capacity=1 << 14)
+            b, fp, tau, pending, ev, ec = propagate_events(
+                grid, physics, b, fp, tau, pending, ev, jnp.int32(0), 5,
+                capacity=1 << 14)
             out = peel_off_healpix(grid, physics, ev, obs, nside, out)
             ndeltas += int(ec)
             event_weight += float(jnp.sum(jnp.where(ev.valid, ev.photons,
@@ -129,9 +131,10 @@ def test_ffs_thin_channel_keeps_every_packet():
     b, fp, _ = spawn(grid, physics, params, jnp.int32(n), jnp.int32(0),
                      np.uint32(3), source_kind="bg", nlanes=n, ffs=True)
     ev = empty_events(1 << 13)
-    b, fp, ev, ec = propagate_events(grid, physics, b, fp, ev,
-                                     jnp.int32(0), np.uint32(3),
-                                     capacity=1 << 13)
+    b, fp, _, _, ev, ec = propagate_events(
+        grid, physics, b, fp, jnp.zeros(b.lanes, jnp.float32),
+        jnp.zeros(b.lanes, bool), ev, jnp.int32(0), np.uint32(3),
+        capacity=1 << 13)
     # every forced packet scatters at least once inside the cloud
     assert int(ec) >= n
     # and the FFS weight is the exact 1-exp(-tau) (expm1), not quantized
