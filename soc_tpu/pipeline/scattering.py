@@ -27,7 +27,6 @@ abundance-weighted per-dust DSC peel-off.
 """
 
 import os
-import time
 
 import numpy as np
 import jax.numpy as jnp
@@ -42,6 +41,23 @@ from ..render.scattered import simulate_scattering
 from ..transport import sources as src
 from ..transport.medium import medium_from_optics
 from ..utils.cache import enable_compile_cache
+
+
+def _hpbg_projected_area(grid, npix):
+    """Per-pixel A_proj(dir) / (AREA/4): the cloud's projected area toward
+    each healpix pixel, normalized by the isotropic mean (<|cos|> = 1/2
+    per face makes the mean of A_proj over the sphere equal AREA/4)."""
+    from ..render import healpix as hp
+    nside = int(np.sqrt(npix // 12))
+    theta, phi = hp.pix2ang_ring(nside, jnp.arange(npix))
+    theta = np.asarray(theta)
+    phi = np.asarray(phi)
+    st = np.sin(theta)
+    d = np.stack([st * np.cos(phi), st * np.sin(phi), np.cos(theta)], -1)
+    aproj = (np.abs(d[:, 0]) * grid.ny * grid.nz
+             + np.abs(d[:, 1]) * grid.nx * grid.nz
+             + np.abs(d[:, 2]) * grid.nx * grid.ny)
+    return aproj / (grid.area / 4.0)
 
 
 def run(ini_path=None, cfg=None, write_files=True, workdir=None,
@@ -127,7 +143,15 @@ def _run_inner(cfg, write_files, nlanes):
         for i, f in enumerate(cfg.file_pointsource):
             lps[i] = np.fromfile(f, np.float32, nfreq) * cfg.ps_scale[i]
     emitted = None
-    if cfg.clpac > 0 and os.path.exists(cfg.file_emitted):
+    if cfg.clpac > 0:
+        if not os.path.exists(cfg.file_emitted):
+            # the reference crashes on the missing memmap (ASOCS.py:790);
+            # silently dropping the dust-emission source would mask a
+            # misconfigured run
+            raise FileNotFoundError(
+                "scattering: cellpackets %d but the emitted file %r does "
+                "not exist (run the rt/emission stage first, or set "
+                "cellpackets 0)" % (cfg.clpac, cfg.file_emitted))
         from ..io.fields import read_cell_frequency_array
         emitted = read_cell_frequency_array(cfg.file_emitted)
         if emitted.shape[1] != nfreq:
@@ -160,6 +184,7 @@ def _run_inner(cfg, write_files, nlanes):
             obs_pos=obs_pos)
 
     sim_lo, sim_hi = cfg.sim_f
+    _hp_aproj = None
     for ifreq in range(nfreq):
         if not (sim_lo <= freq[ifreq] <= sim_hi):
             continue
@@ -187,8 +212,19 @@ def _run_inner(cfg, write_files, nlanes):
             per_freq = max(1, int(cfg.bgpac))
             wbg = np.pi * area / (PLANCK * per_freq)
             vals = (np.asarray(hpbg[ifreq], np.float64)
-                    * (wbg / freq[ifreq])).astype(np.float32)
-            params = dict(hpbg=jnp.asarray(vals), cdf=None,
+                    * (wbg / freq[ifreq]))
+            # per-pixel projected-area factor A_proj(dir)/(AREA/4): the
+            # face-entry sampler launches equal packet counts per pixel,
+            # but the power a parallel beam delivers scales with the
+            # cloud's projected area toward that pixel. This reproduces
+            # the reference's bounding-sphere launch (ASOCS.py:472-474,
+            # WBG = pi*4*pi*Rout^2 with misses dying on the Surface step)
+            # exactly in expectation, without wasting the missed packets.
+            if _hp_aproj is None:
+                _hp_aproj = _hpbg_projected_area(grid, hpbg.shape[1])
+            vals = vals * _hp_aproj
+            params = dict(hpbg=jnp.asarray(vals.astype(np.float32)),
+                          cdf=None,
                           ifreq=jnp.int32(ifreq),
                           per_freq=jnp.int32(per_freq),
                           hi_base=jnp.uint32(src.stream_hi_base("sca_hpbg")))
@@ -220,7 +256,7 @@ def _run_inner(cfg, write_files, nlanes):
                           per_freq=jnp.int32(per_cell * grid.cells),
                           hi_base=jnp.uint32(src.stream_hi_base("sca_cell")))
             outcoming[ifreq] += sim(physics, params, per_cell * grid.cells,
-                                    "cell", False)
+                                    "cell", cfg.ffs > 0)
         if roi_load is not None:
             rnx, rny, rnz, rl_nelem, rl_npix, rl_data = roi_load
             reps = max(1, int(cfg.roipac) // (rl_nelem * rl_npix))
@@ -252,7 +288,7 @@ def _run_inner(cfg, write_files, nlanes):
                                   src.stream_hi_base("diffuse")))
                 outcoming[ifreq] += sim(physics, params,
                                         per_cell * grid.cells, "cell",
-                                        False)
+                                        cfg.ffs > 0)
 
     # final surface-brightness scaling (ASOCS.py:873-884)
     for ifreq in range(nfreq):
@@ -268,8 +304,11 @@ def _run_inner(cfg, write_files, nlanes):
             # single-direction FITS image cube instead of the binary
             # container (ASOCS.py:387-392, 892: '<file_scattering>.fits')
             from ..io.fits import write_fits_image
+            # the reference substitutes 1 kpc when DISTANCE is unset
+            # (ASOCS.py:885-889)
             pix_deg = np.degrees(cfg.map_dx * cfg.gl
-                                 / max(cfg.distance, 1e-30))
+                                 / (cfg.distance if cfg.distance > 0
+                                    else 1000.0))
             write_fits_image("%s.fits" % cfg.file_scattering,
                              outcoming[:, 0], pix_deg=pix_deg)
         else:

@@ -51,7 +51,7 @@ class ScatterEvents:
     valid: jax.Array      # [E] bool
 
 
-def _march_tau(grid, pos, level, ind, dir, ext, active, max_steps=8192,
+def _march_tau(grid, pos, level, ind, dir, ext, active, max_steps=None,
                max_dist=None):
     """Vectorized LOS march to the surface accumulating ext optical depth.
 
@@ -59,7 +59,15 @@ def _march_tau(grid, pos, level, ind, dir, ext, active, max_steps=8192,
     a scalar for the uniform-frequency path. max_dist (per-ray, GL units)
     stops the march at the observer (the reference's min(dx, GetStep) in
     the internal-observer peel-off, kernel_ASOC_sca.c:300-312).
+
+    max_steps defaults to a bound no straight ray can exceed -- a diagonal
+    crossing at the deepest refinement plus slack -- so long sightlines on
+    large refined grids are never silently truncated (the reference
+    marches unbounded).
     """
+    if max_steps is None:
+        max_steps = 8 * (grid.nx + grid.ny + grid.nz) \
+            * (1 << (grid.levels - 1)) + 1024
     if max_dist is None:
         max_dist = jnp.full(pos.shape[0], jnp.inf, jnp.float32)
 
@@ -201,7 +209,10 @@ def propagate_events(grid, physics, b, free_path, tau, pending, events,
         new_dir = _deflect(b.dir, cos_theta, (2.0 * jnp.pi) * u_phi)
         # lanes that hit the scattering cap die after their final peel-off
         # event (the reference caps at MAX_SCATTERINGS, kernel cap 20)
-        over = act & (b.scatterings > MAX_SCATTERINGS)
+        # kill at == MAX after the final peel-off event, matching
+        # kernel_ASOC_sca.c:437 (the THERMAL kernel's cap is >20 -- one
+        # more scattering -- and transport_run keeps that)
+        over = act & (b.scatterings >= MAX_SCATTERINGS)
         nb = PacketBatch(
             pos=b.pos,
             dir=jnp.where(act[:, None], new_dir, b.dir),

@@ -104,7 +104,9 @@ def size_distribution(typ, amin, amax, params, nsize):
     p = list(params)
     if typ.startswith("logn"):
         a0, sigma = p[0], p[1]
-        dnda = np.exp(-(np.log(a / a0) / sigma) ** 2) / a
+        # exp(-0.5 x^2): the 0.5 "was missing from the documentation"
+        # (DustLib.py:1108) but IS in the implementation
+        dnda = np.exp(-0.5 * (np.log(a / a0) / sigma) ** 2) / a
     elif typ.startswith("plaw"):
         alpha = p[0]
         dnda = a ** alpha

@@ -83,13 +83,14 @@ def nn_solve(model_dict, absorbed, batch=1 << 16):
     lx = np.log10(np.maximum(np.asarray(absorbed, np.float64), 1e-33))
     x = ((lx - model_dict["in_mu"]) / model_dict["in_sd"]).astype(np.float32)
 
-    @jax.jit
-    def apply(xb):
-        return model.apply(model_dict["params"], xb)
+    # params as a traced argument: a closure would constant-fold the
+    # weights into the executable and recompile on every nn_solve call
+    apply = jax.jit(lambda params, xb: model.apply(params, xb))
 
     outs = []
     for i0 in range(0, x.shape[0], batch):
-        outs.append(np.asarray(apply(jnp.asarray(x[i0:i0 + batch]))))
+        outs.append(np.asarray(apply(model_dict["params"],
+                                     jnp.asarray(x[i0:i0 + batch]))))
     ly = np.concatenate(outs) * model_dict["out_sd"] + model_dict["out_mu"]
     return (10.0 ** ly).astype(np.float32)
 

@@ -31,7 +31,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..constants import PEPS
+from ..constants import DEPS, PEPS
 from ..ops import traverse
 from .propagate import PacketBatch
 from .. import rng as socrng
@@ -93,6 +93,10 @@ def _isotropic_dir(u1, u2):
     phi = 2.0 * jnp.pi * u2
     d = jnp.stack([sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi),
                    cos_theta], -1)
+    # the reference's DEPS clamp (kernel_ASOC.c): u = 0.5 or u -> 1 are
+    # exactly representable, and an exact-zero component divides to
+    # ds = -inf in boundary_step, scatter-adding -inf into the tallies
+    d = jnp.where(jnp.abs(d) < DEPS, DEPS, d)
     return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
 
 
@@ -248,7 +252,12 @@ def gen_point_source(grid, ids_local, seed, params):
         xps_nside = params["xps_nside"]      # [S] int32
         k = jnp.clip((u3 * xps_nside[isrc].astype(jnp.float32) * 0.999999
                       ).astype(jnp.int32), 0, 2)
-        photons = photons / jnp.maximum(xps_area[isrc, k], 1e-10)
+        # face-weight division applies to EXTERNAL sources only (the
+        # reference's PHOTONS /= XPS_AREA sits inside the external branch,
+        # kernel_ASOC.c PS_METHOD==2); internal sources have area == 0
+        photons = jnp.where(
+            external, photons / jnp.maximum(xps_area[isrc, k], 1e-10),
+            photons)
         side = xps_side[isrc, k]             # 0..5: +X,-X,+Y,-Y,+Z,-Z
         axis = side // 2
         plus_face = (side % 2) == 0          # even ids are the + faces
@@ -284,7 +293,7 @@ def gen_point_source(grid, ids_local, seed, params):
         v2 = st * jnp.sin(phi)
         axis = side // 2
         sgn = jnp.where(side % 2 == 0, -1.0, 1.0)     # +face => -axis dir
-        cx = jnp.where(axis == 0, sgn * ct, jnp.where(axis == 1, v1, v1))
+        cx = jnp.where(axis == 0, sgn * ct, v1)
         cy = jnp.where(axis == 1, sgn * ct, jnp.where(axis == 0, v1, v2))
         cz = jnp.where(axis == 2, sgn * ct, v2)
         cdir = jnp.stack([cx, cy, cz], -1)
@@ -575,8 +584,7 @@ def gen_roi(grid, ids_local, seed, params):
     n1 = jnp.where(in_x, rny, rnx)
     t1 = (r % n1).astype(jnp.float32)
     t2 = (r // n1).astype(jnp.float32)
-    rd1 = jnp.where(in_x, nx / rny * 0 + ny / rny,
-                    nx / rnx).astype(jnp.float32)
+    rd1 = jnp.where(in_x, ny / rny, nx / rnx).astype(jnp.float32)
     rd2 = jnp.where(in_x, nz / rnz,
                     jnp.where(in_y, nz / rnz, ny / rny)).astype(jnp.float32)
     c1 = (t1 + 0.5) * rd1 + (u1 - 0.5) * 0.98 * rd1

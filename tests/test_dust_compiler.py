@@ -202,3 +202,18 @@ def test_compile_dustem_model_and_cli(dustem_files, tmp_path, monkeypatch):
     # the solver file respects the CLI NE argument
     from soc_tpu.solve.solver_file import read_solver
     assert read_solver(str(tmp_path / "TST.solver")).ne == 32
+
+
+def test_logn_distribution_width():
+    """DustEM 'logn': dn/da ~ exp(-0.5 (ln(a/a0)/sigma)^2)/a -- the 0.5 is
+    in the DustEM implementation though not its documentation
+    (DustLib.py:1108); regression for a sqrt(2)-too-narrow distribution."""
+    from soc_tpu.solve.dust_compiler import size_distribution
+    a0, sigma = 1e-7, 0.5
+    a = np.logspace(-8, -6, 401)
+    dnda = size_distribution("logn", 1e-8, 1e-6, [a0, sigma], 401)
+    # ln-space second moment of a*dnda (the lognormal in ln a) == sigma^2
+    w = dnda * a                                    # density in ln a
+    x = np.log(a / a0)
+    var = np.sum(w * x * x) / np.sum(w) - (np.sum(w * x) / np.sum(w)) ** 2
+    np.testing.assert_allclose(np.sqrt(var), sigma, rtol=0.02)

@@ -93,3 +93,28 @@ def test_cone_and_healpix_methods_agree():
     hit0 = (tabs0.sum() / abs0) if abs0 else 0
     assert tabs5.sum() == pytest.approx(abs5, rel=1e-5)
     assert tabs3.sum() == pytest.approx(abs3, rel=1e-5)
+
+
+def test_ps_method2_internal_source_weight_unchanged():
+    """PS_METHOD 2 face-weight division applies only to EXTERNAL sources;
+    an internal source (xps_area == 0) must keep its photon weight
+    (regression: unconditional division boosted it by 1e10)."""
+    import jax.numpy as jnp
+    from soc_tpu.grid import uniform_grid
+    from soc_tpu.transport.sources import (
+        analyse_external_point_sources, gen_point_source)
+    grid = uniform_grid(8, 8, 8)
+    ps_pos = np.asarray([[4.0, 4.0, 4.0], [-5.0, 4.0, 4.0]], np.float32)
+    nside, side, area = analyse_external_point_sources(grid, ps_pos)
+    params = dict(ps_pos=jnp.asarray(ps_pos),
+                  photons=jnp.asarray([3.0, 5.0], jnp.float32),
+                  xps_nside=jnp.asarray(nside), xps_side=jnp.asarray(side),
+                  xps_area=jnp.asarray(area),
+                  ifreq=jnp.int32(0), per_freq=jnp.int32(1 << 16))
+    ids = jnp.arange(256, dtype=jnp.int32)
+    nb = gen_point_source(grid, ids, jnp.uint32(3), params)
+    ph = np.asarray(nb.photons)
+    internal = (np.asarray(nb.stream) % 2) == 0      # src = id % 2
+    np.testing.assert_allclose(ph[internal], 3.0)
+    # external packets get the area/cos/r^2 weighting, never the raw value
+    assert (ph[~internal] != 5.0).all()

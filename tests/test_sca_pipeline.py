@@ -151,3 +151,47 @@ def test_fits_scattering_output(model_dir):
     assert not (model_dir / "outcoming.socs").exists()
     data, hdr = read_fits_image(str(model_dir / "scat.fits"))
     np.testing.assert_allclose(data, out[:, 0], rtol=1e-6)
+
+
+def test_hpbg_projected_area_weighting():
+    """Scattered-light healpix sky: per-pixel weights carry the cloud's
+    projected area toward that pixel (the reference launches packets at a
+    bounding sphere so per-direction flux ~ A_proj; the face-entry
+    sampler must fold A_proj/(AREA/4) into the weight)."""
+    from soc_tpu.grid import uniform_grid
+    from soc_tpu.pipeline.scattering import _hpbg_projected_area
+    g = uniform_grid(16, 4, 4)
+    w = _hpbg_projected_area(g, 12 * 16 * 16)
+    # isotropic mean == 1 (healpix pixels are equal-area)
+    np.testing.assert_allclose(w.mean(), 1.0, rtol=1e-3)
+    # a pixel looking along +-X sees the small 4x4 face; one along +-Z
+    # sees the long 16x4 face: ratio 4 (up to the diagonal contributions)
+    assert w.max() / w.min() > 2.0
+    # cubic cloud: anisotropy only from the diagonal terms
+    wc = _hpbg_projected_area(uniform_grid(8, 8, 8), 12 * 16 * 16)
+    np.testing.assert_allclose(wc.mean(), 1.0, rtol=1e-3)
+    assert wc.max() / wc.min() < np.sqrt(3) + 0.01
+
+
+def test_cell_emission_ffs_thin_channel(model_dir):
+    """SimRAM_CL honors the FFS flag (kernel_ASOC_sca.c:1229): on an
+    optically thin channel forced first scattering keeps every emission
+    packet, without it nearly all escape unscattered."""
+    from soc_tpu.constants import um2f
+    from soc_tpu.io.fields import write_cell_frequency_array
+    cells = N ** 3
+    emitted = np.zeros((cells, 44), np.float32)
+    # put power in a NEAR-IR channel where k_sca is tiny but nonzero
+    emitted[:, 30] = 1e4
+    write_cell_frequency_array(str(model_dir / "emitted.data"), emitted)
+    ini = write_ini(model_dir, bgpac=0,
+                    extra="cellpackets %d\nffs 1\nsimum 0.5 5.0\n" % cells)
+    out_ffs = scattering.run(ini, nlanes=1 << 11)
+    ini2 = write_ini(model_dir, bgpac=0,
+                     extra="cellpackets %d\nffs 0\nsimum 0.5 5.0\n" % cells)
+    out_noffs = scattering.run(ini2, nlanes=1 << 11)
+    assert out_ffs[30].sum() > 0
+    # FFS produces a vastly better-sampled (here: strictly larger-count)
+    # signal; without it the thin channel catches almost nothing
+    assert (out_noffs[30].sum() == 0
+            or out_ffs[30].sum() > out_noffs[30].sum())

@@ -201,3 +201,21 @@ def test_negative_weight_packets_propagate():
     assert tp.sum() > 0
     np.testing.assert_allclose(tn, -tp, rtol=1e-6)
     np.testing.assert_allclose(en, -ep, rtol=1e-6)
+
+
+def test_isotropic_dir_never_axis_aligned():
+    """Exact u = 0.5 / u -> 1 draws used to produce zero direction
+    components -> ds = -inf in boundary_step -> -inf tally deposits
+    (regression; the reference clamps |DIR.c| >= DEPS)."""
+    import jax.numpy as jnp
+    from soc_tpu.transport.sources import _isotropic_dir
+    from soc_tpu.ops.traverse import boundary_step
+    u1 = jnp.asarray([0.5, 1.0, 0.0, 0.5], jnp.float32)
+    u2 = jnp.asarray([0.0, 0.25, 0.5, 0.25], jnp.float32)
+    d = np.asarray(_isotropic_dir(u1, u2))
+    assert (np.abs(d) >= 1e-6).all()
+    pos = jnp.full((4, 3), 2.5, jnp.float32)
+    ds, npos = boundary_step(pos, jnp.asarray(d))
+    assert np.isfinite(np.asarray(ds)).all()
+    assert (np.asarray(ds) > 0).all()
+    assert np.isfinite(np.asarray(npos)).all()
