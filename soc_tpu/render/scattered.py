@@ -296,8 +296,8 @@ def propagate_events(grid, physics, b, free_path, tau, pending, events,
     return b, free_path, tau, pending, events, ecount
 
 
-def _event_dsc(grid, physics, events, cos_theta):
-    """Phase-function value for the peel-off ray.
+def _dsc_value(physics, gidx, cos_theta):
+    """Phase-function value for a peel-off ray given the scattering cell.
 
     With multiple scattering functions (WITH_MSF) the reference picks a
     random dust ~ ABU*SCA and uses its DSC (kernel_ASOC_sca.c:340-348);
@@ -309,13 +309,17 @@ def _event_dsc(grid, physics, events, cos_theta):
     bin_idx = jnp.clip(((1.0 + cos_theta) * 0.5 * bins).astype(jnp.int32),
                        0, bins - 1)
     if "msf_dsc" in physics:
-        gidx = jnp.clip(grid.off[jnp.clip(events.level, 0, grid.levels - 1)]
-                        + jnp.maximum(events.ind, 0), 0, grid.cells - 1)
         w = physics["msf_abu"][gidx, :] * physics["msf_sca"][None, :]
         vals = physics["msf_dsc"][:, bin_idx]          # [NDUST, E]
         return jnp.sum(w.T * vals, axis=0) \
             / jnp.maximum(jnp.sum(w, axis=1), 1e-30)
     return dsc[bin_idx]
+
+
+def _event_dsc(grid, physics, events, cos_theta):
+    gidx = jnp.clip(grid.off[jnp.clip(events.level, 0, grid.levels - 1)]
+                    + jnp.maximum(events.ind, 0), 0, grid.cells - 1)
+    return _dsc_value(physics, gidx, cos_theta)
 
 
 @partial(jax.jit, static_argnames=("npix",))
@@ -392,6 +396,419 @@ def peel_off_healpix(grid, physics, events, obs_pos, nside, out):
     return out.at[idx].add(delta, mode="drop")
 
 
+def sca_pool_init(grid, nlanes):
+    """Fresh (all-dead) persistent pool state for sca_run."""
+    n = nlanes
+    z3 = jnp.zeros((n, 3), jnp.float32)
+    b = PacketBatch(
+        pos=z3, dir=z3 + (1.0 / np.sqrt(3.0)),
+        level=jnp.zeros(n, jnp.int32), ind=jnp.full(n, -1, jnp.int32),
+        photons=jnp.zeros(n, jnp.float32), ifreq=jnp.zeros(n, jnp.int32),
+        stream=jnp.zeros(n, jnp.uint32), hi=jnp.zeros(n, jnp.uint32),
+        counter=jnp.zeros(n, jnp.uint32),
+        scatterings=jnp.zeros(n, jnp.int32),
+        e_cell=jnp.full(n, -1, jnp.int32))
+    return dict(
+        b=b, stage=jnp.ones(n, jnp.int32),
+        epos=z3, elevel=jnp.zeros(n, jnp.int32),
+        eind=jnp.full(n, -1, jnp.int32),
+        free_path=jnp.zeros(n, jnp.float32),
+        tau=jnp.zeros(n, jnp.float32),
+        pend_s=jnp.zeros(n, bool), pend_r=jnp.zeros(n, bool),
+        next_id=jnp.int32(0))
+
+
+@partial(jax.jit, static_argnames=("source_kind", "nlanes", "ffs",
+                                   "capacity", "max_iters", "refill_period",
+                                   "service_period"))
+def sca_run(grid, physics, source_params, total_packets, carry, events,
+            ecount, seed, source_kind="bg", nlanes=1 << 14, ffs=True,
+            capacity=1 << 16, max_iters=1 << 30, refill_period=8,
+            service_period=4):
+    """Unified scattered-light transport: spawn + FFS + flight in ONE
+    lane-refill loop (the transport_run pattern).
+
+    The separate spawn/propagate phases each marched a full pool until the
+    SLOWEST lane finished, so mean occupancy decayed with the chord-length
+    spread (measured ~2x waste on the soc_example workload). Here every
+    lane cycles through stages at ~100% occupancy:
+
+      stage 0 (ffs): march the entry ray to the far boundary accumulating
+        the total scattering depth tau_tot (forced-first-scattering needs
+        it, kernel_ASOC_sca.c:227-244); at the boundary the lane freezes
+        (pending reset) and a service pass resets it to its recorded entry
+        state with free_path = -log1p(-w u), photons *= w.
+      stage 1: normal flight -- march, freeze at the scattering point,
+        service appends the peel-off event + draws the new direction
+        (identical to propagate_events), die on exit.
+      dead lanes are refilled from the packet budget by prefix-sum.
+
+    The per-packet RNG sequence (slot-2 FFS/birth uniform, one uniform4
+    per scattering) is identical to the spawn/propagate_events pair, so
+    the physics is unchanged -- only the scheduling differs.
+
+    Returns (carry, events, ecount); call again with the returned carry
+    (flushing the event buffer in between) until the pool is dead and the
+    budget is exhausted.
+    """
+    from ..transport.sources import GENERATORS
+    gen = GENERATORS[source_kind]
+    seed = jnp.uint32(seed)
+    kabs = physics["kabs"]
+    ksca = physics["ksca"]
+    csc = physics["csc"]
+    bins = csc.shape[-1]
+    cells = grid.cells
+    spb = max(1, refill_period // service_period)
+    if nlanes * spb > capacity:
+        raise ValueError("event capacity %d cannot hold one refill body of "
+                         "events (%d lanes x %d services)"
+                         % (capacity, nlanes, spb))
+    as_f = lambda x: lax.bitcast_convert_type(x, jnp.float32)
+    as_i = lambda x: lax.bitcast_convert_type(x, jnp.int32)
+    evbuf0 = jnp.concatenate(
+        [events.pos, events.dir, events.photons[:, None],
+         as_f(events.level)[:, None], as_f(events.ind)[:, None]], axis=1)
+    FP_FAR = jnp.float32(1e30)
+
+    def service(c, evbuf, ecount, anc):
+        b = c["b"]
+        # ---- scattering events: append + redirect (propagate_events)
+        act = c["pend_s"] & (b.ind >= 0)
+        sc = act.astype(jnp.int32)
+        rank = jnp.cumsum(sc) - sc
+        slot = jnp.where(act, ecount + rank, capacity)
+        payload = jnp.concatenate(
+            [b.pos, b.dir, b.photons[:, None],
+             as_f(b.level)[:, None], as_f(b.ind)[:, None]], axis=1)
+        evbuf = evbuf.at[slot].set(payload, mode="drop")
+        ecount = ecount + jnp.sum(sc)
+
+        u_bin, u_phi, u_fp, u_sp = socrng.uniform4(seed, b.stream,
+                                                   b.counter, b.hi)
+        if "msf_csc" in physics:
+            gidx = jnp.clip(grid.off[jnp.clip(b.level, 0, grid.levels - 1)]
+                            + jnp.maximum(b.ind, 0), 0, cells - 1)
+            msf_csc = physics["msf_csc"]
+            wspec = (physics["msf_abu"][gidx, :]
+                     * physics["msf_sca"][None, :])
+            cdf = jnp.cumsum(wspec, axis=1)
+            r = 0.99999 * u_sp * cdf[:, -1]
+            species = jnp.sum((cdf < r[:, None]).astype(jnp.int32), axis=1)
+            species = jnp.clip(species, 0, msf_csc.shape[0] - 1)
+            bin_idx = jnp.clip((u_bin * bins).astype(jnp.int32), 0, bins - 1)
+            cos_theta = msf_csc[species, bin_idx]
+        else:
+            cos_theta = _csc_lookup(csc, b.ifreq, u_bin, bins)
+        new_dir = _deflect(b.dir, cos_theta, (2.0 * jnp.pi) * u_phi)
+        over = act & (b.scatterings >= MAX_SCATTERINGS)
+        ind = jnp.where(over, -1, b.ind)
+        dirx = jnp.where(act[:, None], new_dir, b.dir)
+        counter = b.counter + act.astype(jnp.uint32)
+        free_path = jnp.where(act, -jnp.log(u_fp), c["free_path"])
+        tau = jnp.where(act, 0.0, c["tau"])
+
+        # ---- FFS resets: the stage-0 march finished with tau = tau_tot
+        actr = c["pend_r"] & (ind >= 0)
+        tau_tot = c["tau"]
+        u2 = socrng.uniform1(seed, b.stream,
+                             jnp.full_like(b.stream, 2), b.hi)
+        w = -jnp.expm1(-tau_tot)
+        fp_ffs = -jnp.log1p(-jnp.minimum(w * u2, 1.0 - 1e-12))
+        fp_ffs = jnp.minimum(fp_ffs, tau_tot * (1.0 - 1.0e-5))
+        die = tau_tot < 1.0e-22
+        pos = jnp.where(actr[:, None], c["epos"], b.pos)
+        level = jnp.where(actr, c["elevel"], b.level)
+        ind = jnp.where(actr, jnp.where(die, -1, c["eind"]), ind)
+        photons = jnp.where(actr, b.photons * w, b.photons)
+        free_path = jnp.where(actr, fp_ffs, free_path)
+        tau = jnp.where(actr, 0.0, tau)
+        stage = jnp.where(actr, 1, c["stage"])
+        if grid.levels > 1:
+            anc = jnp.where(actr[:, None],
+                            traverse.stack_from_par(grid, level, ind), anc)
+
+        nb = PacketBatch(pos=pos, dir=dirx, level=level, ind=ind,
+                         photons=photons, ifreq=b.ifreq, stream=b.stream,
+                         hi=b.hi, counter=counter,
+                         scatterings=b.scatterings, e_cell=b.e_cell)
+        c = {**c, "b": nb, "stage": stage, "free_path": free_path,
+             "tau": tau, "pend_s": c["pend_s"] & ~act,
+             "pend_r": c["pend_r"] & ~actr}
+        return c, evbuf, ecount, anc
+
+    def march(c, evbuf, ecount, anc):
+        b = c["b"]
+        stage = c["stage"]
+        free_path = c["free_path"]
+        tau = c["tau"]
+        alive = b.ind >= 0
+        active = alive & ~c["pend_s"] & ~c["pend_r"]
+        gidx = jnp.clip(grid.off[jnp.clip(b.level, 0, grid.levels - 1)]
+                        + jnp.maximum(b.ind, 0), 0, cells - 1)
+        dens = grid.dens[gidx]
+        ds_local, pos_boundary = traverse.boundary_step(b.pos, b.dir)
+        ds_gl = ds_local * jnp.exp2(-b.level.astype(jnp.float32))
+        dtau_sca = ds_gl * dens * ksca
+        in_flight = active & (stage == 1)
+        scatter_now = in_flight & (free_path < tau + dtau_sca)
+
+        dx_gl = (free_path - tau) / jnp.maximum(ksca * dens, 1e-30)
+        dx_local = jnp.maximum(
+            0.0, dx_gl * jnp.exp2(b.level.astype(jnp.float32)) - 2.0 * PEPS)
+        pos_scatter = b.pos + dx_local[:, None] * b.dir
+        photons = jnp.where(
+            scatter_now,
+            b.photons * jnp.exp(-free_path * kabs
+                                / jnp.maximum(ksca, 1e-30)),
+            b.photons)
+
+        cross = active & ~scatter_now
+        posx = jnp.where(cross[:, None], pos_boundary, b.pos)
+        npos, nlevel, nind, anc = traverse.index_update_stack(
+            grid, posx, b.level, b.ind, anc, cross)
+        failed = cross & (nlevel == b.level) & (nind == b.ind)
+        npos = jnp.where(failed[:, None], npos + PEPS * b.dir, npos)
+
+        # stage-0 lanes that reached the far boundary freeze for the FFS
+        # reset instead of dying (their state is discarded at the reset)
+        exit0 = cross & (stage == 0) & (nind < 0)
+        apply = cross & ~exit0
+        pos = jnp.where(scatter_now[:, None], pos_scatter,
+                        jnp.where(apply[:, None], npos, b.pos))
+        level = jnp.where(apply, nlevel, b.level)
+        ind = jnp.where(apply, nind, b.ind)
+        scat = b.scatterings + scatter_now.astype(jnp.int32)
+        tau = jnp.where(scatter_now, free_path,
+                        jnp.where(cross, tau + dtau_sca, tau))
+        nb = PacketBatch(pos=pos, dir=b.dir, level=level, ind=ind,
+                         photons=photons, ifreq=b.ifreq, stream=b.stream,
+                         hi=b.hi, counter=b.counter,
+                         scatterings=scat, e_cell=b.e_cell)
+        c = {**c, "b": nb, "free_path": free_path, "tau": tau,
+             "pend_s": c["pend_s"] | scatter_now,
+             "pend_r": c["pend_r"] | exit0}
+        return c, evbuf, ecount, anc
+
+    def cond(state):
+        it, c, evbuf, ecount = state
+        more = jnp.any(c["b"].ind >= 0) | (c["next_id"] < total_packets)
+        return ((it < max_iters) & more
+                & (ecount + nlanes * spb <= capacity))
+
+    def body(state):
+        it, c, evbuf, ecount = state
+        b = c["b"]
+        # ---- refill dead lanes from the budget
+        dead = b.ind < 0
+        deadi = dead.astype(jnp.int32)
+        rank = jnp.cumsum(deadi) - deadi
+        new_id = c["next_id"] + rank
+        can = dead & (new_id < total_packets)
+        ids_local = jnp.where(can, new_id, 0)
+        nb = gen(grid, ids_local, seed, source_params)
+        u2 = socrng.uniform1(seed, nb.stream,
+                             jnp.full_like(nb.stream, 2), nb.hi)
+        canl = can[:, None]
+        b = PacketBatch(
+            pos=jnp.where(canl, nb.pos, b.pos),
+            dir=jnp.where(canl, nb.dir, b.dir),
+            level=jnp.where(can, nb.level, b.level),
+            ind=jnp.where(can, nb.ind, b.ind),
+            photons=jnp.where(can, nb.photons, b.photons),
+            ifreq=jnp.where(can, nb.ifreq, b.ifreq),
+            stream=jnp.where(can, nb.stream, b.stream),
+            hi=jnp.where(can, nb.hi, b.hi),
+            counter=jnp.where(can, nb.counter + jnp.uint32(1), b.counter),
+            scatterings=jnp.where(can, 0, b.scatterings),
+            e_cell=jnp.where(can, nb.e_cell, b.e_cell))
+        c = {**c, "b": b,
+             "stage": jnp.where(can, 0 if ffs else 1, c["stage"]),
+             "epos": jnp.where(canl, nb.pos, c["epos"]),
+             "elevel": jnp.where(can, nb.level, c["elevel"]),
+             "eind": jnp.where(can, nb.ind, c["eind"]),
+             "free_path": jnp.where(can,
+                                    FP_FAR if ffs else -jnp.log(u2),
+                                    c["free_path"]),
+             "tau": jnp.where(can, 0.0, c["tau"]),
+             "pend_s": c["pend_s"] & ~can,
+             "pend_r": c["pend_r"] & ~can,
+             "next_id": c["next_id"] + jnp.sum(can.astype(jnp.int32))}
+
+        anc = traverse.stack_from_par(grid, c["b"].level, c["b"].ind)
+        st = (c, evbuf, ecount, anc)
+        for _ in range(spb):
+            st = service(*st)
+            st = lax.fori_loop(0, service_period, lambda _, s: march(*s), st)
+        c, evbuf, ecount, _ = st
+        return it + 1, c, evbuf, ecount
+
+    state = (jnp.int32(0), carry, evbuf0, ecount)
+    state = lax.while_loop(cond, body, state)
+    _, carry, evbuf, ecount = state
+    events = ScatterEvents(
+        pos=evbuf[:, 0:3], dir=evbuf[:, 3:6], photons=evbuf[:, 6],
+        level=as_i(evbuf[:, 7]), ind=as_i(evbuf[:, 8]),
+        valid=jnp.arange(capacity) < ecount)
+    return carry, events, ecount
+
+
+@partial(jax.jit, static_argnames=("npix", "mode", "nlanes",
+                                   "refill_period", "max_iters"))
+def peel_off_run(grid, physics, events, ecount, odirs, ra, de, centre,
+                 map_dx, npix, out_flat, obs_pos, mode="ortho",
+                 nlanes=1 << 14, refill_period=8, max_iters=1 << 30):
+    """Peel-off as a lane-refill march: one persistent ray pool drained
+    from the event x observer work list.
+
+    The chunked peel_off marched each fixed chunk until its SLOWEST ray
+    exited; here exited rays deposit and are refilled immediately, keeping
+    occupancy ~100% across the whole event buffer.
+
+    mode="ortho": work item (event, idir) -> ray along odirs[idir], deposit
+    into the [NDIR,NY,NX] map at the exit-position projection.
+    mode="healpix": one ray per event toward obs_pos (max_dist = the
+    observer distance), deposit into the all-sky [12 nside^2] map.
+    """
+    kabs = physics["kabs"]
+    ksca = physics["ksca"]
+    ext = kabs + ksca
+    cells = grid.cells
+    n = nlanes
+    if mode == "ortho":
+        ndir = odirs.shape[0]
+        nxp, nyp = npix
+    else:
+        from . import healpix as hp
+        from ..ops.traverse import root_pos
+        ndir = 1
+        nside = int(np.sqrt(out_flat.shape[0] // 12))
+        obs_pos = jnp.asarray(obs_pos, jnp.float32)
+    total_work = ecount * ndir
+    oob = out_flat.shape[0]
+
+    def deposit(c, out_flat):
+        has = (c["ind"] < 0) & (c["eidx"] >= 0)
+        cos_theta = jnp.clip(jnp.sum(c["evdir"] * c["rdir"], axis=-1),
+                             -0.9999, 0.9999)
+        delta = c["ph"] * jnp.exp(-c["tau"]) \
+            * _dsc_value(physics, c["egidx"], cos_theta)
+        if mode == "ortho":
+            rel = c["pos"] - jnp.asarray(centre, jnp.float32)[None, :]
+            ra_l = ra[c["idir"]]
+            de_l = de[c["idir"]]
+            i = ((0.5 * nxp - 0.00005)
+                 + jnp.sum(rel * ra_l, axis=-1) / map_dx)
+            j = ((0.5 * nyp - 0.00005)
+                 + jnp.sum(rel * de_l, axis=-1) / map_dx)
+            ii = jnp.floor(i).astype(jnp.int32)
+            jj = jnp.floor(j).astype(jnp.int32)
+            ok = has & (ii >= 0) & (jj >= 0) & (ii < nxp) & (jj < nyp)
+            flat_idx = jnp.where(ok, c["idir"] * nxp * nyp + jj * nxp + ii,
+                                 oob)
+        else:
+            delta = delta / jnp.maximum(c["dist"] * c["dist"], 1e-6)
+            theta = jnp.arccos(jnp.clip(-c["rdir"][:, 2], -1.0, 1.0))
+            phi = jnp.arctan2(c["rdir"][:, 1], c["rdir"][:, 0])
+            pix = hp.ang2pix_ring(nside, theta, phi)
+            flat_idx = jnp.where(has, pix, oob)
+        out_flat = out_flat.at[flat_idx].add(delta, mode="drop")
+        return {**c, "eidx": jnp.where(has, -1, c["eidx"])}, out_flat
+
+    def cond(state):
+        it, c, out_flat = state
+        return ((it < max_iters)
+                & (jnp.any(c["ind"] >= 0) | (c["next"] < total_work)))
+
+    def body(state):
+        it, c, out_flat = state
+        c, out_flat = deposit(c, out_flat)
+
+        # ---- refill from the work list
+        dead = c["ind"] < 0
+        deadi = dead.astype(jnp.int32)
+        rank = jnp.cumsum(deadi) - deadi
+        wid = c["next"] + rank
+        can = dead & (wid < total_work)
+        widc = jnp.where(can, wid, 0)
+        if mode == "ortho":
+            ei = widc // ndir
+            di = (widc % ndir).astype(jnp.int32)
+        else:
+            ei = widc
+            di = jnp.zeros_like(widc)
+        epos = events.pos[ei]
+        elvl = events.level[ei]
+        eind = events.ind[ei]
+        egidx = jnp.clip(grid.off[jnp.clip(elvl, 0, grid.levels - 1)]
+                         + jnp.maximum(eind, 0), 0, cells - 1)
+        if mode == "ortho":
+            rdir_new = odirs[di]
+            dist = jnp.full(n, jnp.inf, jnp.float32)
+        else:
+            rp = root_pos(grid, epos, elvl, eind)
+            vec = obs_pos[None, :] - rp
+            dist = jnp.linalg.norm(vec, axis=-1)
+            rdir_new = vec / jnp.maximum(dist, 1e-6)[:, None]
+            rdir_new = jnp.where(jnp.abs(rdir_new) < 1e-5, 1e-5, rdir_new)
+        canl = can[:, None]
+        c = {**c,
+             "pos": jnp.where(canl, epos, c["pos"]),
+             "level": jnp.where(can, elvl, c["level"]),
+             "ind": jnp.where(can, eind, c["ind"]),
+             "rdir": jnp.where(canl, rdir_new, c["rdir"]),
+             "evdir": jnp.where(canl, events.dir[ei], c["evdir"]),
+             "ph": jnp.where(can, events.photons[ei], c["ph"]),
+             "egidx": jnp.where(can, egidx, c["egidx"]),
+             "eidx": jnp.where(can, ei, c["eidx"]),
+             "idir": jnp.where(can, di, c["idir"]),
+             "tau": jnp.where(can, 0.0, c["tau"]),
+             "dist": jnp.where(can, dist, c["dist"]),
+             "left": jnp.where(can, dist, c["left"]),
+             "next": c["next"] + jnp.sum(can.astype(jnp.int32))}
+
+        anc = traverse.stack_from_par(grid, c["level"], c["ind"])
+
+        def march(_, st):
+            c, anc = st
+            live = c["ind"] >= 0
+            gidx = jnp.clip(
+                grid.off[jnp.clip(c["level"], 0, grid.levels - 1)]
+                + jnp.maximum(c["ind"], 0), 0, cells - 1)
+            dens = grid.dens[gidx]
+            ds, npos, nlevel, nind, anc = traverse.get_step_stack(
+                grid, c["pos"], c["rdir"], c["level"], c["ind"], anc, live)
+            failed = live & (nlevel == c["level"]) & (nind == c["ind"])
+            npos = jnp.where(failed[:, None], npos + PEPS * c["rdir"], npos)
+            w = jnp.minimum(ds, c["left"])
+            tau = c["tau"] + jnp.where(live, w * dens * ext, 0.0)
+            left = jnp.where(live, c["left"] - w, c["left"])
+            nind = jnp.where(live & (left <= 0.0), -1, nind)
+            c = {**c, "pos": npos, "level": nlevel, "ind": nind,
+                 "tau": tau, "left": left}
+            return c, anc
+
+        c, _ = lax.fori_loop(0, refill_period, march, (c, anc))
+        return it + 1, c, out_flat
+
+    z3 = jnp.zeros((n, 3), jnp.float32)
+    c0 = dict(pos=z3, level=jnp.zeros(n, jnp.int32),
+              ind=jnp.full(n, -1, jnp.int32),
+              rdir=z3 + 1.0, evdir=z3, ph=jnp.zeros(n, jnp.float32),
+              egidx=jnp.zeros(n, jnp.int32),
+              eidx=jnp.full(n, -1, jnp.int32),
+              idir=jnp.zeros(n, jnp.int32),
+              tau=jnp.zeros(n, jnp.float32),
+              dist=jnp.zeros(n, jnp.float32),
+              left=jnp.zeros(n, jnp.float32),
+              next=jnp.int32(0))
+    state = (jnp.int32(0), c0, out_flat)
+    state = lax.while_loop(cond, body, state)
+    _, c, out_flat = state
+    _, out_flat = deposit(c, out_flat)        # final flush
+    return out_flat
+
+
 def empty_events(capacity):
     return ScatterEvents(
         pos=jnp.zeros((capacity, 3), jnp.float32),
@@ -411,54 +828,40 @@ def simulate_scattering(grid, physics, source_params, total_packets,
     Returns OUT[NDIR, NY, NX], or -- with healpix_nside > 0 and obs_pos
     set (the reference's NDIR<0 internal-observer mode, ASOCS.py:43-49) --
     an all-sky OUT[12*nside^2] around the observer position.
+
+    Both the transport (sca_run) and the peel-off (peel_off_run) are
+    lane-refill loops; the host only flushes the event buffer between
+    rounds.
     """
     healpix = healpix_nside > 0
     if healpix:
-        out = jnp.zeros(12 * healpix_nside * healpix_nside, jnp.float32)
+        out_shape = (12 * healpix_nside * healpix_nside,)
+        obs_pos = jnp.asarray(obs_pos, jnp.float32)
     else:
         odirs = jnp.asarray(np.atleast_2d(odirs), jnp.float32)
         ra = jnp.asarray(np.atleast_2d(ra), jnp.float32)
         de = jnp.asarray(np.atleast_2d(de), jnp.float32)
         ndir = odirs.shape[0]
         nxp, nyp = npix
-        out = jnp.zeros((ndir, nyp, nxp), jnp.float32)
-    next_id = jnp.int32(0)
+        out_shape = (ndir, nyp, nxp)
+        obs_pos = jnp.zeros(3, jnp.float32)
+    out_flat = jnp.zeros(int(np.prod(out_shape)), jnp.float32)
     total = jnp.int32(total_packets)
-
-    # peel-off processes fixed-size chunks covering only the REAL events:
-    # on optically thin channels a round fills a few percent of the buffer
-    # and marching all `capacity` lanes to the cloud edge wasted >80% of
-    # the peel cost
-    chunk = min(1 << 14, capacity)
-
-    def tree_slice(t, k0):
-        import jax
-        return jax.tree_util.tree_map(lambda a: a[k0:k0 + chunk], t)
-
-    while int(next_id) < total_packets:
-        b, free_path, next_id = spawn(
-            grid, physics, source_params, total, next_id, seed,
-            source_kind=source_kind, nlanes=nlanes, ffs=ffs)
-        tau = jnp.zeros(nlanes, jnp.float32)
-        pending = jnp.zeros(nlanes, bool)
-        while True:
-            events = empty_events(capacity)
-            ecount = jnp.int32(0)
-            b, free_path, tau, pending, events, ecount = propagate_events(
-                grid, physics, b, free_path, tau, pending, events, ecount,
-                seed, capacity=capacity)
-            ne = int(ecount)
-            for k0 in range(0, max(ne, 1), chunk):
-                ev_c = tree_slice(events, k0)
-                if healpix:
-                    out = peel_off_healpix(
-                        grid, physics, ev_c,
-                        jnp.asarray(obs_pos, jnp.float32),
-                        healpix_nside, out)
-                else:
-                    out = peel_off(grid, physics, ev_c, odirs, ra, de,
-                                   jnp.asarray(centre, jnp.float32),
-                                   map_dx, tuple(npix), out)
-            if not bool(jnp.any(b.ind >= 0)):
-                break
-    return np.asarray(out)
+    carry = sca_pool_init(grid, nlanes)
+    while True:
+        events = empty_events(capacity)
+        carry, events, ecount = sca_run(
+            grid, physics, source_params, total, carry, events,
+            jnp.int32(0), seed, source_kind=source_kind, nlanes=nlanes,
+            ffs=ffs, capacity=capacity)
+        ne = int(ecount)
+        if ne > 0:
+            out_flat = peel_off_run(
+                grid, physics, events, ecount, odirs, ra, de,
+                jnp.asarray(centre, jnp.float32), map_dx,
+                tuple(npix), out_flat, obs_pos,
+                mode="healpix" if healpix else "ortho", nlanes=nlanes)
+        if (int(carry["next_id"]) >= total_packets
+                and not bool(jnp.any(carry["b"].ind >= 0))):
+            break
+    return np.asarray(out_flat).reshape(out_shape)

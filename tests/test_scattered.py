@@ -141,3 +141,78 @@ def test_ffs_thin_channel_keeps_every_packet():
     tau_max = 1e-7 * 16 * np.sqrt(3)
     ph = np.asarray(ev.photons)[:int(ec)]
     assert 0 < ph.max() <= -np.expm1(-tau_max) * 1.0001
+
+
+def test_unified_engine_matches_phase_engine():
+    """sca_run + peel_off_run (lane-refill scheduling) must reproduce the
+    spawn/propagate_events/peel_off pipeline: identical per-packet RNG
+    sequences make the event sets equal, so the maps agree to float
+    accumulation order."""
+    import jax
+    import jax.numpy as jnp
+    from soc_tpu.render.scattered import (spawn, propagate_events,
+                                          empty_events, peel_off,
+                                          sca_pool_init, sca_run,
+                                          peel_off_run)
+    nx = 8
+    grid = uniform_grid(nx, nx, nx, density=1.0)
+    physics = setup_physics(ksca=8e-2, kabs=1e-2, g=0.5)
+    n = 4 * int(grid.area)
+    params = dict(photons=jnp.float32(1.0), ifreq=jnp.int32(0),
+                  per_freq=jnp.int32(n))
+    odir, ra, de = observer_basis(0.3, 0.7)
+    odirs = jnp.asarray(np.atleast_2d(odir), jnp.float32)
+    ra2 = jnp.asarray(np.atleast_2d(ra), jnp.float32)
+    de2 = jnp.asarray(np.atleast_2d(de), jnp.float32)
+    centre = jnp.asarray((nx / 2, nx / 2, nx / 2), jnp.float32)
+    npix = (16, 16)
+    seed = np.uint32(11)
+    cap = 1 << 14
+
+    # --- old phase engine
+    out_old = jnp.zeros((1, 16, 16), jnp.float32)
+    next_id = jnp.int32(0)
+    w_old = 0.0
+    ne_old = 0
+    while int(next_id) < n:
+        b, fp, next_id = spawn(grid, physics, params, jnp.int32(n),
+                               next_id, seed, nlanes=1 << 10)
+        tau = jnp.zeros(b.lanes, jnp.float32)
+        pending = jnp.zeros(b.lanes, bool)
+        while True:
+            ev = empty_events(cap)
+            b, fp, tau, pending, ev, ec = propagate_events(
+                grid, physics, b, fp, tau, pending, ev, jnp.int32(0),
+                seed, capacity=cap)
+            out_old = peel_off(grid, physics, ev, odirs, ra2, de2,
+                               centre, 1.0, npix, out_old)
+            ne_old += int(ec)
+            w_old += float(jnp.sum(jnp.where(ev.valid, ev.photons, 0.0)))
+            if not bool(jnp.any(b.ind >= 0)):
+                break
+
+    # --- unified engine
+    out_new = jnp.zeros(16 * 16, jnp.float32)
+    carry = sca_pool_init(grid, 1 << 10)
+    w_new = 0.0
+    ne_new = 0
+    while True:
+        ev = empty_events(cap)
+        carry, ev, ec = sca_run(grid, physics, params, jnp.int32(n),
+                                carry, ev, jnp.int32(0), seed,
+                                nlanes=1 << 10, capacity=cap)
+        ne_new += int(ec)
+        w_new += float(jnp.sum(jnp.where(ev.valid, ev.photons, 0.0)))
+        if int(ec):
+            out_new = peel_off_run(grid, physics, ev, ec, odirs, ra2, de2,
+                                   centre, 1.0, npix, out_new,
+                                   jnp.zeros(3, jnp.float32),
+                                   mode="ortho", nlanes=1 << 10)
+        if (int(carry["next_id"]) >= n
+                and not bool(jnp.any(carry["b"].ind >= 0))):
+            break
+
+    assert ne_new == ne_old
+    np.testing.assert_allclose(w_new, w_old, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_new).reshape(1, 16, 16),
+                               np.asarray(out_old), rtol=2e-4, atol=1e-10)
