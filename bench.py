@@ -84,12 +84,13 @@ def bench_transport(workdir, lanes, repeats=3):
                 grid, medium, cfg, ibg, tabs, intf,
                 np.uint32(12345 + rep), lanes=lanes,
                 per_freq_tally=False)
-            tabs.block_until_ready()
+            # forced readback: block_until_ready alone can return early on
+            # the tunnelled backend (measured), a transfer cannot
+            tabs_np = np.asarray(tabs)
             dt = time.time() - t0
             times.append(dt)
             closure = abs((inj - np.asarray(esc)).sum() / inj.sum())
-            sane = bool(np.isfinite(np.asarray(tabs)).all()
-                        and 0 < closure < 1)
+            sane = bool(np.isfinite(tabs_np).all() and 0 < closure < 1)
             if best is None or dt < best[0]:
                 best = (dt, sane)
         return dict(packets=total_packets, times=[round(t, 2) for t in times],
@@ -122,7 +123,7 @@ def bench_speed_of_light(grid, total_packets, repeats=3, nrays=1 << 17):
         t0 = time.time()
         for _ in range(min(rounds, 8)):
             total = march(pos, dirs)
-        total.block_until_ready()
+        _ = float(np.asarray(total).sum())       # forced readback
         dt = (time.time() - t0) / min(rounds, 8)
         if best is None or dt < best:
             best = dt
@@ -166,7 +167,7 @@ def bench_sol_stepping(lanes, iters=100):
     best = None
     for _ in range(3):
         t0 = _t.time()
-        run_real().block_until_ready()
+        _ = float(np.asarray(run_real()).sum())  # forced readback
         dt = _t.time() - t0
         best = dt if best is None else min(best, dt)
     real_rate = iters * refill * lanes / best
@@ -179,7 +180,7 @@ def bench_sol_stepping(lanes, iters=100):
         t0 = _t.time()
         tabs, _ = ab.ablate_run(grid, physics, jnp.float32(1.0), 7,
                                 variant="bound", nlanes=lanes, iters=iters)
-        tabs.block_until_ready()
+        _ = float(np.asarray(tabs).sum())        # forced readback
         dt = _t.time() - t0
         bbest = dt if bbest is None else min(bbest, dt)
     bound_rate = iters * ab.REFILL * lanes / bbest
@@ -275,6 +276,7 @@ def bench_sca(lanes, total_packets=1 << 21, repeats=3):
 
 def bench_a2e(cells=65536, ne=128, nfreq=44, nsize=4):
     """Stochastic-heating solve throughput on a production-shaped solver."""
+    import jax.numpy as jnp
     sys.path.insert(0, os.path.join(REPO, "tests"))
     from test_a2e import random_solver
     from soc_tpu.solve import stochastic
@@ -289,6 +291,7 @@ def bench_a2e(cells=65536, ne=128, nfreq=44, nsize=4):
     for _ in range(3):
         t0 = time.time()
         emitted = stochastic.solve_emission(solver, absorbed)
+        _ = float(jnp.sum(jnp.asarray(emitted)))   # forced readback
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     assert np.isfinite(emitted).all()
@@ -310,7 +313,7 @@ def bench_map(grid, medium, freq, npix=512):
     phot.block_until_ready()           # compile
     t0 = time.time()
     phot, tau, colden = render_ortho(*args)
-    phot.block_until_ready()
+    _ = float(jnp.sum(phot))                       # forced readback
     return time.time() - t0
 
 
