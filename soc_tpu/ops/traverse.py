@@ -231,11 +231,18 @@ def index_global_stack(grid, pos):
     return pos, level, ind, anc
 
 
-def index_update_stack(grid, pos, level, ind, anc, active):
+def index_update_stack(grid, pos, level, ind, anc, active, descend=True):
     """index_update with an ALU-only up-walk driven by the ancestor stack.
 
     Semantics identical to index_update given a consistent stack; no PAR
     reads. Returns (pos, level, ind, anc).
+
+    descend=False skips the final leaf descent: the returned cell may be a
+    refined (link) cell. Callers using this DEFERRED-DESCENT protocol must
+    test the cell's density value each step and descend one level at a
+    time themselves (see transport.propagate: the already-needed density
+    gather doubles as the link test, so a march step costs exactly one
+    hierarchy gather instead of the levels-1 unrolled descent chain).
     """
     if grid.levels == 1:
         pos, level, ind = index_update(grid, pos, level, ind, active)
@@ -282,8 +289,23 @@ def index_update_stack(grid, pos, level, ind, anc, active):
         nowdone = rootcase | (octcase & insideB)
         up = up & ~nowdone & (level > 0)
 
-    pos, level, ind, anc = _descend_stack(grid, pos, level, ind, anc,
-                                          active & (ind >= 0))
+    if descend:
+        pos, level, ind, anc = _descend_stack(grid, pos, level, ind, anc,
+                                              active & (ind >= 0))
+    return pos, level, ind, anc
+
+
+def descend_one(grid, pos, level, ind, anc, dval, is_link):
+    """One deferred-descent level: move lanes sitting on a link cell (their
+    gathered density value ``dval`` <= 0) one level down. ALU-only -- the
+    link test reuses the density gather the caller already paid for."""
+    child = _decode_link(dval)
+    dpos = 2.0 * jnp.mod(pos, 1.0)
+    dind = child + _suboct(dpos)
+    anc = _anc_write(anc, level, ind, is_link)
+    pos = jnp.where(is_link[..., None], dpos, pos)
+    ind = jnp.where(is_link, dind, ind)
+    level = jnp.where(is_link, level + 1, level)
     return pos, level, ind, anc
 
 

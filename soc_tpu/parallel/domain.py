@@ -410,6 +410,14 @@ def _build_domain_runner(slabs, mesh, nlanes, k_inner, max_super,
             ci = jnp.clip(off_c[jnp.clip(lev, 0, levels - 1)]
                           + jnp.maximum(ind, 0), 0, cells_pad - 1)
             dens = grid.dens[ci]
+            # deferred descent (see transport.propagate): a lane on a link
+            # cell spends this step descending one level, ALU-only; it
+            # consumes no RNG draw, so packet sequences are unchanged
+            if levels > 1:
+                is_link = alive & (dens <= 0.0)
+                alive = alive & ~is_link
+            else:
+                is_link = jnp.zeros_like(alive)
             ds_local, pos_boundary = traverse.boundary_step(pos, dir)
             ds_gl = ds_local * jnp.exp2(-lev.astype(jnp.float32))
             tau_abs_full = ds_gl * dens * kabs
@@ -438,7 +446,7 @@ def _build_domain_runner(slabs, mesh, nlanes, k_inner, max_super,
             posx = jnp.where(alive[:, None], pos_boundary, pos)
             cross = alive & ~scatter_now
             npos, nlev, nind, anc = traverse.index_update_stack(
-                grid, posx, lev, ind, anc, cross)
+                grid, posx, lev, ind, anc, cross, descend=False)
             failed = cross & (nlev == lev) & (nind == ind)
             npos = jnp.where(failed[:, None], npos + PEPS * dir, npos)
 
@@ -458,6 +466,9 @@ def _build_domain_runner(slabs, mesh, nlanes, k_inner, max_super,
             levm = jnp.where(scatter_now, lev, nlev)
             indm = jnp.where(scatter_now, ind, nind)
             dirm = jnp.where(scatter_now[:, None], new_dir, dir)
+            if levels > 1:
+                posm, levm, indm, anc = traverse.descend_one(
+                    grid, posm, levm, indm, anc, dens, is_link)
             scatm = scat + scatter_now.astype(jnp.int32)
             over = scatter_now & (scatm > MAX_SCATTERINGS)
             faint = alive & (jnp.abs(photons) < PHOTON_LIMIT)

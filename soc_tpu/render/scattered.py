@@ -547,6 +547,13 @@ def sca_run(grid, physics, source_params, total_packets, carry, events,
         gidx = jnp.clip(grid.off[jnp.clip(b.level, 0, grid.levels - 1)]
                         + jnp.maximum(b.ind, 0), 0, cells - 1)
         dens = grid.dens[gidx]
+        # deferred descent (see transport.propagate): a lane on a link
+        # cell spends this step descending one level, ALU-only
+        if grid.levels > 1:
+            is_link = active & (dens <= 0.0)
+            active = active & ~is_link
+        else:
+            is_link = jnp.zeros_like(active)
         ds_local, pos_boundary = traverse.boundary_step(b.pos, b.dir)
         ds_gl = ds_local * jnp.exp2(-b.level.astype(jnp.float32))
         dtau_sca = ds_gl * dens * ksca
@@ -566,7 +573,7 @@ def sca_run(grid, physics, source_params, total_packets, carry, events,
         cross = active & ~scatter_now
         posx = jnp.where(cross[:, None], pos_boundary, b.pos)
         npos, nlevel, nind, anc = traverse.index_update_stack(
-            grid, posx, b.level, b.ind, anc, cross)
+            grid, posx, b.level, b.ind, anc, cross, descend=False)
         failed = cross & (nlevel == b.level) & (nind == b.ind)
         npos = jnp.where(failed[:, None], npos + PEPS * b.dir, npos)
 
@@ -578,6 +585,9 @@ def sca_run(grid, physics, source_params, total_packets, carry, events,
                         jnp.where(apply[:, None], npos, b.pos))
         level = jnp.where(apply, nlevel, b.level)
         ind = jnp.where(apply, nind, b.ind)
+        if grid.levels > 1:
+            pos, level, ind, anc = traverse.descend_one(
+                grid, pos, level, ind, anc, dens, is_link)
         scat = b.scatterings + scatter_now.astype(jnp.int32)
         tau = jnp.where(scatter_now, free_path,
                         jnp.where(cross, tau + dtau_sca, tau))
@@ -776,14 +786,28 @@ def peel_off_run(grid, physics, events, ecount, odirs, ra, de, centre,
                 grid.off[jnp.clip(c["level"], 0, grid.levels - 1)]
                 + jnp.maximum(c["ind"], 0), 0, cells - 1)
             dens = grid.dens[gidx]
-            ds, npos, nlevel, nind, anc = traverse.get_step_stack(
-                grid, c["pos"], c["rdir"], c["level"], c["ind"], anc, live)
-            failed = live & (nlevel == c["level"]) & (nind == c["ind"])
+            # deferred descent: link lanes descend one level this step
+            if grid.levels > 1:
+                is_link = live & (dens <= 0.0)
+                step_ok = live & ~is_link
+            else:
+                is_link = jnp.zeros_like(live)
+                step_ok = live
+            ds_local, pos_b = traverse.boundary_step(c["pos"], c["rdir"])
+            ds = ds_local * jnp.exp2(-c["level"].astype(jnp.float32))
+            posx = jnp.where(step_ok[:, None], pos_b, c["pos"])
+            npos, nlevel, nind, anc = traverse.index_update_stack(
+                grid, posx, c["level"], c["ind"], anc, step_ok,
+                descend=False)
+            failed = step_ok & (nlevel == c["level"]) & (nind == c["ind"])
             npos = jnp.where(failed[:, None], npos + PEPS * c["rdir"], npos)
             w = jnp.minimum(ds, c["left"])
-            tau = c["tau"] + jnp.where(live, w * dens * ext, 0.0)
-            left = jnp.where(live, c["left"] - w, c["left"])
-            nind = jnp.where(live & (left <= 0.0), -1, nind)
+            tau = c["tau"] + jnp.where(step_ok, w * dens * ext, 0.0)
+            left = jnp.where(step_ok, c["left"] - w, c["left"])
+            nind = jnp.where(step_ok & (left <= 0.0), -1, nind)
+            if grid.levels > 1:
+                npos, nlevel, nind, anc = traverse.descend_one(
+                    grid, npos, nlevel, nind, anc, dens, is_link)
             c = {**c, "pos": npos, "level": nlevel, "ind": nind,
                  "tau": tau, "left": left}
             return c, anc

@@ -470,6 +470,16 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
         gidx = jnp.clip(grid.off[jnp.clip(b.level, 0, grid.levels - 1)]
                         + jnp.maximum(b.ind, 0), 0, cells - 1)
         dens = grid.dens[gidx]
+        # deferred descent: a lane may sit on a refined (link) cell -- the
+        # density gather doubles as the link test, and such a lane spends
+        # this step descending ONE level (ALU only) instead of marching.
+        # This removes the (levels-1)-gather unrolled descent chain from
+        # every step: each march step costs exactly one hierarchy gather.
+        if grid.levels > 1:
+            is_link = active & (dens <= 0.0)
+            active = active & ~is_link
+        else:
+            is_link = jnp.zeros_like(active)
         if "opt_abs" in physics:
             # WITH_ABU: per-cell abundance-weighted cross sections for the
             # current frequency (reference OPT array, ASOC.py:1146-1175);
@@ -535,7 +545,7 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
         posx = jnp.where(active[..., None], pos_boundary, b.pos)
         cross = active & ~scatter_now
         npos, nlevel, nind, anc = traverse.index_update_stack(
-            grid, posx, b.level, b.ind, anc, cross)
+            grid, posx, b.level, b.ind, anc, cross, descend=False)
         failed = cross & (nlevel == b.level) & (nind == b.ind)
         npos = jnp.where(failed[..., None], npos + PEPS * b.dir, npos)
         dirx = b.dir
@@ -594,25 +604,38 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
                              roi_c.shape[0])
             roi_c = roi_c.at[slot].add(photons, mode="drop")
 
-        # ---- packet splitting at refinement-boundary crossings
+        # ---- merge: scattering lanes freeze at the scattering point
+        # (direction + new free path drawn at the next service step)
+        pos = jnp.where(scatter_now[..., None], pos_scatter, npos)
+        level = jnp.where(scatter_now, b.level, nlevel)
+        ind = jnp.where(scatter_now, b.ind, nind)
+        dir = jnp.where(scatter_now[..., None], b.dir, dirx)
+
+        # ---- deferred descent: link lanes move one level down
+        if grid.levels > 1:
+            pos, level, ind, anc = traverse.descend_one(
+                grid, pos, level, ind, anc, dens, is_link)
+
+        # ---- packet splitting: one split per refinement level entered
+        # (descend_one fires once per level, so a multi-level descent
+        # splits at each level like the reference's per-level sub-rays)
         if do_split:
-            deeper = cross & (nlevel > b.level) & (nind >= 0)
-            want = deeper & ~sp["pending"] \
+            want = is_link & ~sp["pending"] \
                 & (sp["lane_depth"] < split_max)
             photons = jnp.where(want, 0.5 * photons, photons)
             depth_new = sp["lane_depth"] + want.astype(jnp.int32)
             # crossing axis: the octet coordinate closest to a face
-            fdist = jnp.minimum(npos, 2.0 - npos)
+            fdist = jnp.minimum(pos, 2.0 - pos)
             face = jnp.argmin(fdist, axis=1).astype(jnp.int32)
             wl = want[..., None]
             clone_path = sp["lane_path"] | jnp.left_shift(
                 jnp.uint32(1),
                 jnp.clip(depth_new - 1, 0, 31).astype(jnp.uint32))
             sp = {**sp,
-                  "pos": jnp.where(wl, npos, sp["pos"]),
-                  "dir": jnp.where(wl, dirx, sp["dir"]),
-                  "level": jnp.where(want, nlevel, sp["level"]),
-                  "ind": jnp.where(want, nind, sp["ind"]),
+                  "pos": jnp.where(wl, pos, sp["pos"]),
+                  "dir": jnp.where(wl, dir, sp["dir"]),
+                  "level": jnp.where(want, level, sp["level"]),
+                  "ind": jnp.where(want, ind, sp["ind"]),
                   "photons": jnp.where(want, photons, sp["photons"]),
                   "ifreq": jnp.where(want, b.ifreq, sp["ifreq"]),
                   "stream": jnp.where(want, b.stream, sp["stream"]),
@@ -622,13 +645,6 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
                   "face": jnp.where(want, face, sp["face"]),
                   "pending": sp["pending"] | want,
                   "lane_depth": depth_new}
-
-        # ---- merge: scattering lanes freeze at the scattering point
-        # (direction + new free path drawn at the next service step)
-        pos = jnp.where(scatter_now[..., None], pos_scatter, npos)
-        level = jnp.where(scatter_now, b.level, nlevel)
-        ind = jnp.where(scatter_now, b.ind, nind)
-        dir = jnp.where(scatter_now[..., None], b.dir, dirx)
         scat = b.scatterings + scatter_now.astype(jnp.int32)
         overscattered = scatter_now & (scat > MAX_SCATTERINGS)
         # magnitude test: WITH_REFERENCE delta packets carry NEGATIVE
