@@ -423,8 +423,8 @@ def sca_pool_init(grid, nlanes):
                                    "service_period"))
 def sca_run(grid, physics, source_params, total_packets, carry, events,
             ecount, seed, source_kind="bg", nlanes=1 << 14, ffs=True,
-            capacity=1 << 16, max_iters=1 << 30, refill_period=8,
-            service_period=4):
+            capacity=1 << 16, max_iters=1 << 30, refill_period=16,
+            service_period=16):
     """Unified scattered-light transport: spawn + FFS + flight in ONE
     lane-refill loop (the transport_run pattern).
 
@@ -667,7 +667,7 @@ def sca_run(grid, physics, source_params, total_packets, carry, events,
                                    "refill_period", "max_iters"))
 def peel_off_run(grid, physics, events, ecount, odirs, ra, de, centre,
                  map_dx, npix, out_flat, obs_pos, mode="ortho",
-                 nlanes=1 << 14, refill_period=8, max_iters=1 << 30):
+                 nlanes=1 << 14, refill_period=32, max_iters=1 << 30):
     """Peel-off as a lane-refill march: one persistent ray pool drained
     from the event x observer work list.
 
