@@ -132,6 +132,7 @@ class RunConfig:
         self.fast_map = -1
         self.polmap = 0
         self.polstat = 0
+        self.pol_rho_weight = False     # density- vs emission-weighted IQU
         self.p0 = 0.2
         self.fits = 0
         self.verbose = 0
@@ -418,6 +419,11 @@ class RunConfig:
                 self.polmap = max(1, n() if a else 1)
         elif key.startswith("polstat"):
             self.polstat = n()
+        elif key.startswith("polrho"):
+            # 'polrhoweight': weight the Stokes integrand by density alone
+            # instead of attenuated emission (ASOC_aux.py:284,
+            # kernel_ASOC_map.c:1092 POL_RHO_WEIGHT)
+            self.pol_rho_weight = True
         elif key.startswith("polred"):
             self.file_polred = a[0]
         elif key.startswith("p0"):

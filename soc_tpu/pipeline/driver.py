@@ -1529,7 +1529,7 @@ def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
                     grid, emit_map, ext_gl, bfield, cfg.p0,
                     jnp.asarray(odir), jnp.asarray(ra), jnp.asarray(de),
                     centre, cfg.map_dx, tuple(cfg.npix), polred=polred,
-                    rho_weight=False, use_shear=True,
+                    rho_weight=cfg.pol_rho_weight, use_shear=True,
                     y_shear=cfg.y_shear, maxlos=cfg.maxlos,
                     minlos=cfg.minlos)
                 res.maps[("pol", idir)] = (np.asarray(s_i),
@@ -1571,7 +1571,8 @@ def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
                 grid, emit_map, ext_gl, bfield, cfg.p0, jnp.asarray(odir),
                 jnp.asarray(ra), jnp.asarray(de), centre, cfg.map_dx,
                 tuple(cfg.npix), polred=polred,
-                rho_weight=False, maxlos=cfg.maxlos, minlos=cfg.minlos)
+                rho_weight=cfg.pol_rho_weight, maxlos=cfg.maxlos,
+                minlos=cfg.minlos)
             res.maps[("pol", idir)] = (np.asarray(s_i), np.asarray(s_q),
                                        np.asarray(s_u), np.asarray(colden))
             if write_files:

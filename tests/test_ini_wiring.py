@@ -199,6 +199,25 @@ def test_polstat_maps(model_dir):
     assert ("polstat", 0) in res.maps
 
 
+def test_polrhoweight_density_weighted_iqu(model_dir):
+    cells = N ** 3
+    for name, val in (("Bx", 0.0), ("By", 0.0), ("Bz", 1.0)):
+        write_hierarchy(model_dir / (name + ".bin"), N, N, N, [cells],
+                        [np.full(cells, val, np.float32)])
+    extra = "polmap 1\nBfiles Bx.bin By.bin Bz.bin\n"
+    res_em = run_ini(model_dir, extra)
+    res_rho = run_ini(model_dir, extra + "polrhoweight\n")
+    i_em = res_em.maps[("pol", 0)][0]
+    i_rho = res_rho.maps[("pol", 0)][0]
+    # rho weighting drops emission and attenuation from the integrand
+    # (kernel_ASOC_map.c:1092): on a uniform unit-density cloud the Stokes I
+    # map reduces to geometry only -- identical across frequencies and NOT
+    # equal to the emission-weighted map
+    np.testing.assert_allclose(i_rho[0], i_rho[-1], rtol=1e-5)
+    assert not np.allclose(i_em[0], i_em[-1], rtol=1e-3)
+    assert i_rho.sum() > 0
+
+
 def test_maphier_levels_sum_to_plain_map(model_dir):
     res_h = run_ini(model_dir, base=BASE_INI.replace(
         "mapping         8 8 1.0", "mapping         8 8 1.0 999"))
