@@ -154,3 +154,37 @@ def solve_chunk_all_sizes(w_stack, td_stack, ea_stack, chunk, align,
     (tot, ptot), _ = lax.scan(body, (zero, zero),
                               (w_stack, td_stack, ea_stack, align))
     return tot, ptot
+
+
+@partial(jax.jit, static_argnames=("ne", "tile", "interpret"))
+def solve_all_chunks(w_stack, td_stack, ea_stack, chunks, align, ne,
+                     tile=128, interpret=False):
+    """Solve a whole superbatch of cell chunks in ONE dispatch.
+
+    On the tunneled TPU the per-chunk jnp.asarray / np.asarray pair of
+    ``solve_chunk_all_sizes`` costs more than the solve itself; this runner
+    takes [nchunk, batch, NFREQ] absorbed and [nchunk, NSIZE, batch]
+    alignment in one transfer, scans the chunks on-device, and returns
+    (tot, ptot) with the same leading chunk axis for one readback.
+    Pass align=None to skip the polarized accumulator entirely (halves
+    the readback volume; the host link is the bottleneck of the solve).
+    VMEM/HBM working set stays one chunk (lax.map is a scan).
+    """
+    if align is None:
+        def one(chunk):
+            def body(tot, xs):
+                w_t, td, ea = xs
+                em = solve_batch_fused(w_t, td, ea, chunk, ne, tile=tile,
+                                       interpret=interpret)
+                return tot + em, 0.0
+            tot, _ = lax.scan(body, jnp.zeros_like(chunk),
+                              (w_stack, td_stack, ea_stack))
+            return tot
+        return lax.map(one, chunks), None
+
+    def one(xs):
+        chunk, al = xs
+        return solve_chunk_all_sizes(w_stack, td_stack, ea_stack, chunk,
+                                     al, ne, tile=tile, interpret=interpret)
+
+    return lax.map(one, (chunks, align))

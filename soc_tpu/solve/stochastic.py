@@ -215,7 +215,7 @@ def solve_emission(solver, absorbed, nstoch=999, batch=16384, clip_last=True,
     pemitted = np.zeros((cells, nfreq), np.float32) if aalg is not None         else None
     n_stoch = min(nstoch, solver.nsize)
     if use_fused and n_stoch > 0:
-        from .pallas_a2e import solve_chunk_all_sizes
+        from .pallas_a2e import solve_all_chunks
         cache = getattr(solver, "_prep_cache", None)
         if cache is None:
             cache = solver._prep_cache = {}
@@ -233,34 +233,47 @@ def solve_emission(solver, absorbed, nstoch=999, batch=16384, clip_last=True,
             align = np.stack([alignment_weights(solver, i, np.asarray(aalg))
                               for i in range(n_stoch)])
         else:
-            align = np.zeros((n_stoch, cells), np.float32)
-        # keep dispatch async but bound the number of in-flight chunks:
-        # an unbounded pending list holds every chunk's (tot, ptot) in
-        # device HBM until the drain (~2x the full emitted array on big
-        # in-memory models)
+            align = None    # skips the polarized accumulator + readback
+        # superbatched + pipelined dispatch: the host link (a ~10-35 MB/s
+        # tunnel here) dominates the solve, so (a) chunks cross the link in
+        # superbatch groups rather than one jnp.asarray/np.asarray pair per
+        # chunk, and (b) a small pending queue keeps a few superbatches in
+        # flight so uploads, device solves and readbacks overlap; the queue
+        # depth bounds device HBM held by undrained results
+        super_chunks = 2
+        step = super_chunks * batch
         pending = []
-        max_inflight = 8
 
         def drain(k):
             while len(pending) > k:
                 i0, i1, tot, ptot = pending.pop(0)
-                emitted[i0:i1] += np.asarray(tot[: i1 - i0])
+                emitted[i0:i1] += np.asarray(tot).reshape(-1, nfreq)[: i1 - i0]
                 if pemitted is not None:
-                    pemitted[i0:i1] += np.asarray(ptot[: i1 - i0])
+                    pemitted[i0:i1] += (np.asarray(ptot)
+                                        .reshape(-1, nfreq)[: i1 - i0])
 
-        for i0 in range(0, cells, batch):
-            i1 = min(i0 + batch, cells)
-            n = i1 - i0
-            chunk = absorbed[i0:i1]
-            al = align[:, i0:i1]
-            if n < batch:   # pad to keep a single compiled shape
-                chunk = np.pad(chunk, ((0, batch - n), (0, 0)))
-                al = np.pad(al, ((0, 0), (0, batch - n)))
-            tot, ptot = solve_chunk_all_sizes(
-                w_stack, td_stack, ea_stack, jnp.asarray(chunk),
-                jnp.asarray(al), solver.ne)
-            pending.append((i0, i1, tot, ptot))
-            drain(max_inflight)
+        for s0 in range(0, cells, step):
+            s1 = min(s0 + step, cells)
+            n = s1 - s0
+            nchunk = -(-n // batch)
+            pad = nchunk * batch - n
+            blk = absorbed[s0:s1]
+            if pad:     # pad the tail chunk only (one extra compile max)
+                blk = np.pad(blk, ((0, pad), (0, 0)))
+            blk = blk.reshape(nchunk, batch, nfreq)
+            if align is None:
+                al = None
+            else:
+                al = align[:, s0:s1]
+                if pad:
+                    al = np.pad(al, ((0, 0), (0, pad)))
+                al = jnp.asarray(np.ascontiguousarray(
+                    al.reshape(n_stoch, nchunk, batch).swapaxes(0, 1)))
+            tot, ptot = solve_all_chunks(
+                w_stack, td_stack, ea_stack, jnp.asarray(blk),
+                al, solver.ne)
+            pending.append((s0, s1, tot, ptot))
+            drain(4)
         drain(0)
     for isize in range(solver.nsize):
         if isize < nstoch:
