@@ -47,9 +47,10 @@ def prepare_size_arrays(solver, isize):
     ne, nfreq = solver.ne, solver.nfreq
     w = densify_weights(sd, ne, nfreq)              # [NE, NE, NFREQ]
     # absorption fraction of this size (A2E.py:346-349)
-    af = (np.asarray(solver.sk_abs[isize], np.float64)
-          / np.asarray(solver.k_abs, np.float64))
-    af = af / (solver.s_frac[isize] * solver.grain_density)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        af = (np.asarray(solver.sk_abs[isize], np.float64)
+              / np.asarray(solver.k_abs, np.float64))
+        af = af / (solver.s_frac[isize] * solver.grain_density)
     af = np.clip(np.nan_to_num(af, nan=1e-32), 1e-32, 1e100).astype(np.float32)
     # fold AF into the weight matrix (same per-frequency product)
     w = w * af[None, None, :]
@@ -148,12 +149,14 @@ def solve_equilibrium_size(solver, isize, absorbed, gl=None, nip=5000):
     from ..constants import EMIT_COEFF, FACTOR, H_K, PLANCK, planck_intensity
     freq = np.asarray(solver.freq, np.float64)
     # per-grain cross section
-    kabs = (np.asarray(solver.sk_abs[isize], np.float64)
-            / (solver.grain_density * solver.s_frac[isize]))
-    af = (np.asarray(solver.sk_abs[isize], np.float64)
-          / np.asarray(solver.k_abs, np.float64))
-    af = np.clip(af / (solver.s_frac[isize] * solver.grain_density),
-                 1e-32, 1e100)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        kabs = (np.asarray(solver.sk_abs[isize], np.float64)
+                / (solver.grain_density * solver.s_frac[isize]))
+        af = (np.asarray(solver.sk_abs[isize], np.float64)
+              / np.asarray(solver.k_abs, np.float64))
+        af = np.nan_to_num(af / (solver.s_frac[isize]
+                                 * solver.grain_density), nan=1e-32)
+    af = np.clip(af, 1e-32, 1e100)
     # E(T) lookup  (A2E.py equilibrium branch math)
     tgrid = np.logspace(np.log10(1.0), np.log10(2500.0), nip)
     # Eout(T) = FACTOR * 4 pi integral kabs B_nu(T) dnu  (trapezoid)
