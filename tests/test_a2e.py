@@ -238,6 +238,39 @@ def test_pallas_chunk_scan_matches_loop():
     np.testing.assert_allclose(np.asarray(ptot), pref, rtol=1e-6)
 
 
+def test_pallas_superbatch_matches_chunks():
+    """solve_all_chunks (superbatched multi-chunk dispatch) == per-chunk
+    solve_chunk_all_sizes, with and without the polarized accumulator."""
+    from soc_tpu.solve.pallas_a2e import (solve_all_chunks,
+                                          solve_chunk_all_sizes)
+    solver = random_solver(ne=128, nfreq=10, nsize=2, seed=12)
+    rng = np.random.default_rng(6)
+    chunks = (rng.random((3, 128, 10)) * 1e4).astype(np.float32)
+    preps = [stochastic.prepare_size_arrays_fused(solver, i)
+             for i in range(2)]
+    w_stack = jnp.stack([p[0] for p in preps])
+    td_stack = jnp.stack([p[1] for p in preps])
+    ea_stack = jnp.stack([jnp.asarray(p[2]) for p in preps])
+    align = rng.random((3, 2, 128)).astype(np.float32)
+    tot, ptot = solve_all_chunks(w_stack, td_stack, ea_stack,
+                                 jnp.asarray(chunks), jnp.asarray(align),
+                                 128, interpret=True)
+    tot_np, _ = solve_all_chunks(w_stack, td_stack, ea_stack,
+                                 jnp.asarray(chunks), None, 128,
+                                 interpret=True)
+    for k in range(3):
+        rt, rp = solve_chunk_all_sizes(w_stack, td_stack, ea_stack,
+                                       jnp.asarray(chunks[k]),
+                                       jnp.asarray(align[k]), 128,
+                                       interpret=True)
+        np.testing.assert_allclose(np.asarray(tot[k]), np.asarray(rt),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(ptot[k]), np.asarray(rp),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(tot_np[k]), np.asarray(rt),
+                                   rtol=1e-6)
+
+
 def test_cli_profile_trace(tmp_path):
     """--profile wraps any CLI command in a jax.profiler trace (SURVEY
     5.1); the trace directory must contain xplane protobufs afterwards."""
