@@ -301,10 +301,11 @@ def bench_a2e(cells=65536, ne=128, nfreq=44, nsize=4):
     # host-link bandwidth -- not a property of the TPU -- is excluded; this
     # is the rate an in-pipeline solve with device-resident tallies sees
     dev_best = None
-    cache = getattr(solver, "_prep_cache", {}).get(("stack", nsize))
-    if cache is not None and jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu":
         from soc_tpu.solve.pallas_a2e import solve_all_chunks
-        w_stack, td_stack, ea_stack = cache
+        # blessed accessor: fails loudly if the fused path is unavailable
+        # instead of silently dropping the device-resident metric
+        w_stack, td_stack, ea_stack = stochastic.get_fused_stacks(solver)
         blk = jnp.asarray(absorbed.reshape(-1, 16384, nfreq))
         blk.block_until_ready()
         for _ in range(3):
@@ -380,11 +381,17 @@ def main():
             "sol_stepping_fraction": round(step_rate / bound_rate, 3),
             "octree3_transport_pps": round(octree_pps, 1),
             "sca_peeloff_pps": round(sca_pps, 1),
+            # two bases, labeled: end-to-end includes host<->device traffic
+            # (here a dev-tunnel link, 10-35 MB/s), device-resident is the
+            # rate an in-pipeline solve with device-resident tallies sees
             "a2e_cells_per_sec": round(a2e_cps, 1),
             "a2e_device_cells_per_sec": (round(a2e_dev_cps, 1)
                                          if a2e_dev_cps else None),
             "a2e_vs_baseline": round(a2e_cps / REFERENCE_A2E_CELLS_PER_SEC,
                                      2),
+            "a2e_device_vs_baseline": (
+                round(a2e_dev_cps / REFERENCE_A2E_CELLS_PER_SEC, 2)
+                if a2e_dev_cps else None),
             "map_render_s_512x512x44": round(map_s, 3),
             "pipeline_e2e_s": round(e2e, 2),
             "sane": tr["sane"] and bool(

@@ -63,6 +63,96 @@ def write_fits_image(path, data, ra_deg=0.0, de_deg=0.0, pix_deg=None,
         fp.write(payload)
 
 
+def write_healpix_map(path, maps, nside, column_names=None, coord="G"):
+    """Write HEALPix maps as a FITS binary table, matching the conventions
+    of the reference's `healpy.write_map('pol_healpix.fits.%d', (I,Q,U,N),
+    fits_IDL=False, coord='G', ...)` output (ASOC.py:3948-3958): an empty
+    primary HDU plus one BINTABLE extension with one float32 column per
+    map, PIXTYPE=HEALPIX, ORDERING=RING, and the NSIDE/FIRSTPIX/LASTPIX
+    keywords -- readable by astropy.io.fits / healpy.read_map."""
+    maps = [np.asarray(m, np.float32).ravel() for m in maps]
+    npix = 12 * nside * nside
+    for m in maps:
+        if m.size != npix:
+            raise ValueError("map size %d != 12*NSIDE^2 = %d"
+                             % (m.size, npix))
+    if column_names is None:
+        column_names = ["I_STOKES", "Q_STOKES", "U_STOKES", "N"][:len(maps)]
+    primary = [
+        _card("SIMPLE", True, "conforms to FITS standard"),
+        _card("BITPIX", 8),
+        _card("NAXIS", 0),
+        _card("EXTEND", True),
+        "END".ljust(80),
+    ]
+    ncol = len(maps)
+    ext = [
+        _card("XTENSION", "BINTABLE", "binary table extension"),
+        _card("BITPIX", 8),
+        _card("NAXIS", 2),
+        _card("NAXIS1", 4 * ncol, "bytes per row"),
+        _card("NAXIS2", npix, "rows = healpix pixels"),
+        _card("PCOUNT", 0),
+        _card("GCOUNT", 1),
+        _card("TFIELDS", ncol),
+    ]
+    for i, name in enumerate(column_names):
+        ext.append(_card("TTYPE%d" % (i + 1), name))
+        ext.append(_card("TFORM%d" % (i + 1), "1E"))
+    ext += [
+        _card("PIXTYPE", "HEALPIX", "HEALPIX pixelisation"),
+        _card("ORDERING", "RING", "ring pixel ordering"),
+        _card("COORDSYS", coord),
+        _card("NSIDE", int(nside)),
+        _card("FIRSTPIX", 0),
+        _card("LASTPIX", npix - 1),
+        _card("INDXSCHM", "IMPLICIT"),
+        _card("ORIGIN", "soc_tpu"),
+        "END".ljust(80),
+    ]
+
+    def _pad_hdr(cards):
+        h = "".join(cards)
+        return h + " " * ((2880 - len(h) % 2880) % 2880)
+
+    table = np.stack(maps, axis=1).astype(">f4").tobytes()
+    table += b"\0" * ((2880 - len(table) % 2880) % 2880)
+    with open(path, "wb") as fp:
+        fp.write(_pad_hdr(primary).encode("ascii"))
+        fp.write(_pad_hdr(ext).encode("ascii"))
+        fp.write(table)
+
+
+def read_healpix_map(path):
+    """Round-trip reader for write_healpix_map: returns (maps [ncol, npix],
+    header dict of the BINTABLE extension)."""
+    with open(path, "rb") as fp:
+        raw = fp.read()
+
+    def _read_header(pos):
+        hdr = {}
+        while True:
+            block = raw[pos:pos + 2880].decode("ascii")
+            pos += 2880
+            for i in range(0, 2880, 80):
+                card = block[i:i + 80]
+                key = card[:8].strip()
+                if key == "END":
+                    return hdr, pos
+                if "=" in card:
+                    val = card.split("=", 1)[1].split("/")[0].strip()
+                    hdr[key] = val.strip("' ")
+
+    hdr0, pos = _read_header(0)
+    if int(hdr0.get("NAXIS", 0)) != 0:
+        raise ValueError("expected empty primary HDU")
+    hdr, pos = _read_header(pos)
+    npix = int(hdr["NAXIS2"])
+    ncol = int(hdr["TFIELDS"])
+    data = np.frombuffer(raw[pos:pos + 4 * npix * ncol], dtype=">f4")
+    return np.asarray(data.reshape(npix, ncol).T, np.float32), hdr
+
+
 def read_fits_image(path):
     """Minimal reader (for round-trip tests): returns (data, header dict)."""
     with open(path, "rb") as fp:

@@ -1300,6 +1300,22 @@ def _subiterations(cfg, grid, medium, optics, table, ctabs, intf, seed,
     return temperature, emitted, intf
 
 
+def _write_polmap_fits(cfg, freq, stack, idir):
+    """The reference's polmap product: one FITS per map-band frequency,
+    'polmap_%.1f_%02d.fits' (um, direction) holding the [4, NY, NX]
+    (I, Q, U, N) cube (ASOC.py:3798-3800). `stack` is [4, NF, NY, NX]."""
+    from ..constants import f2um
+    from ..io.fits import write_fits_image
+    pix_deg = None
+    if cfg.distance > 0:
+        pix_deg = np.degrees(cfg.gl * cfg.map_dx / cfg.distance)
+    band = map_freq_mask(cfg, freq)
+    for ifq in np.nonzero(band)[0]:
+        write_fits_image(
+            "polmap_%.1f_%02d.fits" % (f2um(freq[ifq]), idir),
+            stack[:, ifq], pix_deg=pix_deg)
+
+
 def map_freq_mask(cfg, freq):
     """Map-frequency selection: the `wavelength` band, `mapum` single
     frequencies, or libmaps FSELECT (ASOC.py:3003-3075 selection logic)."""
@@ -1319,6 +1335,17 @@ def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
     ext_cells : optional [CELLS, NFREQ] per-cell extinction (WITH_ABU)."""
     t0 = time.time()
     gl_cm = cfg.gl * PARSEC
+    if cfg.level_threshold > 0 and emitted is not None:
+        # `threshold L` (LEVEL_THRESHOLD): maps exclude emission from
+        # hierarchy levels < L -- low-resolution regions contribute
+        # extinction along the LOS but no surface brightness
+        # (kernel_ASOC_map.c:825-839, 1102-1116, 1262-1266). Masking the
+        # emission field here applies the rule to every renderer below
+        # (ortho / healpix / perspective / hierarchy / polarization).
+        from ..solve import equilibrium
+        lev = np.asarray(equilibrium.cell_levels(grid))
+        emitted = np.asarray(emitted).copy()
+        emitted[lev < cfg.level_threshold] = 0.0
     fsel = map_freq_mask(cfg, freq) if emitted is not None else None
 
     # savetau frequencies must be rendered even if outside the map band --
@@ -1517,6 +1544,16 @@ def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
                 with open("pol_healpix.bin", "wb") as fp:
                     np.asarray([nside_p, nf], np.int32).tofile(fp)
                     stack.astype(np.float32).tofile(fp)
+                # the reference's product: one healpy FITS per frequency,
+                # 'pol_healpix.fits.%d' with I/Q/U/N columns
+                # (ASOC.py:3948-3958); written for the map-band channels
+                from ..io.fits import write_healpix_map
+                band = map_freq_mask(cfg, freq)
+                for ifq in np.nonzero(band)[0]:
+                    write_healpix_map(
+                        "pol_healpix.fits.%d" % ifq,
+                        (stack[0, ifq], stack[1, ifq], stack[2, ifq],
+                         stack[3, ifq]), nside_p)
             timings["maps"] = time.time() - t0
             return
         for idir in range(len(cfg.obs_theta)):
@@ -1545,6 +1582,7 @@ def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
                                          (nf,) + colden.shape)])
                     stack.astype(np.float32).tofile(
                         "polmap_dir_%02d.bin" % idir)
+                    _write_polmap_fits(cfg, freq, stack, idir)
                 continue
             if cfg.polstat > 0:
                 # POLSTAT 1: density-weighted (rT, rI) angle/inclination
@@ -1585,5 +1623,6 @@ def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
                                   np.broadcast_to(colden_cm[None],
                                                   (nf,) + colden.shape)])
                 stack.astype(np.float32).tofile("polmap_dir_%02d.bin" % idir)
+                _write_polmap_fits(cfg, freq, stack, idir)
     timings["maps"] = time.time() - t0
 

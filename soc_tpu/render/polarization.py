@@ -163,7 +163,7 @@ def render_pol(grid, emit_map, ext_gl, bfield, p0, odir, ra, de, centre,
 
 
 @partial(jax.jit, static_argnames=("nside", "max_steps",
-                                   "interpolate"))
+                                   "interpolate", "polred"))
 def render_pol_healpix(grid, emit_map, ext_gl, bfield, p0, intobs, nside,
                        polred=False, max_steps=100000,
                        maxlos=1e10, minlos=-1.0, interpolate=0):

@@ -78,9 +78,58 @@ def build_library(absorbed, emitted, ref_indices, nbins=64, eps=1e-33):
                 occupancy=float(occupied.mean()))
 
 
-def solve_with_library(lib, absorbed, eps=1e-33):
-    """Emission for [CELLS, NFREQ_ABS] absorptions via the binned lookup."""
+def _device_table(lib):
+    """Cached device arrays for the jitted lookup: the hole-filled
+    emission table (mean pre-gathered through `lookup`, so the device
+    does ONE gather per cell) + the bin transform constants."""
+    dev = lib.get("_dev")
+    if dev is None:
+        import jax.numpy as jnp
+        dev = lib["_dev"] = (
+            jnp.asarray(lib["mean"][lib["lookup"]]),          # [NB^3, NF]
+            jnp.asarray(lib["lo"].astype(np.float32)),
+            jnp.asarray(lib["span"].astype(np.float32)))
+    return dev
+
+
+def _lookup_device(table, lo, span, absorbed_ref, nbins, eps):
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("nbins",))
+    def run(table, lo, span, aref, nbins):
+        ref = jnp.log10(jnp.maximum(aref, eps))
+        idx = jnp.clip(jnp.round((ref - lo) / span
+                                 * (nbins - 1)).astype(jnp.int32),
+                       0, nbins - 1)
+        flat = (idx[:, 0] * nbins + idx[:, 1]) * nbins + idx[:, 2]
+        return jnp.take(table, flat, axis=0)
+
+    return run(table, lo, span, absorbed_ref, nbins)
+
+
+def solve_with_library(lib, absorbed, eps=1e-33, device=None):
+    """Emission for [CELLS, NFREQ_ABS] absorptions via the binned lookup.
+
+    device : None = auto (jitted on-device gather for large cell counts --
+    the reference runs this as a kernel for ALL cells, kernel_SOC_lookup.c:4
+    -- NumPy for tiny models where the dispatch would dominate); True/False
+    forces a path. Both paths share the same bin transform; the device one
+    computes it in float32 (an edge cell within float32 epsilon of a bin
+    boundary may round to the neighbouring bin -- the hole-filled table
+    makes both answers valid emission vectors).
+    """
     nbins = lib["nbins"]
+    cells = np.asarray(absorbed).shape[0]
+    if device is None:
+        device = cells >= (1 << 15)
+    if device:
+        import jax.numpy as jnp
+        table, lo, span = _device_table(lib)
+        aref = jnp.asarray(np.ascontiguousarray(
+            np.asarray(absorbed, np.float32)[:, lib["ref_indices"]]))
+        return _lookup_device(table, lo, span, aref, nbins, eps)
     ref = np.log10(np.maximum(
         np.asarray(absorbed, np.float64)[:, lib["ref_indices"]], eps))
     idx = np.clip(((ref - lib["lo"]) / lib["span"]
@@ -91,7 +140,9 @@ def solve_with_library(lib, absorbed, eps=1e-33):
 
 def save_library(path, lib):
     with open(path, "wb") as fp:
-        pickle.dump(lib, fp)
+        # "_"-prefixed keys are runtime caches (device arrays): not picklable
+        pickle.dump({k: v for k, v in lib.items()
+                     if not k.startswith("_")}, fp)
 
 
 def load_library(path):

@@ -147,6 +147,11 @@ def solve_equilibrium_size(solver, isize, absorbed, gl=None, nip=5000):
     (already scaled by S_FRAC*GRAIN_DENSITY like the stochastic path).
     """
     from ..constants import EMIT_COEFF, FACTOR, H_K, PLANCK, planck_intensity
+    if solver.s_frac[isize] <= 0.0:
+        # a size bin with zero number fraction carries no grains: emission
+        # is identically zero (dividing by s_frac would poison the Eout
+        # integral with inf/NaN under the errstate suppression below)
+        return np.zeros_like(np.asarray(absorbed, np.float32))
     freq = np.asarray(solver.freq, np.float64)
     # per-grain cross section
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -190,6 +195,26 @@ def alignment_weights(solver, isize, aalg):
     return w
 
 
+def get_fused_stacks(solver, nstoch=999):
+    """Device-resident per-size stacks for the fused Pallas solve:
+    (w_stack [S, NFREQ, NE*NE], tdown_stack [S, NE], ea_stack [S, NFREQ, NE])
+    with S = min(nstoch, solver.nsize). Builds and caches them if needed --
+    the one blessed accessor to the internal prep cache (callers must not
+    hand-construct cache keys)."""
+    n_stoch = min(nstoch, solver.nsize)
+    cache = getattr(solver, "_prep_cache", None)
+    if cache is None:
+        cache = solver._prep_cache = {}
+    skey = ("stack", n_stoch)
+    if skey not in cache:
+        preps = [prepare_size_arrays_fused(solver, i)
+                 for i in range(n_stoch)]
+        cache[skey] = (jnp.stack([p[0] for p in preps]),
+                       jnp.stack([p[1] for p in preps]),
+                       jnp.stack([jnp.asarray(p[2]) for p in preps]))
+    return cache[skey]
+
+
 def solve_emission(solver, absorbed, nstoch=999, batch=16384, clip_last=True,
                    aalg=None):
     """Full A2E solve: sum emission over all grain sizes.
@@ -219,19 +244,8 @@ def solve_emission(solver, absorbed, nstoch=999, batch=16384, clip_last=True,
     n_stoch = min(nstoch, solver.nsize)
     if use_fused and n_stoch > 0:
         from .pallas_a2e import solve_all_chunks
-        cache = getattr(solver, "_prep_cache", None)
-        if cache is None:
-            cache = solver._prep_cache = {}
-        skey = ("stack", n_stoch)
-        if skey in cache:   # stacks stay on device across solve calls
-            w_stack, td_stack, ea_stack = cache[skey]
-        else:
-            preps = [prepare_size_arrays_fused(solver, i)
-                     for i in range(n_stoch)]
-            w_stack = jnp.stack([p[0] for p in preps])
-            td_stack = jnp.stack([p[1] for p in preps])
-            ea_stack = jnp.stack([jnp.asarray(p[2]) for p in preps])
-            cache[skey] = (w_stack, td_stack, ea_stack)
+        # stacks stay on device across solve calls (cached on the solver)
+        w_stack, td_stack, ea_stack = get_fused_stacks(solver, n_stoch)
         if aalg is not None:
             align = np.stack([alignment_weights(solver, i, np.asarray(aalg))
                               for i in range(n_stoch)])

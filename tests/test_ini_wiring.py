@@ -573,3 +573,79 @@ def test_alibeta_refinement_is_active(model_dir, monkeypatch):
     # (the effect is small by construction: the reference's tau grid tops
     # out at ~100 and FIR channels stay thin)
     assert np.all(out <= beta0) and np.max(beta0 - out) > 1e-4
+
+
+def test_threshold_excludes_low_levels_from_maps(model_dir):
+    """`threshold L` (LEVEL_THRESHOLD, kernel_ASOC_map.c:825-839): map
+    emission must exclude hierarchy levels < L while extinction still
+    accumulates. With threshold above the deepest level the map is zero;
+    with threshold 1 only the refined octet radiates."""
+    from soc_tpu.grid import encode_link_np
+    root = np.full(N ** 3, 0.5, np.float32)
+    centre = (N // 2) + N * (N // 2) + N * N * (N // 2)
+    root[centre] = encode_link_np(np.asarray([0], np.int32))[0]
+    l1 = np.full(8, 4.0, np.float32)
+    write_hierarchy(model_dir / "tmp.cloud", N, N, N, [N ** 3, 8],
+                    [root, l1])
+    r_plain = run_ini(model_dir, "mapum 250.0\n")
+    r_thr1 = run_ini(model_dir, "mapum 250.0\nthreshold 1\n")
+    r_thr2 = run_ini(model_dir, "mapum 250.0\nthreshold 2\n")
+    full = r_plain.maps[0].astype(np.float64).sum()
+    lvl1 = r_thr1.maps[0].astype(np.float64).sum()
+    assert 0.0 < lvl1 < 0.5 * full      # only the octet's emission remains
+    assert r_thr2.maps[0].max() == 0.0  # no level >= 2 exists
+    # tau output is extinction-only: unchanged by the threshold
+    np.testing.assert_allclose(np.asarray(r_thr1.tau_maps[0]),
+                               np.asarray(r_plain.tau_maps[0]), rtol=1e-6)
+
+
+def test_polmap_fits_products(model_dir):
+    """polmap must emit the reference's FITS products (ASOC.py:3798-3800):
+    one 'polmap_%.1f_%02d.fits' per map-band frequency holding the
+    [4, NY, NX] (I, Q, U, N) cube, consistent with the binary container."""
+    from soc_tpu.constants import f2um
+    from soc_tpu.io.fits import read_fits_image
+    cells = N ** 3
+    for name, val in (("Bx", 0.0), ("By", 0.0), ("Bz", 1.0)):
+        write_hierarchy(model_dir / (name + ".bin"), N, N, N, [cells],
+                        [np.full(cells, val, np.float32)])
+    res = run_ini(model_dir, "polmap 1\nBfiles Bx.bin By.bin Bz.bin\n"
+                  "mapum 250.0\n")
+    ifq = int(np.argmin(np.abs(res.freq
+                               - 2.99792458e14 / 250.0 * 1e4 / 1e4)))
+    # pick the in-band channel the driver actually wrote
+    import glob
+    files = sorted(glob.glob(str(model_dir / "polmap_*_00.fits")))
+    assert len(files) == 1              # mapum selected a single channel
+    cube, hdr = read_fits_image(files[0])
+    assert cube.shape == (4, 8, 8)
+    sel = int(np.argmin(np.abs(np.asarray([f2um(f) for f in res.freq])
+                               - float(files[0].split("_")[-2]))))
+    s_i = res.maps[("pol", 0)][0]
+    np.testing.assert_allclose(cube[0], s_i[sel], rtol=1e-6)
+    assert cube[3].min() > 0            # column density plane
+
+
+def test_pol_healpix_fits_products(model_dir):
+    """Internal-observer polarization must emit healpy-convention FITS
+    binary tables 'pol_healpix.fits.%d' (ASOC.py:3948-3958) with
+    I/Q/U/N columns, RING ordering and the NSIDE keyword."""
+    from soc_tpu.io.fits import read_healpix_map
+    cells = N ** 3
+    for name, val in (("Bx", 0.0), ("By", 0.0), ("Bz", 1.0)):
+        write_hierarchy(model_dir / (name + ".bin"), N, N, N, [cells],
+                        [np.full(cells, val, np.float32)])
+    nside = 4
+    base = BASE_INI.replace("mapping         8 8 1.0",
+                            "mapping         %d 0 1.0" % nside)
+    run_ini(model_dir, "polmap 1\nBfiles Bx.bin By.bin Bz.bin\n"
+            "mapum 250.0\n", base=base)
+    import glob
+    files = sorted(glob.glob(str(model_dir / "pol_healpix.fits.*")))
+    assert len(files) == 1
+    maps, hdr = read_healpix_map(files[0])
+    assert maps.shape == (4, 12 * nside * nside)
+    assert hdr["ORDERING"] == "RING"
+    assert int(hdr["NSIDE"]) == nside
+    assert hdr["TTYPE1"] == "I_STOKES"
+    assert maps[0].sum() > 0
