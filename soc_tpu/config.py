@@ -103,6 +103,7 @@ class RunConfig:
         self.scale_background = 1.0
         self.do_split = 0
         self.n_domains = 0
+        self.n_devices = 0
         # --- simulation control
         self.iterations = 1
         self.seed = pi / 4.0
@@ -398,6 +399,11 @@ class RunConfig:
             self.y_shear = f()
         elif key.startswith("mirror"):
             self.mirror = a[0] if a else ""
+        elif key.startswith("devices"):
+            # multi-chip product path: shard every phase over N devices
+            # on a (dp x freq) mesh (parallel/product.py); bare keyword
+            # (or 0) = all visible devices
+            self.n_devices = (n() or -1) if a else -1
         elif key.startswith("device"):
             self.device = a[0] if a else ""
         elif key.startswith("batch"):
@@ -532,6 +538,8 @@ iterations      1                   # dust self-heating iterations
 # optishalf                         # store per-cell OPT in bfloat16
 # CR_HEATING    1.0                 # cosmic-ray heating mode/rate
 # checkpoint    run.ckpt 1          # mid-run preemption checkpoint [every N]
+# devices       8                   # shard EVERY phase over N chips on a
+#                                   # (dp x freq) mesh; bare keyword = all
 # domains       8                   # Z-slab domain decomposition over N
 #                                   # devices (bg + cell emission; needs
 #                                   # noabsorbed and NZ divisible by N)

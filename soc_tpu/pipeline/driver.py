@@ -128,7 +128,8 @@ def _run_over_freqs(grid, medium, kind, make_params, per_freq, tabs, intf,
 def simulate_background(grid, medium, cfg, ibg, tabs, intf, seed,
                         lanes=DEFAULT_LANES, per_freq_tally=False,
                         mixed=True, chunk=4 << 20, freq_mask=None, roi=None,
-                        physics_extra=None, ckpt=None, domain=None):
+                        physics_extra=None, ckpt=None, domain=None,
+                        pmesh=None):
     """Phase-1 isotropic background over all frequencies.
 
     Packet budget: the reference sends 8*AREA*BATCH packets per frequency
@@ -149,6 +150,25 @@ def simulate_background(grid, medium, cfg, ibg, tabs, intf, seed,
                   / np.asarray(cfg.freq, np.float64)).astype(np.float32)
 
     split_max = split_max_of(cfg, grid)
+
+    injected = np.float64(8 * area * batch) \
+        * np.asarray(bg_photons, np.float64)
+    if freq_mask is not None:
+        injected = np.where(freq_mask, injected, 0.0)
+
+    if pmesh is not None:
+        # `devices N`: (dp x freq)-sharded product path, no exclusions
+        from ..parallel import product
+
+        def make_params(ifreq):
+            return dict(photons=jnp.float32(bg_photons[ifreq]))
+
+        tabs, intf, escaped, absorbed, _ = product.run_freqs(
+            pmesh, grid, medium, "bg", make_params, per_freq, tabs, intf,
+            seed, lanes, per_freq_tally, mirror_mask=mirror_mask_of(cfg),
+            split_max=split_max, freq_mask=freq_mask, roi=roi,
+            physics_extra=physics_extra, ckpt=ckpt, ckpt_key="bg")
+        return tabs, intf, escaped, injected
 
     from ..transport.sources import stream_hi_base
     if domain is not None:
@@ -213,7 +233,7 @@ def simulate_background(grid, medium, cfg, ibg, tabs, intf, seed,
 def simulate_hpbg(grid, medium, cfg, hpbg, tabs, intf, seed,
                   lanes=DEFAULT_LANES, per_freq_tally=False, weighted=False,
                   freq_mask=None, roi=None, physics_extra=None, ckpt=None,
-                  domain=None):
+                  domain=None, pmesh=None):
     """Phase-1 Healpix-sky background (SimRAM_HP equivalent).
 
     hpbg : [NFREQ, NPIX] sky intensities; photons per packet =
@@ -257,6 +277,16 @@ def simulate_hpbg(grid, medium, cfg, hpbg, tabs, intf, seed,
     def make_params(ifreq):
         return _channel(ifreq)[0]
 
+    if pmesh is not None:
+        from ..parallel import product
+        tabs, intf, escaped, absorbed, _ = product.run_freqs(
+            pmesh, grid, medium, "hpbg", make_params, per_freq, tabs, intf,
+            seed, lanes, per_freq_tally, mirror_mask=mirror_mask_of(cfg),
+            split_max=split_max_of(cfg, grid), freq_mask=freq_mask,
+            roi=roi, physics_extra=physics_extra, ckpt=ckpt,
+            ckpt_key="hpbg")
+        return tabs, intf, escaped, injected * per_freq
+
     if domain is not None:
         # `domains N`: healpix-sky packets through the generic Z-slab
         # generator runner (entry states are geometry-only)
@@ -282,7 +312,7 @@ def simulate_hpbg(grid, medium, cfg, hpbg, tabs, intf, seed,
 def simulate_point_sources(grid, medium, cfg, lps, tabs, intf, seed,
                            lanes=DEFAULT_LANES, per_freq_tally=False,
                            freq_mask=None, roi=None, physics_extra=None,
-                           ckpt=None, domain=None):
+                           ckpt=None, domain=None, pmesh=None):
     """Phase-1 point sources (internal positions)."""
     if cfg.no_ps < 1 or cfg.pspac < 1:
         return tabs, intf, np.zeros(medium.nfreq), 0.0
@@ -316,6 +346,19 @@ def simulate_point_sources(grid, medium, cfg, lps, tabs, intf, seed,
     def make_params(ifreq):
         return dict(ps_pos=ps_pos,
                     photons=jnp.asarray(ps_photons[:, ifreq]), **extra)
+
+    if pmesh is not None:
+        from ..parallel import product
+        tabs, intf, escaped, absorbed, _ = product.run_freqs(
+            pmesh, grid, medium, "ps", make_params, per_freq, tabs, intf,
+            seed, lanes, per_freq_tally, mirror_mask=mirror_mask_of(cfg),
+            freq_mask=freq_mask, roi=roi, physics_extra=physics_extra,
+            ckpt=ckpt, ckpt_key="ps")
+        injected = np.sum(np.asarray(ps_photons, np.float64), axis=0) \
+            * pspac
+        if freq_mask is not None:
+            injected = np.where(freq_mask, injected, 0.0)
+        return tabs, intf, escaped, injected
 
     if domain is not None:
         # `domains N`: point-source packets (all PS_METHODs) through the
@@ -372,7 +415,8 @@ def emweight_allocation(emit_col, clpac, lims=(0.0, 1e10), rng=None):
 
 def simulate_cell_emission(grid, medium, cfg, emitted, tabs, intf, seed,
                            lanes=DEFAULT_LANES, per_freq_tally=False,
-                           iteration=0, physics_extra=None, domain=None):
+                           iteration=0, physics_extra=None, domain=None,
+                           pmesh=None):
     """Phase-2 dust re-emission (SimRAM_CL equivalent).
 
     emitted : [CELLS, NFREQ] photons/Hz/H per cell. Uniform allocation:
@@ -385,6 +429,52 @@ def simulate_cell_emission(grid, medium, cfg, emitted, tabs, intf, seed,
     emitted_np = np.asarray(emitted)
     emitted = jnp.asarray(emitted)
     hi_base = stream_hi_base("cell", iteration)
+
+    if pmesh is not None:
+        # `devices N`: sharded re-emission, all allocation modes (uniform,
+        # EMWEI + roulette, ALI self-absorption accounting)
+        from ..parallel import product
+        if cfg.use_emweight > 0:
+            # the roulette RNG is consumed in ascending channel order, so
+            # the allocations are IDENTICAL to the single-device run's
+            rng = np.random.Generator(np.random.Philox(
+                key=np.uint64([int(seed) & 0xFFFFFFFF, iteration])))
+            allocs = {}
+            for ifreq in range(medium.nfreq):
+                allocs[ifreq] = emweight_allocation(
+                    emitted_np[:, ifreq], int(cfg.clpac),
+                    lims=cfg.emweight_lim[:2], rng=rng)
+            pad = _pool_lanes(1 << 30,
+                              max(1, *(a[2] for a in allocs.values())))
+
+            def make_params(ifreq):
+                cell_of_id, weight, total = allocs[ifreq]
+                com = np.full(pad, grid.cells - 1, np.int32)
+                com[:total] = cell_of_id
+                return dict(emit=emitted[:, ifreq] * jnp.asarray(weight),
+                            cell_of_id=jnp.asarray(com))
+
+            tabs, intf, escaped, _, _ = product.run_freqs(
+                pmesh, grid, medium, "cell", make_params,
+                lambda i: allocs[i][2], tabs, intf, seed, lanes,
+                per_freq_tally, iteration=iteration,
+                mirror_mask=mirror_mask_of(cfg),
+                physics_extra=physics_extra)
+            return tabs, intf, escaped, None
+        per_cell = max(1, int(cfg.clpac) // grid.cells)
+        per_freq = per_cell * grid.cells
+
+        def make_params(ifreq):
+            return dict(emit=emitted[:, ifreq] / np.float32(per_cell),
+                        per_cell=jnp.int32(per_cell))
+
+        tabs, intf, escaped, _, xab = product.run_freqs(
+            pmesh, grid, medium, "cell", make_params, per_freq, tabs,
+            intf, seed, lanes, per_freq_tally, iteration=iteration,
+            mirror_mask=mirror_mask_of(cfg), physics_extra=physics_extra,
+            with_ali=bool(cfg.with_ali))
+        return tabs, intf, escaped, \
+            (np.asarray(xab) if cfg.with_ali else None)
 
     if domain is not None:
         # `domains N`: per-slab cell ownership + halo exchange
@@ -521,7 +611,7 @@ def read_diffuse_field(path, cells):
 def simulate_diffuse(grid, medium, cfg, diffuserad, tabs, intf, seed,
                      lanes=DEFAULT_LANES, per_freq_tally=False,
                      freq_mask=None, roi=None, physics_extra=None,
-                     ckpt=None, domain=None):
+                     ckpt=None, domain=None, pmesh=None):
     """Phase-1 diffuse volume emission (SimRAM_CL SOURCE==2, the reference's
     II==2 source block, ASOC.py:1250-1272).
 
@@ -553,6 +643,19 @@ def simulate_diffuse(grid, medium, cfg, diffuserad, tabs, intf, seed,
         mask &= np.asarray(freq_mask, bool)
     injected[~mask] = 0.0
 
+    if pmesh is not None:
+        from ..parallel import product
+
+        def make_params_p(ifreq):
+            return dict(emit=emit_cols[ifreq], per_cell=jnp.int32(per_cell))
+
+        tabs, intf, escaped, _, _ = product.run_freqs(
+            pmesh, grid, medium, "cell", make_params_p, per_freq, tabs,
+            intf, seed, lanes, per_freq_tally, phase="diffuse",
+            mirror_mask=mirror_mask_of(cfg), freq_mask=mask, roi=roi,
+            physics_extra=physics_extra, ckpt=ckpt, ckpt_key="diffuse")
+        return tabs, intf, escaped, injected
+
     if domain is not None:
         # `domains N`: the diffuse field uses the cell-emission generator,
         # so the per-slab ownership runner applies directly
@@ -579,7 +682,7 @@ def simulate_diffuse(grid, medium, cfg, diffuserad, tabs, intf, seed,
 
 def simulate_roi_load(grid, medium, cfg, tabs, intf, seed,
                       lanes=DEFAULT_LANES, per_freq_tally=False,
-                      freq_mask=None):
+                      freq_mask=None, pmesh=None):
     """Phase-1 ROI boundary source (SOURCE==3, kernel_ASOC.c:469-505):
     re-inject the (surface element x healpix direction) photon histograms
     recorded by a previous run's roisave into this (sub-)model.
@@ -604,6 +707,18 @@ def simulate_roi_load(grid, medium, cfg, tabs, intf, seed,
         return dict(roi_load=jnp.asarray(load.astype(np.float32)),
                     roi_dim=(rnx, rny, rnz),
                     reps=jnp.int32(reps))
+
+    if pmesh is not None:
+        from ..parallel import product
+        tabs, intf, escaped, absorbed, _ = product.run_freqs(
+            pmesh, grid, medium, "roi", make_params, per_freq, tabs, intf,
+            seed, lanes, per_freq_tally, mirror_mask=mirror_mask_of(cfg),
+            freq_mask=freq_mask)
+        # injected is a make_params side effect: fill the masked-out rows
+        for i in range(nfreq):
+            if freq_mask is None or bool(freq_mask[i]):
+                make_params(i)
+        return tabs, intf, escaped, injected
 
     tabs, intf, escaped, absorbed = _run_over_freqs(
         grid, medium, "roi", make_params, per_freq, tabs, intf, seed,
@@ -642,6 +757,26 @@ def split_max_of(cfg, grid):
     """In-flight splitting applies only on refined (multi-level) clouds
     (SimBgSplit/SimHpSplit, kernel_ASOC.c:2121-3554)."""
     return int(cfg.do_split) if grid.levels > 1 else 0
+
+
+def _product_setup(cfg, nfreq):
+    """`devices N` keyword: the multi-chip product path -- EVERY phase of
+    the ordinary ini run sharded over a (dp x freq) mesh with no feature
+    exclusions (parallel/product.py). Returns ProductMesh or None."""
+    n = int(getattr(cfg, "n_devices", 0))
+    if n == 0:
+        return None
+    import jax
+    if n < 0:
+        n = len(jax.devices())
+    if n <= 1:
+        return None
+    if int(cfg.n_domains) > 1:
+        raise ValueError("`devices` and `domains` are mutually exclusive: "
+                         "pick packet/frequency sharding or Z-slab "
+                         "decomposition")
+    from ..parallel.product import ProductMesh
+    return ProductMesh(n, nfreq)
 
 
 def _domain_setup(cfg, grid, per_freq_tally):
@@ -917,6 +1052,7 @@ def _run_inner(cfg, lanes, write_files, t_start):
     t0 = time.time()
     per_freq_tally = (not cfg.noabsorbed) or cfg.save_intensity > 0
     domain = _domain_setup(cfg, grid, per_freq_tally)
+    pmesh = _product_setup(cfg, nfreq)
     if cfg.save_intensity == 2:
         tally_shape = (grid.cells, nfreq, 4)      # (I, Ix, Iy, Iz)
     elif per_freq_tally:
@@ -924,7 +1060,13 @@ def _run_inner(cfg, lanes, write_files, t_start):
     else:
         tally_shape = (1, 1)
     tabs = jnp.zeros(grid.cells, jnp.float32)
-    intf = jnp.zeros(tally_shape, jnp.float32)
+    if pmesh is not None and per_freq_tally:
+        # dp-partial per-frequency tallies, frequency-sharded: the
+        # [CELLS, NFREQ] absorption array never lives on one chip
+        intf = pmesh.zeros_intf(grid.cells,
+                                comps=4 if cfg.save_intensity == 2 else 0)
+    else:
+        intf = jnp.zeros(tally_shape, jnp.float32)
     injected = np.zeros(nfreq)
     escaped = np.zeros(nfreq)
     ckpt = None
@@ -940,7 +1082,14 @@ def _run_inner(cfg, lanes, write_files, t_start):
         fp = hashlib.sha256(repr(items).encode()).hexdigest()[:16]
         ckpt = RunCheckpoint(cfg.file_checkpoint, cfg.checkpoint_every,
                              fingerprint=fp)
-        tabs, intf = ckpt.restore(tabs, intf)
+        if pmesh is not None and per_freq_tally:
+            # the checkpoint stores the REDUCED [CELLS, NFREQ] tally;
+            # resume loads it into dp slab 0 (partial sums stay correct)
+            tabs, intf0 = ckpt.restore(tabs,
+                                       np.zeros(tally_shape, np.float32))
+            intf = pmesh.scatter_intf(np.asarray(intf0))
+        else:
+            tabs, intf = ckpt.restore(tabs, intf)
         if roi is not None:
             roi["tally"] = ckpt.restore_roi(roi["tally"])
     if cfg.file_constant_load:
@@ -955,7 +1104,8 @@ def _run_inner(cfg, lanes, write_files, t_start):
             tabs, intf, esc, inj = simulate_background(
                 grid, medium, cfg, ibg, tabs, intf, seed, lanes,
                 per_freq_tally, freq_mask=freq_mask, roi=roi,
-                physics_extra=physics_extra, ckpt=ckpt, domain=domain)
+                physics_extra=physics_extra, ckpt=ckpt, domain=domain,
+                pmesh=pmesh)
             escaped += np.asarray(esc)
             injected += inj
         if cfg.bgpac > 0 and cfg.file_hpbg:
@@ -965,7 +1115,8 @@ def _run_inner(cfg, lanes, write_files, t_start):
                 grid, medium, cfg, hpbg, tabs, intf, seed + 3, lanes,
                 per_freq_tally, weighted=cfg.has_key("hpbgw"),
                 freq_mask=freq_mask, roi=roi,
-                physics_extra=physics_extra, ckpt=ckpt, domain=domain)
+                physics_extra=physics_extra, ckpt=ckpt, domain=domain,
+                pmesh=pmesh)
             escaped += np.asarray(esc)
             injected += inj
         if cfg.no_ps > 0 and cfg.pspac > 0:
@@ -975,7 +1126,8 @@ def _run_inner(cfg, lanes, write_files, t_start):
             tabs, intf, esc, inj = simulate_point_sources(
                 grid, medium, cfg, lps, tabs, intf, seed, lanes,
                 per_freq_tally, freq_mask=freq_mask, roi=roi,
-                physics_extra=physics_extra, ckpt=ckpt, domain=domain)
+                physics_extra=physics_extra, ckpt=ckpt, domain=domain,
+                pmesh=pmesh)
             escaped += np.asarray(esc)
             injected += inj
         if cfg.file_diffuse and (cfg.dfpac > 0 or cfg.clpac > 0):
@@ -983,18 +1135,22 @@ def _run_inner(cfg, lanes, write_files, t_start):
             tabs, intf, esc, inj = simulate_diffuse(
                 grid, medium, cfg, diffuserad, tabs, intf, seed + 5, lanes,
                 per_freq_tally, freq_mask=freq_mask, roi=roi,
-                physics_extra=physics_extra, ckpt=ckpt, domain=domain)
+                physics_extra=physics_extra, ckpt=ckpt, domain=domain,
+                pmesh=pmesh)
             escaped += np.asarray(esc)
             injected += inj
         if cfg.file_roi_load and cfg.roipac > 0:
             tabs, intf, esc, inj = simulate_roi_load(
                 grid, medium, cfg, tabs, intf, seed + 9, lanes,
-                per_freq_tally, freq_mask=freq_mask)
+                per_freq_tally, freq_mask=freq_mask, pmesh=pmesh)
             escaped += np.asarray(esc)
             injected += inj
     ctabs = tabs
     if ckpt is not None:
-        ckpt.flush(tabs, intf, roi=None if roi is None else roi["tally"])
+        intf_ck = (np.asarray(pmesh.reduce_intf(intf))
+                   if pmesh is not None and per_freq_tally else intf)
+        ckpt.flush(tabs, intf_ck,
+                   roi=None if roi is None else roi["tally"])
     res.ctabs = np.asarray(ctabs)
     res.escaped = escaped
     res.injected = injected
@@ -1057,7 +1213,8 @@ def _run_inner(cfg, lanes, write_files, t_start):
     if not cfg.nosolve and cfg.has_key("SUBITERATIONS"):
         temperature, emitted, intf = _subiterations(
             cfg, grid, medium, optics, table, ctabs, intf, seed, lanes,
-            per_freq_tally, physics_extra, freq, gl_cm, write_files)
+            per_freq_tally, physics_extra, freq, gl_cm, write_files,
+            pmesh=pmesh)
     elif not cfg.nosolve:
         emit_total = ctabs
         xab = None
@@ -1081,7 +1238,8 @@ def _run_inner(cfg, lanes, write_files, t_start):
                 tabs_it, intf, _, xab = simulate_cell_emission(
                     grid, medium, cfg, sim_emit, tabs_it, intf,
                     seed, lanes, per_freq_tally, iteration=iteration,
-                    physics_extra=physics_extra, domain=domain)
+                    physics_extra=physics_extra, domain=domain,
+                    pmesh=pmesh)
                 if delta_sim:
                     tabs_it = tabs_it + otabs
                 if wr:
@@ -1106,9 +1264,15 @@ def _run_inner(cfg, lanes, write_files, t_start):
                     beta_np[xem <= 0] = 1.0
                     beta = jnp.asarray(beta_np.astype(np.float32))
             t_prev = temperature         # previous iteration's field
-            temperature = equilibrium.solve_temperature(
-                grid, table, emit_total, gl_cm, beta=beta,
-                cr_heating=cfg.cr_heating)
+            if pmesh is not None:
+                from ..parallel import product
+                temperature = product.solve_temperature(
+                    pmesh, grid, table, emit_total, gl_cm, beta=beta,
+                    cr_heating=cfg.cr_heating)
+            else:
+                temperature = equilibrium.solve_temperature(
+                    grid, table, emit_total, gl_cm, beta=beta,
+                    cr_heating=cfg.cr_heating)
             if cfg.has_key("alibeta") and cfg.with_ali \
                     and temperature is not None and t_prev is not None \
                     and not np.isscalar(beta):
@@ -1126,8 +1290,13 @@ def _run_inner(cfg, lanes, write_files, t_start):
                 temperature = equilibrium.solve_temperature(
                     grid, table, emit_total, gl_cm,
                     beta=jnp.asarray(beta2), cr_heating=cfg.cr_heating)
-            emitted = equilibrium.emission(freq, optics[0].abs_gl,
+            if pmesh is not None:
+                from ..parallel import product
+                emitted = product.emission(pmesh, freq, optics[0].abs_gl,
                                            temperature, gl_cm)
+            else:
+                emitted = equilibrium.emission(freq, optics[0].abs_gl,
+                                               temperature, gl_cm)
             emitted = jnp.asarray(_apply_remit_band(
                 cfg, freq, np.asarray(emitted)))
             if cfg.clpac <= 0:
@@ -1144,6 +1313,10 @@ def _run_inner(cfg, lanes, write_files, t_start):
     if temperature is not None:
         res.temperature = np.asarray(temperature)
         res.emitted = np.asarray(emitted)
+    if pmesh is not None and per_freq_tally:
+        # collapse the dp-partial frequency-sharded tallies for the
+        # host-side intensity/absorbed outputs below
+        intf = pmesh.reduce_intf(intf)
     timings["solve"] = time.time() - t0
 
     # ---- intensity output for DustEM coupling (SAVE_INTENSITY modes,
@@ -1204,7 +1377,7 @@ def _run_inner(cfg, lanes, write_files, t_start):
 
 def _subiterations(cfg, grid, medium, optics, table, ctabs, intf, seed,
                    lanes, per_freq_tally, physics_extra, freq, gl_cm,
-                   write_files):
+                   write_files, pmesh=None):
     """SUBITERATIONS: hot/cold cell splitting with the reference field
     (ASOC.py:2261-2420).
 
@@ -1274,7 +1447,7 @@ def _subiterations(cfg, grid, medium, optics, table, ctabs, intf, seed,
             tabs_it, intf, _, _ = simulate_cell_emission(
                 grid, medium, cfg_it, sim_emit, tabs_it, intf, seed,
                 lanes, per_freq_tally, iteration=iteration,
-                physics_extra=physics_extra)
+                physics_extra=physics_extra, pmesh=pmesh)
             if iteration == 1:
                 ptabs = tabs_it
             else:
