@@ -28,6 +28,10 @@ def _usage():
 
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
+    # multi-host jobs: jax.distributed init from the environment
+    # (SOC_TPU_COORDINATOR / SOC_TPU_DISTRIBUTED=auto); no-op otherwise
+    from .parallel.dist import maybe_initialize
+    maybe_initialize()
     # --profile[=DIR] wraps the whole command in a jax.profiler trace:
     # per-kernel device timings, HLO names and memory viewer, readable
     # with tensorboard/xprof (the TPU answer to the reference's per-kernel

@@ -77,6 +77,29 @@ class ProductMesh:
         self.mesh = Mesh(np.asarray(devices).reshape(self.n_dp, f),
                          ("dp", "freq"))
 
+    def globalize(self, x, spec=P()):
+        """Host/process-local value -> global jax.Array under `spec`.
+
+        Single-process: pass-through (XLA handles placement). Multi-host:
+        every process holds the same full host value and materializes only
+        its addressable shards (make_array_from_callback), which is what a
+        multi-controller shard_map requires of its inputs. Python scalars
+        and tuples pass through (identical jit constants everywhere)."""
+        if x is None or jax.process_count() == 1 \
+                or not isinstance(x, (np.ndarray, jax.Array, np.generic)):
+            return x
+        if isinstance(x, jax.Array) \
+                and len(x.sharding.device_set) == self.mesh.devices.size:
+            return x              # already a global array on this mesh
+        arr = np.asarray(x)
+        sh = NamedSharding(self.mesh, spec)
+        return jax.make_array_from_callback(arr.shape, sh,
+                                            lambda idx: arr[idx])
+
+    def globalize_tree(self, tree, spec=P()):
+        import jax.tree_util as jtu
+        return jtu.tree_map(lambda v: self.globalize(v, spec), tree)
+
     # ---- per-frequency tally representation ------------------------------
     def zeros_intf(self, cells, comps=0):
         """Global [n_dp, CELLS, NFREQ(, comps)] zeros, sharded so each
@@ -90,8 +113,13 @@ class ProductMesh:
         return jnp.zeros(shape, jnp.float32, device=sharding)
 
     def reduce_intf(self, intf):
-        """dp-partial tallies -> one [CELLS, NFREQ(, comps)] array."""
-        spec = P(None, "freq") if intf.ndim == 3 else P(None, "freq", None)
+        """dp-partial tallies -> one [CELLS, NFREQ(, comps)] array.
+        Multi-host: replicated output so every process can read it."""
+        if jax.process_count() > 1:
+            spec = P()
+        else:
+            spec = (P(None, "freq") if intf.ndim == 3
+                    else P(None, "freq", None))
         out = NamedSharding(self.mesh, spec)
         return jax.jit(lambda x: jnp.sum(x, axis=0),
                        out_shardings=out)(intf)
@@ -102,8 +130,12 @@ class ProductMesh:
         intf_np = np.asarray(intf_np, np.float32)
         full = np.zeros((self.n_dp,) + intf_np.shape, np.float32)
         full[0] = intf_np
-        spec = ("dp", None, "freq") + (None,) * (intf_np.ndim - 2)
-        return jax.device_put(full, NamedSharding(self.mesh, P(*spec)))
+        spec = P(*(("dp", None, "freq") + (None,) * (intf_np.ndim - 2)))
+        sh = NamedSharding(self.mesh, spec)
+        if jax.process_count() > 1:
+            return jax.make_array_from_callback(full.shape, sh,
+                                                lambda idx: full[idx])
+        return jax.device_put(full, sh)
 
 
 def _split_stack(dicts):
@@ -151,7 +183,13 @@ def solve_temperature(pm, grid, table, emit_total, gl_cm, beta=1.0,
         return temperature_lookup(table, tabs_l, dens_l, lev_l, gl_cm,
                                   beta=beta_l, cr_heating=cr_heating)
 
-    return solve(tabs, dens, lev, beta_arr)[:cells]
+    spec = P(("dp", "freq"))
+    t = solve(pm.globalize(tabs, spec), pm.globalize(dens, spec),
+              pm.globalize(lev, spec), pm.globalize(beta_arr, spec))
+    if jax.process_count() > 1:
+        t = jax.jit(lambda x: x,
+                    out_shardings=NamedSharding(mesh, P()))(t)
+    return t[:cells]
 
 
 def emission(pm, freq, abs_gl, temperature, gl_cm):
@@ -170,7 +208,11 @@ def emission(pm, freq, abs_gl, temperature, gl_cm):
     def emit(t_l):
         return emission_1dev(freq, abs_gl, t_l, gl_cm)
 
-    return emit(t)[:cells]
+    e = emit(pm.globalize(t, P(("dp", "freq"))))
+    if jax.process_count() > 1:
+        e = jax.jit(lambda x: x,
+                    out_shardings=NamedSharding(mesh, P()))(e)
+    return e[:cells]
 
 
 def _make_group_fn(pm, grid, kind, nlanes, per_freq_tally, mirror_mask,
@@ -192,8 +234,8 @@ def _make_group_fn(pm, grid, kind, nlanes, per_freq_tally, mirror_mask,
                 P("freq"), P(), P(),          # totals, fl, seed
                 P("freq"))                    # roi rows
     out_specs = (P(), intf_spec, P(),         # tabs, intf, xab
-                 P("freq"), P("freq"),        # esc, absd
-                 P("freq"))                   # roi rows
+                 P(), P(),                    # esc [F], absd [F] replicated
+                 P())                         # roi rows [F, M] replicated
 
     @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
              check_vma=False)
@@ -231,8 +273,13 @@ def _make_group_fn(pm, grid, kind, nlanes, per_freq_tally, mirror_mask,
         if roi_nside:
             roi_rows = (roi_rows
                         + lax.psum(rest.pop(0), "dp")[None, :])
-        esc = lax.psum(esc, "dp")                         # [1] per channel
-        absd = lax.psum(absd.reshape(1), "dp")
+        # small per-channel outputs come back replicated (all_gather over
+        # freq after the dp psum) so every process can read them directly
+        esc = lax.all_gather(lax.psum(esc, "dp"), "freq", axis=0,
+                             tiled=True)                  # [F]
+        absd = lax.all_gather(lax.psum(absd.reshape(1), "dp"), "freq",
+                              axis=0, tiled=True)         # [F]
+        roi_rows = lax.all_gather(roi_rows, "freq", axis=0, tiled=True)
         intf_out = intf_new[None] if per_freq_tally else intf_new
         return (tabs, intf_out, xab, esc, absd, roi_rows)
 
@@ -318,8 +365,14 @@ def run_freqs(pm, grid, medium, kind, make_params, per_freq_of, tabs, intf,
         else:
             roi_rows = jnp.zeros((F, 1), jnp.float32)
         tabs, intf, xab_c, esc_g, absd_g, roi_out = fn(
-            tabs, intf, xab_c, phys_rep, phys_stk, par_rep, par_stk,
-            totals, jnp.int32(fl), jnp.uint32(seed), roi_rows)
+            pm.globalize(tabs), intf, pm.globalize(xab_c),
+            pm.globalize_tree(phys_rep), pm.globalize_tree(phys_stk,
+                                                           P("freq")),
+            pm.globalize_tree(par_rep), pm.globalize_tree(par_stk,
+                                                          P("freq")),
+            pm.globalize(totals, P("freq")), pm.globalize(jnp.int32(fl)),
+            pm.globalize(jnp.uint32(seed)),
+            pm.globalize(roi_rows, P("freq")))
         esc_np = np.asarray(esc_g)
         absd_np = np.asarray(absd_g)
         if roi is not None:

@@ -1370,7 +1370,7 @@ def _run_inner(cfg, lanes, write_files, t_start):
     if abu is not None:
         ext_cells = (abu @ (abs_d + sca_d)).astype(np.float32)
     _render_phase(cfg, grid, medium, res, freq, res.emitted, write_files,
-                  timings, ext_cells=ext_cells)
+                  timings, ext_cells=ext_cells, pmesh=pmesh)
     timings["total"] = time.time() - t_start
     return res
 
@@ -1501,7 +1501,7 @@ def map_freq_mask(cfg, freq):
 
 
 def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
-                  timings, ext_cells=None):
+                  timings, ext_cells=None, pmesh=None):
     """Phase 3: orthographic frequency-fused maps + polarization maps +
     tau/column-density/PSTau/POLSTAT outputs.
 
@@ -1603,16 +1603,34 @@ def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
             if write_files:
                 write_map_file("map_dir_00.bin", res.maps[0])
         else:
+            # `devices N`: pixel rows shard over dp and channels over freq
+            # for the plain orthographic case (shear/interpolation modes
+            # fall back to the replicated render -- identical output)
+            import jax as _jax
+            shard_maps = (
+                pmesh is not None and cfg.y_shear == 0.0
+                and int(cfg.map_interpolation) == 0 and ext_cells is None
+                and cfg.maxlos >= 1e9 and _jax.process_count() == 1
+                and cfg.npix[1] % pmesh.n_dp == 0
+                and int(np.sum(fsel)) % pmesh.n_freq == 0)
             for idir in range(len(cfg.obs_theta)):
                 odir, ra, de = render_mapping.observer_basis(
                     cfg.obs_theta[idir], cfg.obs_phi[idir])
-                phot, tau, colden = render_mapping.render_ortho(
-                    grid, emit_map, ext_gl, jnp.asarray(odir),
-                    jnp.asarray(ra), jnp.asarray(de), centre, cfg.map_dx,
-                    tuple(cfg.npix),
-                    use_shear=cfg.y_shear != 0.0, y_shear=cfg.y_shear,
-                    maxlos=cfg.maxlos,
-                    map_interp=int(cfg.map_interpolation))
+                if shard_maps:
+                    from ..parallel.mesh import sharded_render_ortho
+                    phot, tau, colden = sharded_render_ortho(
+                        grid, emit_map, ext_gl, jnp.asarray(odir),
+                        jnp.asarray(ra), jnp.asarray(de),
+                        jnp.asarray(centre, jnp.float32), cfg.map_dx,
+                        tuple(cfg.npix), pmesh.mesh)
+                else:
+                    phot, tau, colden = render_mapping.render_ortho(
+                        grid, emit_map, ext_gl, jnp.asarray(odir),
+                        jnp.asarray(ra), jnp.asarray(de), centre, cfg.map_dx,
+                        tuple(cfg.npix),
+                        use_shear=cfg.y_shear != 0.0, y_shear=cfg.y_shear,
+                        maxlos=cfg.maxlos,
+                        map_interp=int(cfg.map_interpolation))
                 phot_np, tau_np = np.asarray(phot), np.asarray(tau)
                 res.maps[idir] = (phot_np if map_of_sel is None
                                   else phot_np[map_of_sel])

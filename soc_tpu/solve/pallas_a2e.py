@@ -188,3 +188,41 @@ def solve_all_chunks(w_stack, td_stack, ea_stack, chunks, align, ne,
                                      al, ne, tile=tile, interpret=interpret)
 
     return lax.map(one, (chunks, align))
+
+
+def solve_all_chunks_sharded(w_stack, td_stack, ea_stack, chunks, align,
+                             ne, tile=128, interpret=False, devices=None):
+    """Multi-chip A2E: the chunk axis sharded over all visible devices.
+
+    The cell solve is embarrassingly parallel (SURVEY 2.4), so the mesh is
+    one flat 'cells' axis; the per-size solver arrays are replicated (a
+    few MB) and each device scans its own chunks -- zero collectives.
+    chunks [nchunk, batch, NFREQ] with nchunk a multiple of the device
+    count (callers pad with zero chunks and drop the padded rows).
+    Returns (tot, ptot) sharded the same way; per-chunk results are
+    bit-identical to the single-device solve_all_chunks.
+    """
+    import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+    if devices is None:
+        devices = jax.devices()
+    mesh = Mesh(np.asarray(devices), ("cells",))
+    assert chunks.shape[0] % len(devices) == 0, \
+        "pad nchunk to a multiple of the device count"
+    if align is None:
+        @partial(shard_map, mesh=mesh, in_specs=(P(), P(), P(), P("cells")),
+                 out_specs=P("cells"), check_vma=False)
+        def run(w, td, ea, ch):
+            return solve_all_chunks(w, td, ea, ch, None, ne, tile=tile,
+                                    interpret=interpret)[0]
+        return run(w_stack, td_stack, ea_stack, chunks), None
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(), P(), P("cells"), P("cells")),
+             out_specs=(P("cells"), P("cells")), check_vma=False)
+    def run2(w, td, ea, ch, al):
+        return solve_all_chunks(w, td, ea, ch, al, ne, tile=tile,
+                                interpret=interpret)
+
+    return run2(w_stack, td_stack, ea_stack, chunks, align)

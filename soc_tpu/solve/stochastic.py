@@ -256,9 +256,16 @@ def solve_emission(solver, absorbed, nstoch=999, batch=16384, clip_last=True,
         # superbatch groups rather than one jnp.asarray/np.asarray pair per
         # chunk, and (b) a small pending queue keeps a few superbatches in
         # flight so uploads, device solves and readbacks overlap; the queue
-        # depth bounds device HBM held by undrained results
+        # depth bounds device HBM held by undrained results.
+        # Multi-chip: the chunk axis is sharded over all visible devices
+        # (cells are embarrassingly parallel) -- each superbatch carries
+        # super_chunks chunks PER DEVICE.
+        n_dev = len(jax.devices()) \
+            if os.environ.get("SOC_TPU_A2E_SHARD", "1") != "0" else 1
+        if n_dev > 1:
+            from .pallas_a2e import solve_all_chunks_sharded
         super_chunks = 2
-        step = super_chunks * batch
+        step = super_chunks * n_dev * batch
         pending = []
 
         def drain(k):
@@ -273,6 +280,8 @@ def solve_emission(solver, absorbed, nstoch=999, batch=16384, clip_last=True,
             s1 = min(s0 + step, cells)
             n = s1 - s0
             nchunk = -(-n // batch)
+            if n_dev > 1:       # sharded: every device gets equal chunks
+                nchunk = -(-nchunk // n_dev) * n_dev
             pad = nchunk * batch - n
             blk = absorbed[s0:s1]
             if pad:     # pad the tail chunk only (one extra compile max)
@@ -286,9 +295,14 @@ def solve_emission(solver, absorbed, nstoch=999, batch=16384, clip_last=True,
                     al = np.pad(al, ((0, 0), (0, pad)))
                 al = jnp.asarray(np.ascontiguousarray(
                     al.reshape(n_stoch, nchunk, batch).swapaxes(0, 1)))
-            tot, ptot = solve_all_chunks(
-                w_stack, td_stack, ea_stack, jnp.asarray(blk),
-                al, solver.ne)
+            if n_dev > 1:
+                tot, ptot = solve_all_chunks_sharded(
+                    w_stack, td_stack, ea_stack, jnp.asarray(blk),
+                    al, solver.ne)
+            else:
+                tot, ptot = solve_all_chunks(
+                    w_stack, td_stack, ea_stack, jnp.asarray(blk),
+                    al, solver.ne)
             pending.append((s0, s1, tot, ptot))
             drain(4)
         drain(0)

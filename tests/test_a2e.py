@@ -286,3 +286,31 @@ def test_cli_profile_trace(tmp_path):
                str(tmp_path / "abs.bin"), str(tmp_path / "emit.bin")])
     assert rc == 0
     assert list(prof.rglob("*.xplane.pb"))
+
+
+def test_pallas_sharded_chunks_match_single_device():
+    """solve_all_chunks_sharded (chunk axis over the 8-device mesh) must
+    reproduce the single-device superbatch bit-for-bit -- the cell solve
+    has no cross-chunk coupling, so sharding only relabels devices."""
+    from soc_tpu.solve.pallas_a2e import (solve_all_chunks,
+                                          solve_all_chunks_sharded)
+    solver = random_solver(ne=128, nfreq=10, nsize=2, seed=12)
+    rng = np.random.default_rng(9)
+    chunks = (rng.random((8, 128, 10)) * 1e4).astype(np.float32)
+    w_stack, td_stack, ea_stack = stochastic.get_fused_stacks(solver)
+    align = rng.random((8, 2, 128)).astype(np.float32)
+    ref_t, ref_p = solve_all_chunks(w_stack, td_stack, ea_stack,
+                                    jnp.asarray(chunks),
+                                    jnp.asarray(align), 128,
+                                    interpret=True)
+    sh_t, sh_p = solve_all_chunks_sharded(w_stack, td_stack, ea_stack,
+                                          jnp.asarray(chunks),
+                                          jnp.asarray(align), 128,
+                                          interpret=True)
+    np.testing.assert_array_equal(np.asarray(sh_t), np.asarray(ref_t))
+    np.testing.assert_array_equal(np.asarray(sh_p), np.asarray(ref_p))
+    sh_t2, none = solve_all_chunks_sharded(w_stack, td_stack, ea_stack,
+                                           jnp.asarray(chunks), None, 128,
+                                           interpret=True)
+    assert none is None
+    np.testing.assert_array_equal(np.asarray(sh_t2), np.asarray(ref_t))
