@@ -20,9 +20,15 @@ Key invariants:
   * Fixed shapes everywhere: emigrant buffers hold at most ``nlanes``
     packets per direction per super-step; a pending queue (capacity
     4*nlanes) absorbs arrivals that do not fit into free lanes immediately.
+  * ONE physics implementation: the stepping inside the superstep loop is
+    transport_run's own StepKit (transport.propagate.make_step_fns) with
+    the domain emigrant hook -- per-frequency tallies, ALI, emission
+    weighting, splitting, mirror boundaries, WITH_ABU/MSF and
+    step/direction weighting therefore run under domains with the exact
+    single-device semantics (grep: no march/scatter math in this file).
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 
 import numpy as np
@@ -32,12 +38,10 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
-from ..constants import ADHOC, MAX_SCATTERINGS, PEPS, PHOTON_LIMIT, TAULIM
+from ..constants import PEPS
 from ..grid import Grid, decode_link_np, encode_link_np, build_parents
 from ..ops import traverse
-from ..transport.propagate import _csc_lookup, _deflect
 from ..transport.sources import background_entry, stream_hi_base
-from .. import rng as socrng
 
 
 @dataclass
@@ -121,43 +125,61 @@ def split_grid_slabs(grid, n_slabs):
                    levels=levels, cells_pad=cells_pad, n_slabs=n_slabs)
 
 
-# packet payload layout for the exchange buffers: 13 float32 words
-# [pos3 | dir3 | photons | free_path | tau | stream | hi | counter | scat]
-_PK = 13
+# packet payload layout for the exchange buffers: 16 float32 words
+# [pos3 | dir3 | photons | free_path | tau | stream | hi | counter | scat
+#  | e_cell | split_depth | split_path]
+_PK = 16
 
 
-def _pack(pos, dir, photons, free_path, tau, stream, hi, counter, scat):
+def _pack(b, free_path, tau, sp):
     as_f = lambda x: lax.bitcast_convert_type(x, jnp.float32)
+    depth = sp.get("lane_depth", jnp.zeros_like(b.ind))
+    path = sp.get("lane_path", jnp.zeros_like(b.stream))
     return jnp.concatenate([
-        pos, dir,
-        photons[:, None], free_path[:, None], tau[:, None],
-        as_f(stream)[:, None], as_f(hi)[:, None], as_f(counter)[:, None],
-        as_f(scat.astype(jnp.uint32))[:, None]], axis=1)
+        b.pos, b.dir,
+        b.photons[:, None], free_path[:, None], tau[:, None],
+        as_f(b.stream)[:, None], as_f(b.hi)[:, None],
+        as_f(b.counter)[:, None],
+        as_f(b.scatterings.astype(jnp.uint32))[:, None],
+        as_f(b.e_cell.astype(jnp.uint32))[:, None],
+        as_f(depth.astype(jnp.uint32))[:, None],
+        as_f(path)[:, None]], axis=1)
 
 
 def _unpack(buf):
     as_u = lambda x: lax.bitcast_convert_type(x, jnp.uint32)
-    pos = buf[:, 0:3]
-    dir = buf[:, 3:6]
-    photons = buf[:, 6]
-    free_path = buf[:, 7]
-    tau = buf[:, 8]
-    stream = as_u(buf[:, 9])
-    hi = as_u(buf[:, 10])
-    counter = as_u(buf[:, 11])
-    scat = as_u(buf[:, 12]).astype(jnp.int32)
-    return pos, dir, photons, free_path, tau, stream, hi, counter, scat
+    return dict(pos=buf[:, 0:3], dir=buf[:, 3:6], photons=buf[:, 6],
+                free_path=buf[:, 7], tau=buf[:, 8],
+                stream=as_u(buf[:, 9]), hi=as_u(buf[:, 10]),
+                counter=as_u(buf[:, 11]),
+                scat=as_u(buf[:, 12]).astype(jnp.int32),
+                e_cell=as_u(buf[:, 13]).astype(jnp.int32),
+                depth=as_u(buf[:, 14]).astype(jnp.int32),
+                path=as_u(buf[:, 15]))
+
+
+# physics entries that are per-cell GLOBAL arrays: remapped to slab-local
+# [S, cells_pad(, ...)] layouts and sharded over dp
+_PER_CELL_PHYSICS = ("opt_abs", "opt_sca", "msf_abu")
+
+_DEFAULT_FEATURES = dict(per_freq_tally=False, icomps=0, with_ali=False,
+                         mirror_mask=0, split_max=0)
 
 
 def domain_background_run(slabs, physics, bg_photons, total_packets, seed,
                           mesh, nlanes=1 << 10, k_inner=32,
-                          max_super=1 << 20, hi_base=None):
+                          max_super=1 << 20, hi_base=None, features=None):
     """Isotropic-background transport over Z-slab domains on the dp axis.
 
-    physics : uniform-frequency dict (scalar kabs/ksca/tw, csc [BINS])
-    Returns (tabs [GLOBAL CELLS] host order, escaped, lost) -- `lost` is
-    the photon weight destroyed by pending-queue overflow (0 in any sane
-    configuration; nonzero means nlanes is too small for the flux).
+    physics : uniform-frequency dict (scalar kabs/ksca/tw, csc [BINS]),
+    optionally with the per-cell WITH_ABU/MSF/weighting extras -- the step
+    physics is transport_run's own StepKit, so every physics option the
+    single-device path supports runs under domains too.
+    features : dict(per_freq_tally, icomps, with_ali, mirror_mask,
+    split_max); returns (tabs [GLOBAL CELLS], escaped, lost, aux) where aux
+    holds 'intf' [CELLS(, icomps)] and 'xab' [CELLS] when enabled. `lost`
+    is the photon weight destroyed by pending-queue overflow (0 in any
+    sane configuration; nonzero means nlanes is too small for the flux).
 
     Per-frequency callers pass hi_base = stream_hi_base("bg") + ifreq so
     every channel gets independent RNG streams; all per-frequency values
@@ -168,27 +190,30 @@ def domain_background_run(slabs, physics, bg_photons, total_packets, seed,
     return _domain_call(
         slabs, physics, total_packets, seed, mesh, nlanes, k_inner,
         max_super, "bg", statics=(),
-        src_values=(jnp.float32(bg_photons), hi))
+        src_values=(jnp.float32(bg_photons), hi), features=features)
 
 
 def domain_cell_emission_run(slabs, physics, emit, per_cell, seed, mesh,
                              nlanes=1 << 10, k_inner=32,
-                             max_super=1 << 20, hi_base=None):
+                             max_super=1 << 20, hi_base=None,
+                             cell_of_id=None, total_packets=None,
+                             features=None):
     """Cell-emission transport (the iteration hot path, SimRAM_CL) over
     Z-slab domains: each device owns the packets born in its slab's cells
     and boundary crossings ride the same ppermute halo exchange.
 
-    emit : [GLOBAL CELLS] photon weight per packet per cell, already
-    divided by per_cell (the single-device simulate_cell_emission
-    convention). Packet identity matches gen_cell: id k -> global flat
-    cell k // per_cell, uniforms from counter slots 0-2, so tallies match
-    the single-device run per packet.
-    Returns (tabs [GLOBAL CELLS] host order, escaped, lost).
+    emit : [GLOBAL CELLS] photon weight per packet per cell (already
+    divided by per_cell, or multiplied by the EMWEI weight). Packet
+    identity matches gen_cell: id k -> global flat cell k // per_cell (or
+    cell_of_id[k] under emission weighting), uniforms from counter slots
+    0-2, so tallies match the single-device run per packet.
+    Returns (tabs [GLOBAL CELLS] host order, escaped, lost, aux).
     """
     S = slabs.n_slabs
     hi = jnp.uint32(stream_hi_base("cell") if hi_base is None else hi_base)
     gcells = int(np.sum(np.asarray(slabs.lcells)))
-    total_packets = per_cell * gcells
+    if total_packets is None:
+        total_packets = per_cell * gcells
     # host-side inverse maps: global flat cell -> local flat cell per slab
     # (cached on the SlabSet: rebuilding per frequency is pure waste)
     inv = getattr(slabs, "_inv_cache", None)
@@ -198,16 +223,23 @@ def domain_cell_emission_run(slabs, physics, emit, per_cell, seed, mesh,
             m = slabs.gidx[s] >= 0
             inv[s, slabs.gidx[s][m]] = np.nonzero(m)[0].astype(np.int32)
         slabs._inv_cache = inv
+    if cell_of_id is not None:
+        src = (jnp.asarray(np.asarray(emit, np.float32)), hi,
+               jnp.asarray(np.asarray(cell_of_id, np.int32)))
+    else:
+        src = (jnp.asarray(np.asarray(emit, np.float32)), hi)
     return _domain_call(
         slabs, physics, total_packets, seed, mesh, nlanes, k_inner,
-        max_super, "cell", statics=(int(per_cell), gcells),
-        src_values=(jnp.asarray(np.asarray(emit, np.float32)), hi),
-        extra_arrays=(jnp.asarray(inv),), extra_specs=(P("dp"),))
+        max_super, "cell",
+        statics=(int(per_cell), gcells, cell_of_id is not None),
+        src_values=src,
+        extra_arrays=(jnp.asarray(inv),), extra_specs=(P("dp"),),
+        features=features)
 
 
 def domain_generator_run(slabs, physics, gen_name, params, total_packets,
                          seed, mesh, nlanes=1 << 10, k_inner=32,
-                         max_super=1 << 20, hi_base=None):
+                         max_super=1 << 20, hi_base=None, features=None):
     """Z-slab transport for any *surface/point* packet generator
     (point sources incl. all PS_METHODs, healpix background, ROI re-load).
 
@@ -225,7 +257,7 @@ def domain_generator_run(slabs, physics, gen_name, params, total_packets,
     return _domain_call(
         slabs, physics, total_packets, seed, mesh, nlanes, k_inner,
         max_super, "gen", statics=(gen_name, tuple(sorted(params))),
-        src_values=(params, jnp.uint32(0)))
+        src_values=(params, jnp.uint32(0)), features=features)
 
 
 _RUNNER_CACHE = {}
@@ -233,45 +265,90 @@ _RUNNER_CACHE = {}
 
 def _domain_call(slabs, physics, total_packets, seed, mesh, nlanes,
                  k_inner, max_super, spawn_kind, statics, src_values,
-                 extra_arrays=(), extra_specs=()):
-    """Invoke the cached jitted Z-slab runner and assemble host tallies."""
+                 extra_arrays=(), extra_specs=(), features=None):
+    """Invoke the cached jitted Z-slab runner and assemble host tallies.
+
+    Returns (tabs [GLOBAL CELLS], escaped, lost, aux): aux carries 'intf'
+    (per-frequency column, [CELLS] or [CELLS, 4]) and 'xab' ([CELLS])
+    when the corresponding features are on.
+    """
+    feat = dict(_DEFAULT_FEATURES)
+    feat.update(features or {})
     S = slabs.n_slabs
     assert mesh.shape["dp"] == S, "dp axis must equal the slab count"
     assert mesh.shape.get("freq", 1) == 1, "freq axis unused here"
     bins = physics["csc"].shape[-1]
+    # split the physics dict: per-cell GLOBAL arrays are remapped to
+    # slab-local [S, cells_pad(, ...)] and sharded over dp; the rest is
+    # replicated. The ALI self-check additionally needs the local->global
+    # cell map.
+    phys_rep, phys_loc = {}, {}
+    gidx = np.maximum(slabs.gidx, 0)
+    for k, v in physics.items():
+        if k in _PER_CELL_PHYSICS:
+            g = np.asarray(v)
+            loc = g[gidx]                      # [S, cells_pad(, D)]
+            loc[slabs.gidx < 0] = 0
+            phys_loc[k] = jnp.asarray(loc)
+        else:
+            phys_rep[k] = v
+    if feat["with_ali"]:
+        phys_loc["gidx"] = jnp.asarray(slabs.gidx)
+    feat_key = tuple(sorted(feat.items()))
     key = (spawn_kind, statics, S, slabs.nx, slabs.ny, slabs.nz,
            slabs.nz_local, slabs.levels, slabs.cells_pad,
            tuple(int(x) for x in slabs.off), nlanes, k_inner, max_super,
-           bins, len(extra_specs), mesh)
+           bins, len(extra_specs), mesh, feat_key,
+           tuple(sorted(phys_rep)), tuple(sorted(phys_loc)))
     runner = _RUNNER_CACHE.get(key)
     if runner is None:
         runner = _build_domain_runner(slabs, mesh, nlanes, k_inner,
                                       max_super, spawn_kind, statics,
-                                      tuple(extra_specs))
+                                      tuple(extra_specs), feat)
         _RUNNER_CACHE[key] = runner
-    phys = (physics["kabs"], physics["ksca"], physics["tw"],
-            physics["csc"])
-    tabs_s, esc, lost = runner(
+    tabs_s, intf_s, xab_s, esc, lost = runner(
         jnp.asarray(slabs.dens), jnp.asarray(slabs.lcells),
-        jnp.asarray(slabs.par), phys, tuple(src_values),
+        jnp.asarray(slabs.par), phys_rep, phys_loc, tuple(src_values),
         jnp.int32(total_packets), jnp.uint32(seed), *extra_arrays)
     # assemble global tallies from per-slab local cells
-    tabs_s = np.asarray(tabs_s).reshape(S, slabs.cells_pad)
     total_cells = int(np.sum(np.asarray(slabs.lcells)))
-    tabs = np.zeros(total_cells, np.float32)
-    for s in range(S):
-        m = slabs.gidx[s] >= 0
-        tabs[slabs.gidx[s][m]] = tabs_s[s][m]
-    return tabs, float(np.asarray(esc)), float(np.asarray(lost))
+
+    def assemble(arr_s, extra_shape=()):
+        arr_s = np.asarray(arr_s).reshape((S, slabs.cells_pad)
+                                          + extra_shape)
+        out = np.zeros((total_cells,) + extra_shape, np.float32)
+        for s in range(S):
+            m = slabs.gidx[s] >= 0
+            out[slabs.gidx[s][m]] = arr_s[s][m]
+        return out
+
+    aux = {}
+    if feat["per_freq_tally"]:
+        aux["intf"] = assemble(intf_s, (feat["icomps"],)
+                               if feat["icomps"] else ())
+    if feat["with_ali"]:
+        aux["xab"] = assemble(xab_s)
+    tabs = assemble(tabs_s)
+    return tabs, float(np.asarray(esc)), float(np.asarray(lost)), aux
 
 
 def _build_domain_runner(slabs, mesh, nlanes, k_inner, max_super,
-                         spawn_kind, statics, extra_specs):
-    """Build the jitted shard_map superstep loop for one static config:
-    lane pool + k_inner local steps + ppermute exchange, parameterized by
-    the packet source (spawn_kind: "bg" | "cell"). Everything that varies
-    per frequency (cross sections, photon weights, hi, seed, budget) is a
-    traced argument."""
+                         spawn_kind, statics, extra_specs, feat):
+    """Build the jitted shard_map superstep loop for one static config.
+
+    The stepping inside is transport_run's own StepKit (march/service
+    split, deferred octree descent, WITH_ABU/MSF, step/direction
+    weighting, ALI, per-frequency tallies, splitting, rank-aware mirror
+    boundaries) -- this runner only adds the Z-slab specifics: slab
+    ownership at spawn, the emigrant pack/ppermute/pending-queue exchange,
+    and the slab-local tally assembly. Everything that varies per
+    frequency (cross sections, photon weights, hi, seed, budget) is a
+    traced argument, so a frequency loop compiles exactly once.
+    """
+    import os
+    from ..transport.propagate import (PacketBatch, init_split_state,
+                                       make_dead, make_step_fns,
+                                       serve_clones)
     from ..transport.sources import _isotropic_dir, _uniforms
     S = slabs.n_slabs
     nx, ny, nz, nzl = slabs.nx, slabs.ny, slabs.nz, slabs.nz_local
@@ -281,6 +358,13 @@ def _build_domain_runner(slabs, mesh, nlanes, k_inner, max_super,
     bwd = [(i, (i - 1) % S) for i in range(S)]       # to lower neighbor
     off_l = np.asarray(slabs.off)
     off_c = jnp.asarray(slabs.off)
+    per_freq_tally = bool(feat["per_freq_tally"])
+    icomps = int(feat["icomps"])
+    with_ali = bool(feat["with_ali"])
+    mirror_mask = int(feat["mirror_mask"])
+    split_max = int(feat["split_max"])
+    service_period = int(os.environ.get("SOC_TPU_SERVICE_PERIOD", "16"))
+    service_period = min(service_period, k_inner)
 
     def local_grid(dens_l, lcells_l, par_l):
         return Grid(dens=dens_l, lcells=lcells_l, off=off_c, par=par_l,
@@ -289,15 +373,22 @@ def _build_domain_runner(slabs, mesh, nlanes, k_inner, max_super,
     @jax.jit
     @partial(shard_map, mesh=mesh,
              in_specs=(P("dp"), P("dp"), P("dp"),
-                       (P(), P(), P(), P()), (P(), P()), P(), P())
+                       P(), P("dp"), P(), P(), P())
                       + tuple(extra_specs),
-             out_specs=(P("dp"), P(), P()), check_vma=False)
-    def run(dens_s, lcells_s, par_s, phys, srcv, total_packets, seed,
-            *extras):
-        kabs, ksca, tw, csc = phys
-        bins = csc.shape[-1]
+             out_specs=(P("dp"), P("dp"), P("dp"), P(), P()),
+             check_vma=False)
+    def run(dens_s, lcells_s, par_s, phys_rep, phys_loc, srcv,
+            total_packets, seed, *extras):
         rank = lax.axis_index("dp")
         grid = local_grid(dens_s[0], lcells_s[0], par_s[0])
+        physics = dict(phys_rep)
+        physics.update({k: v[0] for k, v in phys_loc.items()})
+        kit = make_step_fns(
+            grid, physics, seed, per_freq_tally=per_freq_tally,
+            with_ali=with_ali, mirror_mask=mirror_mask,
+            split_max=split_max,
+            domain=dict(rank=rank, n_slabs=S, nz_local=nzl))
+        do_split = kit.do_split
 
         if spawn_kind == "bg":
             bg_photons, hi = srcv
@@ -305,8 +396,8 @@ def _build_domain_runner(slabs, mesh, nlanes, k_inner, max_super,
             def spawn_from_ids(ids, can):
                 """Global source eval + slab-ownership filter."""
                 stream = ids.astype(jnp.uint32)
-                pos_g, dir = background_entry(nx, ny, nz, stream,
-                                              jnp.full_like(stream, hi),
+                hiv = jnp.full_like(stream, hi)
+                pos_g, dir = background_entry(nx, ny, nz, stream, hiv,
                                               seed)
                 own = (jnp.floor(pos_g[:, 2] / nzl).astype(jnp.int32)
                        == rank)
@@ -317,15 +408,17 @@ def _build_domain_runner(slabs, mesh, nlanes, k_inner, max_super,
                     jnp.clip(pos_l[:, 2], PEPS, nzl - PEPS))
                 p, lev, ind = traverse.index_global(grid, pos_l)
                 ind = jnp.where(ok, ind, -1)
-                fp_u = socrng.uniform1(seed, stream,
-                                       jnp.full_like(stream, 2),
-                                       jnp.full_like(stream, hi))
-                return (p, dir, lev, ind,
-                        jnp.full(ids.shape, bg_photons, jnp.float32),
-                        stream, jnp.full_like(stream, hi),
-                        jnp.full_like(stream, 3),          # counter
-                        jnp.zeros(ids.shape, jnp.int32),   # scatterings
-                        -jnp.log(fp_u))
+                fp, w = kit.draw_birth_fp(stream, hiv)
+                ph = jnp.full(ids.shape, bg_photons, jnp.float32)
+                if kit.sw_a is not None:
+                    ph = ph * w
+                b = PacketBatch(
+                    pos=p, dir=dir, level=lev, ind=ind, photons=ph,
+                    ifreq=jnp.zeros_like(ind), stream=stream, hi=hiv,
+                    counter=jnp.full_like(stream, 3),
+                    scatterings=jnp.zeros_like(ind),
+                    e_cell=jnp.full_like(ind, -1))
+                return b, fp
         elif spawn_kind == "gen":
             # generic geometry-only source: evaluate the global generator
             # on a levels==1 dummy grid (entry positions never read the
@@ -352,19 +445,32 @@ def _build_domain_runner(slabs, mesh, nlanes, k_inner, max_super,
                     jnp.clip(pos_l[:, 2], PEPS, nzl - PEPS))
                 p, lev, ind = traverse.index_global(grid, pos_l)
                 ind = jnp.where(ok, ind, -1)
-                fp_u = socrng.uniform1(seed, nb.stream,
-                                       jnp.full_like(nb.stream, 2), nb.hi)
-                return (p, nb.dir, lev, ind, nb.photons, nb.stream, nb.hi,
-                        nb.counter, jnp.zeros(ids.shape, jnp.int32),
-                        -jnp.log(fp_u))
+                fp, w = kit.draw_birth_fp(nb.stream, nb.hi)
+                ph = nb.photons
+                if kit.sw_a is not None:
+                    ph = ph * w
+                b = PacketBatch(
+                    pos=p, dir=nb.dir, level=lev, ind=ind, photons=ph,
+                    ifreq=jnp.zeros_like(ind), stream=nb.stream, hi=nb.hi,
+                    counter=nb.counter,
+                    scatterings=jnp.zeros_like(ind),
+                    e_cell=jnp.full_like(ind, -1))
+                return b, fp
         else:
-            per_cell, gcells = statics
-            emit_g, hi = srcv
+            per_cell, gcells, has_com = statics
+            if has_com:
+                emit_g, hi, com_g = srcv
+            else:
+                emit_g, hi = srcv
             inv_l = extras[0][0]
 
             def spawn_from_ids(ids, can):
                 stream = ids.astype(jnp.uint32)
-                gcell = jnp.clip(ids // per_cell, 0, gcells - 1)
+                hiv = jnp.full_like(stream, hi)
+                if has_com:
+                    gcell = jnp.clip(com_g[ids], 0, gcells - 1)
+                else:
+                    gcell = jnp.clip(ids // per_cell, 0, gcells - 1)
                 lflat = inv_l[gcell]
                 own = lflat >= 0
                 ok = can & own
@@ -373,8 +479,7 @@ def _build_domain_runner(slabs, mesh, nlanes, k_inner, max_super,
                 for l in range(1, levels):
                     lev = jnp.where(lflat >= off_l[l], l, lev)
                 loc = lflat - off_c[lev]
-                u1, u2, u3, u4, u5, _ = _uniforms(
-                    seed, stream, jnp.full_like(stream, hi))
+                u1, u2, u3, u4, u5, _ = _uniforms(seed, stream, hiv)
                 if levels == 1:
                     x0 = (loc % nx).astype(jnp.float32)
                     y0 = ((loc // nx) % ny).astype(jnp.float32)
@@ -394,157 +499,111 @@ def _build_domain_runner(slabs, mesh, nlanes, k_inner, max_super,
                 dir = _isotropic_dir(u4, u5).astype(jnp.float32)
                 photons = emit_g[gcell]
                 ind = jnp.where(ok, loc.astype(jnp.int32), -1)
-                fp_u = socrng.uniform1(seed, stream,
-                                       jnp.full_like(stream, 2),
-                                       jnp.full_like(stream, hi))
-                return (pos, dir, lev.astype(jnp.int32), ind, photons,
-                        stream, jnp.full_like(stream, hi),
-                        jnp.full_like(stream, 3),
-                        jnp.zeros(ids.shape, jnp.int32),
-                        -jnp.log(fp_u))
-
-        def step_once(st):
-            (pos, dir, lev, ind, photons, stream, hi, counter, scat,
-             free_path, tau, emig, tabs, esc, anc) = st
-            alive = (ind >= 0) & (emig == 0)
-            ci = jnp.clip(off_c[jnp.clip(lev, 0, levels - 1)]
-                          + jnp.maximum(ind, 0), 0, cells_pad - 1)
-            dens = grid.dens[ci]
-            # deferred descent (see transport.propagate): a lane on a link
-            # cell spends this step descending one level, ALU-only; it
-            # consumes no RNG draw, so packet sequences are unchanged
-            if levels > 1:
-                is_link = alive & (dens <= 0.0)
-                alive = alive & ~is_link
-            else:
-                is_link = jnp.zeros_like(alive)
-            ds_local, pos_boundary = traverse.boundary_step(pos, dir)
-            ds_gl = ds_local * jnp.exp2(-lev.astype(jnp.float32))
-            tau_abs_full = ds_gl * dens * kabs
-            dtau_sca = ds_gl * dens * ksca
-            scatter_now = alive & (free_path < tau + dtau_sca)
-            dx_gl = (free_path - tau) / jnp.maximum(ksca * dens, 1e-30)
-            tau_abs_part = dx_gl * dens * kabs
-            dx_local = jnp.maximum(
-                0.0, dx_gl * jnp.exp2(lev.astype(jnp.float32))
-                - 2.0 * PEPS)
-            pos_scatter = pos + dx_local[:, None] * dir
-            tau_abs = jnp.where(scatter_now, tau_abs_part, tau_abs_full)
-            att = jnp.exp(-tau_abs)
-            delta = jnp.where(tau_abs > TAULIM,
-                              photons * (1.0 - att),
-                              photons * tau_abs * (1.0 - 0.5 * tau_abs))
-            didx = jnp.where(alive, ci, cells_pad)
-            tabs = tabs.at[didx].add(delta * tw * ADHOC, mode="drop")
-            photons = jnp.where(alive, photons * att, photons)
-
-            u_fp, u_bin, u_phi = socrng.step_uniforms(seed, stream, counter,
-                                                      hi)
-            cos_theta = _csc_lookup(csc, jnp.zeros_like(ind), u_bin, bins)
-            new_dir = _deflect(dir, cos_theta, (2.0 * jnp.pi) * u_phi)
-
-            posx = jnp.where(alive[:, None], pos_boundary, pos)
-            cross = alive & ~scatter_now
-            npos, nlev, nind, anc = traverse.index_update_stack(
-                grid, posx, lev, ind, anc, cross, descend=False)
-            failed = cross & (nlev == lev) & (nind == ind)
-            npos = jnp.where(failed[:, None], npos + PEPS * dir, npos)
-
-            # slab-boundary crossing: exits via the Z faces with a live
-            # neighbor become emigrants instead of escapes; exits via the
-            # global X/Y faces always escape
-            exited = cross & (nind < 0)
-            out_xy = ((npos[:, 0] <= 0.0) | (npos[:, 0] >= nx)
-                      | (npos[:, 1] <= 0.0) | (npos[:, 1] >= ny))
-            z = npos[:, 2]
-            go_up = exited & ~out_xy & (z >= 0.5 * nzl) & (rank < S - 1)
-            go_dn = exited & ~out_xy & (z < 0.5 * nzl) & (rank > 0)
-            new_emig = jnp.where(go_up, 1, jnp.where(go_dn, -1, 0))
-            escaped_now = exited & (new_emig == 0)
-
-            posm = jnp.where(scatter_now[:, None], pos_scatter, npos)
-            levm = jnp.where(scatter_now, lev, nlev)
-            indm = jnp.where(scatter_now, ind, nind)
-            dirm = jnp.where(scatter_now[:, None], new_dir, dir)
-            if levels > 1:
-                posm, levm, indm, anc = traverse.descend_one(
-                    grid, posm, levm, indm, anc, dens, is_link)
-            scatm = scat + scatter_now.astype(jnp.int32)
-            over = scatter_now & (scatm > MAX_SCATTERINGS)
-            faint = alive & (jnp.abs(photons) < PHOTON_LIMIT)
-            esc = esc + jnp.sum(jnp.where((escaped_now | over) & alive,
-                                          photons, 0.0))
-            indm = jnp.where(over | faint, -1, indm)
-            free_path = jnp.where(scatter_now, -jnp.log(u_fp), free_path)
-            tau = jnp.where(scatter_now, 0.0,
-                            jnp.where(cross, tau + dtau_sca, tau))
-            # advance the draw counter only when draws are CONSUMED (one
-            # evaluation per scattering event) -- the same scheme as
-            # transport_run's march/service split -- so a packet's random
-            # sequence is identical to the single-device run even while
-            # its lane idles before/after the exchange
-            counter = counter + scatter_now.astype(jnp.uint32)
-            emig = jnp.where(alive, new_emig, emig)
-            # emigrant lanes freeze at the boundary position
-            return (posm, dirm, levm, indm, photons, stream, hi, counter,
-                    scatm, free_path, tau, emig, tabs, esc, anc)
+                fp, w = kit.draw_birth_fp(stream, hiv)
+                if kit.sw_a is not None:
+                    photons = photons * w
+                b = PacketBatch(
+                    pos=pos, dir=dir, level=lev.astype(jnp.int32), ind=ind,
+                    photons=photons, ifreq=jnp.zeros_like(ind),
+                    stream=stream, hi=hiv,
+                    counter=jnp.full_like(stream, 3),
+                    scatterings=jnp.zeros_like(ind),
+                    e_cell=gcell.astype(jnp.int32))
+                return b, fp
 
         def superstep(carry):
-            (it, pos, dir, lev, ind, photons, stream, hi, counter, scat,
-             free_path, tau, emig, pend, pend_n, next_id, tabs, esc,
-             lost, g_active) = carry
+            (it, b, pending, free_path, tau, emig, sp, pend, pend_n,
+             next_id, tabs, intf, xab, esc, esc_pending, absd, lost,
+             g_active) = carry
+
+            # ---- flush escaped weight of lanes that died mid-block
+            dead = (b.ind < 0) & (emig == 0)
+            esc = esc + jnp.sum(jnp.where(dead, esc_pending, 0.0))
+            esc_pending = jnp.where(dead, 0.0, esc_pending)
+
+            # ---- serve pending split-clone requests into dead lanes
+            if do_split:
+                b, pending, free_path, tau, sp, dead = serve_clones(
+                    grid, kit, seed, b, pending, free_path, tau, sp,
+                    dead & (emig == 0))
+                dead = (b.ind < 0) & (emig == 0)
 
             # ---- drain pending queue into free lanes
-            free = (ind < 0) & (emig == 0)
+            free = dead
             fi = free.astype(jnp.int32)
             rankf = jnp.cumsum(fi) - fi
             take = free & (rankf < pend_n)
             slot = jnp.where(take, pend_n - 1 - rankf, 0)
-            (ppos, pdir, pph, pfp, ptau, pstream, phi, pctr,
-             pscat) = _unpack(pend[slot])
-            p2, plev, pind = traverse.index_global(grid, ppos)
-            pos = jnp.where(take[:, None], p2, pos)
-            dir = jnp.where(take[:, None], pdir, dir)
-            lev = jnp.where(take, plev, lev)
-            ind = jnp.where(take, jnp.where(pind >= 0, pind, -1), ind)
-            photons = jnp.where(take, pph, photons)
-            free_path = jnp.where(take, pfp, free_path)
-            tau = jnp.where(take, ptau, tau)
-            stream = jnp.where(take, pstream, stream)
-            hi = jnp.where(take, phi, hi)
-            counter = jnp.where(take, pctr, counter)
-            scat = jnp.where(take, pscat, scat)
+            pk = _unpack(pend[slot])
+            p2, plev, pind = traverse.index_global(grid, pk["pos"])
+            tk = take[:, None]
+            b = PacketBatch(
+                pos=jnp.where(tk, p2, b.pos),
+                dir=jnp.where(tk, pk["dir"], b.dir),
+                level=jnp.where(take, plev, b.level),
+                ind=jnp.where(take, jnp.where(pind >= 0, pind, -1), b.ind),
+                photons=jnp.where(take, pk["photons"], b.photons),
+                ifreq=b.ifreq,
+                stream=jnp.where(take, pk["stream"], b.stream),
+                hi=jnp.where(take, pk["hi"], b.hi),
+                counter=jnp.where(take, pk["counter"], b.counter),
+                scatterings=jnp.where(take, pk["scat"], b.scatterings),
+                e_cell=jnp.where(take, pk["e_cell"], b.e_cell))
+            free_path = jnp.where(take, pk["free_path"], free_path)
+            tau = jnp.where(take, pk["tau"], tau)
+            pending = pending & ~take
+            if do_split:
+                sp = {**sp,
+                      "lane_depth": jnp.where(take, pk["depth"],
+                                              sp["lane_depth"]),
+                      "lane_path": jnp.where(take, pk["path"],
+                                             sp["lane_path"])}
             pend_n = pend_n - jnp.sum(take.astype(jnp.int32))
 
             # ---- refill remaining free lanes from the shared id budget
-            free = (ind < 0) & (emig == 0)
+            free = (b.ind < 0) & (emig == 0)
             fi = free.astype(jnp.int32)
             rankf = jnp.cumsum(fi) - fi
             ids = next_id + rankf
             can = free & (ids < total_packets)
-            (spos, sdir, slev, sind, sph, sstream, shi, sctr, sscat,
-             sfp) = spawn_from_ids(jnp.where(can, ids, 0), can)
-            pos = jnp.where(can[:, None], spos, pos)
-            dir = jnp.where(can[:, None], sdir, dir)
-            lev = jnp.where(can, slev, lev)
-            ind = jnp.where(can, sind, ind)
-            photons = jnp.where(can, sph, photons)
-            stream = jnp.where(can, sstream, stream)
-            hi = jnp.where(can, shi, hi)
-            counter = jnp.where(can, sctr, counter)
-            scat = jnp.where(can, sscat, scat)
+            nb, sfp = spawn_from_ids(jnp.where(can, ids, 0), can)
+            cl = can[:, None]
+            b = PacketBatch(
+                pos=jnp.where(cl, nb.pos, b.pos),
+                dir=jnp.where(cl, nb.dir, b.dir),
+                level=jnp.where(can, nb.level, b.level),
+                ind=jnp.where(can, nb.ind, b.ind),
+                photons=jnp.where(can, nb.photons, b.photons),
+                ifreq=b.ifreq,
+                stream=jnp.where(can, nb.stream, b.stream),
+                hi=jnp.where(can, nb.hi, b.hi),
+                counter=jnp.where(can, nb.counter, b.counter),
+                scatterings=jnp.where(can, nb.scatterings, b.scatterings),
+                e_cell=jnp.where(can, nb.e_cell, b.e_cell))
             free_path = jnp.where(can, sfp, free_path)
             tau = jnp.where(can, 0.0, tau)
+            pending = pending & ~can
+            if do_split:
+                sp = {**sp,
+                      "lane_depth": jnp.where(can, 0, sp["lane_depth"]),
+                      "lane_path": jnp.where(can, jnp.uint32(0),
+                                             sp["lane_path"])}
             next_id = next_id + jnp.sum(can.astype(jnp.int32))
 
-            # ---- k_inner local steps (ancestor stack rebuilt once per
-            # superstep: drained arrivals and refills just changed lanes)
-            st = (pos, dir, lev, ind, photons, stream, hi, counter, scat,
-                  free_path, tau, emig, tabs, esc,
-                  traverse.stack_from_par(grid, lev, ind))
-            st = lax.fori_loop(0, k_inner, lambda _, s: step_once(s), st)
-            (pos, dir, lev, ind, photons, stream, hi, counter, scat,
-             free_path, tau, emig, tabs, esc, _) = st
+            # ---- k_inner shared-physics steps (service + march blocks,
+            # exactly transport_run's inner loop; ancestor stack rebuilt
+            # once per superstep: arrivals and refills just changed lanes)
+            anc = traverse.stack_from_par(grid, b.level, b.ind)
+            lane_c = kit.lane_const_of(b)
+            roi_c = jnp.zeros(1, jnp.float32)
+            st = (b, pending, free_path, tau, tabs, intf, esc_pending,
+                  absd, xab, roi_c, sp, anc, lane_c, emig)
+            for _ in range(max(1, k_inner // service_period)):
+                st = kit.service(*st)
+                st = lax.fori_loop(0, service_period,
+                                   lambda _, s: kit.march(*s), st)
+            (b, pending, free_path, tau, tabs, intf, esc_pending, absd,
+             xab, roi_c, sp, anc, lane_c, emig) = st
 
             # ---- pack + exchange emigrants (z shifted to neighbor frame)
             def pack_dirn(sign):
@@ -553,18 +612,21 @@ def _build_domain_runner(slabs, mesh, nlanes, k_inner, max_super,
                 ranks = jnp.cumsum(si) - si
                 slot = jnp.where(sel, ranks, nlanes)
                 zshift = jnp.where(sign > 0, -float(nzl), float(nzl))
-                posz = pos.at[:, 2].add(zshift)
+                posz = b.pos.at[:, 2].add(zshift)
                 posz = posz.at[:, 2].set(
                     jnp.clip(posz[:, 2], PEPS, nzl - PEPS))
-                payload = _pack(posz, dir, photons, free_path, tau,
-                                stream, hi, counter, scat)
+                bb = PacketBatch(
+                    pos=posz, dir=b.dir, level=b.level, ind=b.ind,
+                    photons=b.photons, ifreq=b.ifreq, stream=b.stream,
+                    hi=b.hi, counter=b.counter,
+                    scatterings=b.scatterings, e_cell=b.e_cell)
+                payload = _pack(bb, free_path, tau, sp)
                 buf = jnp.zeros((nlanes + 1, _PK), jnp.float32)
                 buf = buf.at[slot].set(payload, mode="drop")
                 return buf[:nlanes], jnp.sum(si)
 
             up_buf, n_up = pack_dirn(1)
             dn_buf, n_dn = pack_dirn(-1)
-            ind = jnp.where(emig != 0, -1, ind)
             emig = jnp.zeros_like(emig)
             # ring permute; the wrap-around entries carry count 0
             r_up = lax.ppermute(up_buf, "dp", fwd)
@@ -592,41 +654,57 @@ def _build_domain_runner(slabs, mesh, nlanes, k_inner, max_super,
             pend = pend.at[jnp.where(okl, idx, PCAP)].set(r_dn, mode="drop")
             pend_n = jnp.minimum(pend_n + c_dn, PCAP)
 
-            active = (jnp.any(ind >= 0) | (next_id < total_packets)
+            active = (jnp.any(b.ind >= 0) | (next_id < total_packets)
                       | (pend_n > 0))
+            if do_split:
+                active = active | jnp.any(sp["pending"])
             g_active = lax.psum(active.astype(jnp.int32), "dp")
-            return (it + 1, pos, dir, lev, ind, photons, stream, hi,
-                    counter, scat, free_path, tau, emig, pend, pend_n,
-                    next_id, tabs, esc, lost, g_active)
+            return (it + 1, b, pending, free_path, tau, emig, sp, pend,
+                    pend_n, next_id, tabs, intf, xab, esc, esc_pending,
+                    absd, lost, g_active)
 
         def cond(carry):
             return (carry[0] < max_super) & (carry[-1] > 0)
 
         n = nlanes
-        carry = (jnp.int32(0),
-                 jnp.zeros((n, 3), jnp.float32),                  # pos
-                 jnp.full((n, 3), 1.0 / np.sqrt(3.0), jnp.float32),
-                 jnp.zeros(n, jnp.int32),                         # lev
-                 jnp.full(n, -1, jnp.int32),                      # ind
-                 jnp.zeros(n, jnp.float32),                       # photons
-                 jnp.zeros(n, jnp.uint32),                        # stream
-                 jnp.zeros(n, jnp.uint32),                        # hi
-                 jnp.zeros(n, jnp.uint32),                        # counter
-                 jnp.zeros(n, jnp.int32),                         # scat
+        if per_freq_tally:
+            ishape = (cells_pad, 1, icomps) if icomps else (cells_pad, 1)
+        else:
+            ishape = (1, 1)
+        carry = (jnp.int32(0), make_dead(n),
+                 jnp.zeros(n, bool),                              # pending
                  jnp.zeros(n, jnp.float32),                       # free_path
                  jnp.zeros(n, jnp.float32),                       # tau
                  jnp.zeros(n, jnp.int32),                         # emig
+                 init_split_state(n) if do_split else {},         # sp
                  jnp.zeros((PCAP, _PK), jnp.float32),             # pend
                  jnp.int32(0),                                    # pend_n
                  jnp.int32(0),                                    # next_id
                  jnp.zeros(cells_pad, jnp.float32),               # tabs
+                 jnp.zeros(ishape, jnp.float32),                  # intf
+                 jnp.zeros(cells_pad if with_ali else 1,
+                           jnp.float32),                          # xab
                  jnp.float32(0.0),                                # esc
+                 jnp.zeros(n, jnp.float32),                       # esc_pend
+                 jnp.float32(0.0),                                # absd
                  jnp.float32(0.0),                                # lost
                  jnp.int32(1))                                    # g_active
         carry = lax.while_loop(cond, superstep, carry)
-        tabs = carry[16]
-        esc = lax.psum(carry[17], "dp")
-        lost = lax.psum(carry[18], "dp")
-        return tabs[None, :], esc, lost
+        b = carry[1]
+        tabs = carry[10]
+        intf = carry[11]
+        xab = carry[12]
+        esc = carry[13] + jnp.sum(carry[14])
+        esc = lax.psum(esc, "dp")
+        lost = lax.psum(carry[16], "dp")
+        if per_freq_tally:
+            intf_out = intf[:, 0]          # the single local channel
+        else:
+            intf_out = jnp.zeros(cells_pad, jnp.float32)
+            if icomps:
+                intf_out = jnp.zeros((cells_pad, icomps), jnp.float32)
+        if not with_ali:
+            xab = jnp.zeros(cells_pad, jnp.float32)
+        return (tabs[None, :], intf_out[None], xab[None, :], esc, lost)
 
     return run

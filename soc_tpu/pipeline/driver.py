@@ -174,12 +174,11 @@ def simulate_background(grid, medium, cfg, ibg, tabs, intf, seed,
     if domain is not None:
         # `domains N`: Z-slab decomposition, per-frequency uniform pools
         from ..parallel.domain import domain_background_run
-        slabs, dmesh = domain
-        tabs_np, escaped = _run_domain_freqs(
-            domain_background_run, slabs, dmesh, medium, lanes, freq_mask,
+        tabs, intf, escaped, _ = _domain_run_source(
+            domain_background_run, domain, medium, lanes, freq_mask,
             lambda i: (jnp.float32(bg_photons[i]), per_freq),
-            stream_hi_base("bg"), seed, grid.cells)
-        tabs = tabs + jnp.asarray(tabs_np)
+            stream_hi_base("bg"), seed, grid, cfg, tabs, intf,
+            per_freq_tally, physics_extra=physics_extra, split=True)
         injected = np.float64(per_freq) * np.asarray(bg_photons, np.float64)
         if freq_mask is not None:
             injected = np.where(freq_mask, injected, 0.0)
@@ -292,12 +291,11 @@ def simulate_hpbg(grid, medium, cfg, hpbg, tabs, intf, seed,
         # generator runner (entry states are geometry-only)
         from ..parallel.domain import domain_generator_run
         from ..transport.sources import stream_hi_base
-        slabs, dmesh = domain
-        tabs_np, escaped = _run_domain_freqs(
-            domain_generator_run, slabs, dmesh, medium, lanes, freq_mask,
+        tabs, intf, escaped, _ = _domain_run_source(
+            domain_generator_run, domain, medium, lanes, freq_mask,
             lambda i: ("hpbg", make_params(i), per_freq),
-            stream_hi_base("hpbg"), seed, grid.cells)
-        tabs = tabs + jnp.asarray(tabs_np)
+            stream_hi_base("hpbg"), seed, grid, cfg, tabs, intf,
+            per_freq_tally, physics_extra=physics_extra, split=True)
         return tabs, intf, escaped, injected * per_freq
 
     tabs, intf, escaped, absorbed = _run_over_freqs(
@@ -365,12 +363,11 @@ def simulate_point_sources(grid, medium, cfg, lps, tabs, intf, seed,
         # generic Z-slab generator runner
         from ..parallel.domain import domain_generator_run
         from ..transport.sources import stream_hi_base
-        slabs, dmesh = domain
-        tabs_np, escaped = _run_domain_freqs(
-            domain_generator_run, slabs, dmesh, medium, lanes, freq_mask,
+        tabs, intf, escaped, _ = _domain_run_source(
+            domain_generator_run, domain, medium, lanes, freq_mask,
             lambda i: ("ps", make_params(i), per_freq),
-            stream_hi_base("ps"), seed, grid.cells)
-        tabs = tabs + jnp.asarray(tabs_np)
+            stream_hi_base("ps"), seed, grid, cfg, tabs, intf,
+            per_freq_tally, physics_extra=physics_extra)
         injected = np.sum(np.asarray(ps_photons, np.float64), axis=0) \
             * pspac
         if freq_mask is not None:
@@ -477,16 +474,45 @@ def simulate_cell_emission(grid, medium, cfg, emitted, tabs, intf, seed,
             (np.asarray(xab) if cfg.with_ali else None)
 
     if domain is not None:
-        # `domains N`: per-slab cell ownership + halo exchange
+        # `domains N`: per-slab cell ownership + halo exchange; uniform
+        # and EMWEI allocations, with ALI self-absorption when requested
         from ..parallel.domain import domain_cell_emission_run
-        slabs, dmesh = domain
-        per_cell = max(1, int(cfg.clpac) // grid.cells)
-        tabs_np, escaped = _run_domain_freqs(
-            domain_cell_emission_run, slabs, dmesh, medium, lanes, None,
-            lambda i: (emitted_np[:, i] / np.float32(per_cell), per_cell),
-            hi_base, seed, grid.cells)
-        tabs = tabs + jnp.asarray(tabs_np)
-        return tabs, intf, escaped, None
+        if cfg.use_emweight > 0:
+            rng = np.random.Generator(np.random.Philox(
+                key=np.uint64([int(seed) & 0xFFFFFFFF, iteration])))
+            allocs = {}
+            for i in range(medium.nfreq):
+                allocs[i] = emweight_allocation(
+                    emitted_np[:, i], int(cfg.clpac),
+                    lims=cfg.emweight_lim[:2], rng=rng)
+            # static id->cell map shape so every channel hits ONE cached
+            # executable (ids beyond the realized total are never drawn)
+            pad = _pool_lanes(1 << 30,
+                              max(1, *(a[2] for a in allocs.values())))
+
+            def src_of_freq(i):
+                cell_of_id, weight, total = allocs[i]
+                if total == 0:
+                    return None
+                return (emitted_np[:, i] * weight, 1)
+
+            def src_kw(i):
+                com = np.full(pad, grid.cells - 1, np.int32)
+                com[:allocs[i][2]] = allocs[i][0]
+                return dict(cell_of_id=com, total_packets=allocs[i][2])
+        else:
+            per_cell = max(1, int(cfg.clpac) // grid.cells)
+
+            def src_of_freq(i):
+                return (emitted_np[:, i] / np.float32(per_cell), per_cell)
+
+            src_kw = None
+        tabs, intf, escaped, xab_np = _domain_run_source(
+            domain_cell_emission_run, domain, medium, lanes, None,
+            src_of_freq, hi_base, seed, grid, cfg, tabs, intf,
+            per_freq_tally, physics_extra=physics_extra,
+            with_ali=bool(cfg.with_ali), src_kw=src_kw)
+        return tabs, intf, escaped, xab_np
 
     if cfg.use_emweight > 0:
         # allocation varies per frequency => per-frequency pools with a
@@ -661,13 +687,13 @@ def simulate_diffuse(grid, medium, cfg, diffuserad, tabs, intf, seed,
         # so the per-slab ownership runner applies directly
         from ..parallel.domain import domain_cell_emission_run
         from ..transport.sources import stream_hi_base
-        slabs, dmesh = domain
-        tabs_np, escaped = _run_domain_freqs(
-            domain_cell_emission_run, slabs, dmesh, medium, lanes, mask,
+        tabs, intf, escaped, _ = _domain_run_source(
+            domain_cell_emission_run, domain, medium, lanes, mask,
             lambda i: ((np.asarray(emit_cols[i]), per_cell)
                        if i in emit_cols else None),
-            stream_hi_base("diffuse"), seed, grid.cells)
-        return tabs + jnp.asarray(tabs_np), intf, escaped, injected
+            stream_hi_base("diffuse"), seed, grid, cfg, tabs, intf,
+            per_freq_tally, physics_extra=physics_extra)
+        return tabs, intf, escaped, injected
 
     def make_params(ifreq):
         return dict(emit=emit_cols[ifreq], per_cell=jnp.int32(per_cell))
@@ -795,21 +821,15 @@ def _domain_setup(cfg, grid, per_freq_tally):
                          % (n, len(jax.devices())))
     if grid.nz % n:
         raise ValueError("domains %d: NZ=%d not divisible" % (n, grid.nz))
-    if per_freq_tally:
-        raise ValueError("domains: per-frequency absorption arrays are "
-                         "not decomposed; add `noabsorbed` (and saveint "
-                         "off) to run domain-decomposed")
-    for bad, name in ((cfg.mirror, "mirror"), (cfg.roi, "roi"),
-                      (cfg.with_ali, "ali"), (cfg.use_emweight, "emweight"),
-                      (split_max_of(cfg, grid), "split"),
-                      (cfg.has_key("SUBITERATIONS"), "SUBITERATIONS"),
-                      (cfg.file_checkpoint, "checkpoint"),
-                      (len(cfg.file_optical) > 1 and cfg.file_abundance,
-                       "abundance (per-cell OPT)"),
-                      (cfg.step_weight[0] == 1 and cfg.step_weight[1] > 0,
-                       "stepweight"),
-                      (cfg.dir_weight[0] >= 0
-                       and abs(cfg.dir_weight[1]) > 1e-6, "direweight")):
+    # the step physics under domains IS transport_run's StepKit, so the
+    # round-2 exclusion list (per-frequency tallies, ALI, emweight, split,
+    # mirror, stepweight, direweight, abundances) is gone. What remains
+    # unsupported is orthogonal machinery that spans slabs on the host:
+    for bad, name in ((cfg.roi, "roi (crossing histograms need global "
+                       "root coordinates; use `devices`)"),
+                      (cfg.has_key("SUBITERATIONS"), "SUBITERATIONS "
+                       "(use `devices`)"),
+                      (cfg.file_checkpoint, "checkpoint (use `devices`)")):
         if bad:
             raise ValueError("domains: `%s` is not supported under "
                              "domain decomposition" % name)
@@ -817,31 +837,68 @@ def _domain_setup(cfg, grid, per_freq_tally):
     return split_grid_slabs(grid, n), mesh
 
 
+def _domain_run_source(runner, domain, medium, lanes, freq_mask,
+                       src_of_freq, hi0, seed, grid, cfg, tabs, intf,
+                       per_freq_tally, physics_extra=None, split=False,
+                       with_ali=False, src_kw=None):
+    """Common wrapper of the domain-decomposed source runners: builds the
+    feature set from the ini (per-frequency tallies, ALI, mirror, split --
+    the step physics is transport_run's own StepKit, so nothing is
+    excluded), accumulates the per-channel aux tallies into the caller's
+    intf, and returns (tabs, intf, escaped, xab|None)."""
+    slabs, dmesh = domain
+    icomps = intf.shape[2] if (per_freq_tally and intf.ndim == 3) else 0
+    features = dict(per_freq_tally=per_freq_tally, icomps=icomps,
+                    with_ali=with_ali, mirror_mask=mirror_mask_of(cfg),
+                    split_max=split_max_of(cfg, grid) if split else 0)
+    intf_host = np.zeros(intf.shape, np.float32) if per_freq_tally else None
+    tabs_np, escaped, xab_np = _run_domain_freqs(
+        runner, slabs, dmesh, medium, lanes, freq_mask, src_of_freq,
+        hi0, seed, grid.cells, features=features,
+        physics_extra=physics_extra, intf_host=intf_host, src_kw=src_kw)
+    tabs = tabs + jnp.asarray(tabs_np)
+    if intf_host is not None:
+        intf = intf + jnp.asarray(intf_host)
+    return tabs, intf, escaped, xab_np
+
+
 def _run_domain_freqs(runner, slabs, dmesh, medium, lanes, freq_mask,
-                      src_of_freq, hi0, seed, cells):
-    """Shared per-frequency loop of the three domain-decomposed sources:
-    one runner call per channel (all hit one cached executable)."""
+                      src_of_freq, hi0, seed, cells, features=None,
+                      physics_extra=None, intf_host=None, src_kw=None):
+    """Shared per-frequency loop of the domain-decomposed sources: one
+    runner call per channel (all hit one cached executable). The runner's
+    per-channel aux tallies (per-frequency absorption column, ALI xab) are
+    accumulated into intf_host [CELLS, NFREQ(, 4)] / the returned xab."""
     dn = max(256, lanes // slabs.n_slabs)
     escaped = np.zeros(medium.nfreq)
     tabs_np = np.zeros(cells, np.float32)
+    xab_np = None
     for ifreq in range(medium.nfreq):
         if freq_mask is not None and not bool(freq_mask[ifreq]):
             continue
         src = src_of_freq(ifreq)
         if src is None:
             continue
+        kw = {} if src_kw is None else dict(src_kw(ifreq))
         physics = dict(kabs=medium.abs_gl[ifreq],
                        ksca=medium.sca_gl[ifreq],
                        csc=medium.csc[ifreq], tw=medium.tw[ifreq])
-        t, e, lost = runner(slabs, physics, *src, seed, dmesh,
-                            nlanes=dn, hi_base=hi0 + ifreq)
+        if physics_extra is not None:
+            physics.update(physics_extra(ifreq))
+        t, e, lost, aux = runner(slabs, physics, *src, seed, dmesh,
+                                 nlanes=dn, hi_base=hi0 + ifreq,
+                                 features=features, **kw)
         if lost:
             raise RuntimeError(
                 "domains: pending-queue overflow destroyed %g photon "
                 "weight at channel %d; raise `lanes`" % (lost, ifreq))
         tabs_np += t
+        if "intf" in aux and intf_host is not None:
+            intf_host[:, ifreq] += aux["intf"]
+        if "xab" in aux:
+            xab_np = aux["xab"] if xab_np is None else xab_np + aux["xab"]
         escaped[ifreq] = e
-    return tabs_np, escaped
+    return tabs_np, escaped, xab_np
 
 
 def nearest_freq_mask(freq, values):

@@ -34,6 +34,12 @@ once. The counter-based RNG makes the delay bias-free (draws are keyed by
 (stream, counter), not by wall-clock step) and keeps every packet's random
 sequence device-count invariant: counters advance only when draws are
 consumed (birth + one evaluation per scattering event).
+
+The step physics itself is packaged by ``make_step_fns`` into a StepKit so
+the Z-slab domain-decomposed runner (parallel/domain.py) drives the SAME
+march/service code -- domain runs differ only in the emigrant hook (exits
+through interior slab faces freeze for the halo exchange instead of
+escaping), never in the physics.
 """
 
 from dataclasses import dataclass
@@ -100,6 +106,529 @@ def _csc_lookup(csc_table, ifreq, u_bin, bins):
     if csc_table.ndim == 1:
         return csc_table[bin_idx]
     return csc_table[ifreq, bin_idx]
+
+
+def make_dead(n):
+    """A fully dead packet batch of n lanes."""
+    z3 = jnp.zeros((n, 3), jnp.float32)
+    zi = jnp.full(n, -1, jnp.int32)
+    return PacketBatch(
+        pos=z3, dir=z3 + (1.0 / np.sqrt(3.0)),
+        level=jnp.zeros(n, jnp.int32), ind=zi,
+        photons=jnp.zeros(n, jnp.float32),
+        ifreq=jnp.zeros(n, jnp.int32),
+        stream=jnp.zeros(n, jnp.uint32),
+        hi=jnp.zeros(n, jnp.uint32),
+        counter=jnp.zeros(n, jnp.uint32),
+        scatterings=jnp.zeros(n, jnp.int32),
+        e_cell=jnp.full(n, -1, jnp.int32))
+
+
+def init_split_state(nlanes):
+    """Fresh per-lane split/clone bookkeeping (see transport_run split_max)."""
+    return dict(pos=jnp.zeros((nlanes, 3), jnp.float32),
+                dir=jnp.zeros((nlanes, 3), jnp.float32),
+                level=jnp.zeros(nlanes, jnp.int32),
+                ind=jnp.zeros(nlanes, jnp.int32),
+                photons=jnp.zeros(nlanes, jnp.float32),
+                ifreq=jnp.zeros(nlanes, jnp.int32),
+                stream=jnp.zeros(nlanes, jnp.uint32),
+                hi=jnp.zeros(nlanes, jnp.uint32),
+                path=jnp.zeros(nlanes, jnp.uint32),
+                depth=jnp.zeros(nlanes, jnp.int32),
+                face=jnp.zeros(nlanes, jnp.int32),
+                lane_depth=jnp.zeros(nlanes, jnp.int32),
+                lane_path=jnp.zeros(nlanes, jnp.uint32),
+                pending=jnp.zeros(nlanes, bool),
+                clones=jnp.uint32(0))
+
+
+def serve_clones(grid, kit, seed, b, pending, free_path, tau, sp, dead):
+    """Serve pending split-clone requests into dead lanes (shared by the
+    single-device refill and the domain superstep). Returns the updated
+    (b, pending, free_path, tau, sp, dead)."""
+    nlanes = b.lanes
+    di = dead.astype(jnp.int32)
+    drank = jnp.cumsum(di) - di
+    pend = sp["pending"]
+    pi = pend.astype(jnp.int32)
+    prank = jnp.cumsum(pi) - pi
+    n_pend = jnp.sum(pi)
+    n_dead = jnp.sum(di)
+    lanes_idx = jnp.arange(nlanes, dtype=jnp.int32)
+    donor_map = jnp.zeros(nlanes, jnp.int32).at[
+        jnp.where(pend, prank, nlanes)].set(lanes_idx, mode="drop")
+    adopt = dead & (drank < n_pend)
+    donor = donor_map[jnp.clip(drank, 0, nlanes - 1)]
+    new_stream = sp["stream"][donor]
+    hi_clone = sp["hi"][donor]
+    cbase = sp["path"][donor] * jnp.uint32(64)
+    # re-sample the clone's entry point over the crossed octet
+    # face (tangential coords uniform in [PEPS, 2-PEPS]); draw
+    # from the clone's own counter block
+    u1, u2 = socrng.uniform2(seed, new_stream, cbase, hi_clone)
+    dpos = sp["pos"][donor]
+    axis = sp["face"][donor]                  # 0/1/2 crossing axis
+    span = jnp.float32(2.0 - 2.0 * PEPS)
+    t1 = PEPS + span * u1
+    t2 = PEPS + span * u2
+    jpos = jnp.stack([
+        jnp.where(axis == 0, dpos[:, 0],
+                  jnp.where(axis == 1, t1, t1)),
+        jnp.where(axis == 1, dpos[:, 1],
+                  jnp.where(axis == 0, t1, t2)),
+        jnp.where(axis == 2, dpos[:, 2], t2)], axis=1)
+    # deepest-level octets only: at level 0 keep the exact position
+    jpos = jnp.where((sp["level"][donor] > 0)[:, None], jpos, dpos)
+    # recompute the sub-cell index within the same octet
+    first = sp["ind"][donor] - _suboct_of(dpos)
+    jind = jnp.where(sp["level"][donor] > 0,
+                     first + _suboct_of(jpos), sp["ind"][donor])
+    al = adopt[..., None]
+    b = PacketBatch(
+        pos=jnp.where(al, jpos, b.pos),
+        dir=jnp.where(al, sp["dir"][donor], b.dir),
+        level=jnp.where(adopt, sp["level"][donor], b.level),
+        ind=jnp.where(adopt, jind, b.ind),
+        photons=jnp.where(adopt, sp["photons"][donor], b.photons),
+        ifreq=jnp.where(adopt, sp["ifreq"][donor], b.ifreq),
+        stream=jnp.where(adopt, new_stream, b.stream),
+        hi=jnp.where(adopt, hi_clone, b.hi),
+        counter=jnp.where(adopt, cbase + jnp.uint32(3), b.counter),
+        scatterings=jnp.where(adopt, 0, b.scatterings),
+        e_cell=jnp.where(adopt, -1, b.e_cell))
+    # birth free path from slot cbase+2 for clones, slot 2 for
+    # everyone else (the batch-wide draw is masked away)
+    fp_u = socrng.uniform1(
+        seed, b.stream,
+        jnp.where(adopt, cbase + jnp.uint32(2), jnp.uint32(2)),
+        b.hi)
+    free_path = jnp.where(adopt, -jnp.log(fp_u), free_path)
+    tau = jnp.where(adopt, 0.0, tau)
+    pending = pending & ~adopt
+    sp = {**sp,
+          "lane_depth": jnp.where(adopt, sp["depth"][donor],
+                                  sp["lane_depth"]),
+          "lane_path": jnp.where(adopt, sp["path"][donor],
+                                 sp["lane_path"]),
+          "pending": pend & ~(prank < n_dead),
+          "clones": sp["clones"]
+          + jnp.sum(adopt.astype(jnp.uint32))}
+    return b, pending, free_path, tau, sp, b.ind < 0
+
+
+class StepKit:
+    """The march/service physics of transport_run, packaged for reuse.
+
+    Built by ``make_step_fns``; used by transport_run (the single-device
+    lane pool) AND by parallel/domain.py (the Z-slab superstep loop), so
+    there is exactly ONE implementation of the step physics in the
+    framework.
+    """
+
+    def __init__(self, service, march, draw_birth_fp, draw_fp_weighted,
+                 lane_const, lane_const_of, do_split, split_max, sw_a):
+        self.service = service
+        self.march = march
+        self.draw_birth_fp = draw_birth_fp
+        self.draw_fp_weighted = draw_fp_weighted
+        self.lane_const = lane_const
+        self.lane_const_of = lane_const_of
+        self.do_split = do_split
+        self.split_max = split_max
+        self.sw_a = sw_a
+
+
+def make_step_fns(grid, physics, seed, *, per_freq_tally=False,
+                  esc_bins=1, with_ali=False, roi_nside=0, mirror_mask=0,
+                  split_max=0, domain=None):
+    """Build the (service, march) step functions over the canonical state
+
+      (b, pending, free_path, tau, tabs, intf, esc_pending, absd, xab_c,
+       roi_c, sp, anc, lane_c, emig)
+
+    ``domain``: None for the single-device pool, or a dict
+      dict(rank=<traced dp index>, n_slabs=S, nz_local=nzl)
+    enabling Z-slab emigrant detection: a packet exiting through an
+    interior slab face freezes with emig=+-1 (handed to the neighbor by
+    the caller's exchange) instead of escaping, and mirrored Z faces apply
+    only on the boundary slabs. All other physics -- absorption deposits,
+    scattering, ALI self-absorption, per-frequency tallies, per-cell
+    abundances (WITH_ABU/MSF), step/direction weighting, splitting, ROI
+    crossings -- is shared verbatim between the two execution modes.
+    """
+    csc = physics["csc"]
+    bins = csc.shape[-1]
+    kabs_t = physics["kabs"]
+    ksca_t = physics["ksca"]
+    tw_t = physics["tw"]
+    uniform_freq = (jnp.ndim(kabs_t) == 0)
+    cells = grid.cells
+
+    # Mixed-frequency pools: per-lane dynamic-row gathers dominate the step
+    # cost on TPU (measured: csc[ifreq, bin] 2-D gather ~47% of step time,
+    # kabs/ksca/tw [ifreq] gathers ~15%). A packet's frequency is fixed for
+    # its whole life, so hoist those gathers out of the inner step: once per
+    # refill body we materialize per-lane kabs/ksca/tw and a flattened-CSC
+    # row offset (loop-invariant across the refill_period inner steps), and
+    # the step's phase-function lookup becomes a single 1-D gather.
+    lane_const = (not uniform_freq and "opt_abs" not in physics
+                  and "msf_csc" not in physics and "dw_a" not in physics)
+    csc_flat = csc.reshape(-1) if lane_const else None
+
+    # STEP_WEIGHT==1 free-path stretching: p(tau) = A exp(-A tau), weight
+    # exp((A-1) tau)/A (kernel_ASOC.c:524-536). sw_a in physics enables it.
+    sw_a = physics.get("sw_a", None)
+    if sw_a is not None:
+        split_max = 0          # splitting assumes memoryless free paths
+    # clone RNG identity: a clone keeps the donor packet's (stream, hi)
+    # and draws from a disjoint counter block 64*path, where `path` is the
+    # binary split-path code (bit k set <=> this node is the clone branch
+    # of a split at depth k+1). Unique per clone, independent of phase,
+    # frequency, or host-side chunking -- unlike a global clone counter,
+    # which collides across sources and across 4M-packet chunks. The
+    # 64-slot block bound holds because a lane consumes at most 3 birth
+    # slots + MAX_SCATTERINGS counter steps; path*64 stays in uint32 for
+    # split_max <= 26.
+    split_max = min(split_max, 26)
+    do_split = split_max > 0
+
+    if domain is not None:
+        dom_rank = domain["rank"]
+        dom_s = int(domain["n_slabs"])
+        dom_nzl = int(domain["nz_local"])
+        # slab-local -> global cell map for the ALI self-absorption check
+        # (e_cell is a GLOBAL cell id; tally indices here are slab-local)
+        dom_gidx = physics.get("gidx", None)
+
+    def draw_fp_weighted(u):
+        if sw_a is None:
+            return -jnp.log(u), 1.0
+        fp = -jnp.log(u) / sw_a
+        return fp, jnp.exp(sw_a * fp - fp) / sw_a
+
+    def draw_birth_fp(stream, hi):
+        # birth free path: counter slot 2, first word
+        u = socrng.uniform1(seed, stream, jnp.full_like(stream, 2), hi)
+        return draw_fp_weighted(u)
+
+    def lane_const_of(b):
+        if not lane_const:
+            return ()
+        return (kabs_t[b.ifreq], ksca_t[b.ifreq], tw_t[b.ifreq],
+                b.ifreq * bins)
+
+    def service(b, pending, free_path, tau, tabs, intf, esc_pending, absd,
+                xab_c, roi_c, sp, anc, lane_c=(), emig=None):
+        """Serve pending scattering events: one RNG evaluation, the
+        phase-function table gather and the deflection, for every frozen
+        lane at once (the expensive per-step work the march steps skip)."""
+        act = pending & (b.ind >= 0)
+        if "msf_csc" in physics:
+            u_fp, u_bin, u_phi, u_sp = socrng.step_uniforms4(
+                seed, b.stream, b.counter, b.hi)
+        else:
+            u_fp, u_bin, u_phi = socrng.step_uniforms(
+                seed, b.stream, b.counter, b.hi)
+        dw_corr = None
+        if "msf_csc" in physics:
+            # multiple scattering functions (WITH_MSF): pick the scattering
+            # species with probability ABU[cell,d]*SCA_d / sum
+            # (kernel_ASOC.c:786-795), then sample that species' CSC
+            gidx = jnp.clip(grid.off[jnp.clip(b.level, 0, grid.levels - 1)]
+                            + jnp.maximum(b.ind, 0), 0, cells - 1)
+            msf_csc = physics["msf_csc"]          # [NDUST, BINS]
+            wspec = (physics["msf_abu"][gidx, :]
+                     * physics["msf_sca"][None, :])   # [N, NDUST]
+            cdf = jnp.cumsum(wspec, axis=1)
+            r = 0.99999 * u_sp * cdf[:, -1]
+            species = jnp.sum((cdf < r[:, None]).astype(jnp.int32), axis=1)
+            species = jnp.clip(species, 0, msf_csc.shape[0] - 1)
+            bin_idx = jnp.clip((u_bin * bins).astype(jnp.int32), 0, bins - 1)
+            cos_theta = msf_csc[species, bin_idx]
+        elif "dw_a" in physics:
+            # DIR_WEIGHT (WScatter, kernel_ASOC_aux.c:567): sample the
+            # deflection from HG(DW_A) relative to the current direction,
+            # weight correction p_DSC(cos)/p_HG(cos); incompatible with MSF
+            # (as in the reference)
+            a = physics["dw_a"]
+            t = (1.0 - a * a) / (1.0 - a + 2.0 * a * u_bin)
+            cos_theta = jnp.clip((1.0 + a * a - t * t)
+                                 / (2.0 * a + 1e-6), -1.0, 1.0)
+            p_hg = jnp.maximum(
+                (1.0 / (4.0 * jnp.pi)) * (1.0 - a * a)
+                / (1.0 + a * a - 2.0 * a * cos_theta) ** 1.5, 1e-6)
+            dscv = physics["dsc"]
+            dbin = jnp.clip(((1.0 + cos_theta) * 0.5 * dscv.shape[-1]
+                             ).astype(jnp.int32), 0, dscv.shape[-1] - 1)
+            p_true = jnp.maximum(dscv[dbin], 1e-6)
+            dw_corr = p_true / p_hg
+        elif lane_const:
+            bin_idx = jnp.clip((u_bin * bins).astype(jnp.int32), 0, bins - 1)
+            cos_theta = csc_flat[lane_c[3] + bin_idx]
+        else:
+            cos_theta = _csc_lookup(csc, b.ifreq, u_bin, bins)
+        new_dir = _deflect(b.dir, cos_theta, (2.0 * jnp.pi) * u_phi)
+
+        fp_next, w_next = draw_fp_weighted(u_fp)
+        photons = b.photons
+        if sw_a is not None:
+            photons = jnp.where(act, photons * w_next, photons)
+        if dw_corr is not None:
+            photons = jnp.where(act, photons * dw_corr, photons)
+        nb = PacketBatch(
+            pos=b.pos,
+            dir=jnp.where(act[..., None], new_dir, b.dir),
+            level=b.level, ind=b.ind, photons=photons, ifreq=b.ifreq,
+            stream=b.stream, hi=b.hi,
+            counter=b.counter + act.astype(jnp.uint32),
+            scatterings=b.scatterings, e_cell=b.e_cell)
+        free_path = jnp.where(act, fp_next, free_path)
+        tau = jnp.where(act, 0.0, tau)
+        return (nb, pending & ~act, free_path, tau, tabs, intf, esc_pending,
+                absd, xab_c, roi_c, sp, anc, lane_c, emig)
+
+    def march(b, pending, free_path, tau, tabs, intf, esc_pending, absd,
+              xab_c, roi_c, sp, anc, lane_c=(), emig=None):
+        alive = b.ind >= 0
+        active = alive & ~pending          # frozen lanes await service
+        if domain is not None:
+            active = active & (emig == 0)  # emigrants await the exchange
+        gidx = jnp.clip(grid.off[jnp.clip(b.level, 0, grid.levels - 1)]
+                        + jnp.maximum(b.ind, 0), 0, cells - 1)
+        dens = grid.dens[gidx]
+        # deferred descent: a lane may sit on a refined (link) cell -- the
+        # density gather doubles as the link test, and such a lane spends
+        # this step descending ONE level (ALU only) instead of marching.
+        # This removes the (levels-1)-gather unrolled descent chain from
+        # every step: each march step costs exactly one hierarchy gather.
+        if grid.levels > 1:
+            is_link = active & (dens <= 0.0)
+            active = active & ~is_link
+        else:
+            is_link = jnp.zeros_like(active)
+        if "opt_abs" in physics:
+            # WITH_ABU: per-cell abundance-weighted cross sections for the
+            # current frequency (reference OPT array, ASOC.py:1146-1175);
+            # may be stored bfloat16 (optishalf) -- widen for the math
+            kabs = physics["opt_abs"][gidx].astype(jnp.float32)
+            ksca = physics["opt_sca"][gidx].astype(jnp.float32)
+            tw = tw_t
+        elif uniform_freq:
+            kabs, ksca, tw = kabs_t, ksca_t, tw_t
+        elif lane_const:
+            kabs, ksca, tw = lane_c[0], lane_c[1], lane_c[2]
+        else:
+            kabs = kabs_t[b.ifreq]
+            ksca = ksca_t[b.ifreq]
+            tw = tw_t[b.ifreq]
+
+        # ---- geometric step to next boundary
+        ds_local, pos_boundary = traverse.boundary_step(b.pos, b.dir)
+        ds_gl = ds_local * jnp.exp2(-b.level.astype(jnp.float32))
+        tau_abs_full = ds_gl * dens * kabs
+        dtau_sca = ds_gl * dens * ksca
+
+        scatter_now = active & (free_path < tau + dtau_sca)
+
+        # ---- scattering point inside this cell
+        dx_gl = (free_path - tau) / jnp.maximum(ksca * dens, 1e-30)
+        tau_abs_part = dx_gl * dens * kabs
+        dx_local = jnp.maximum(
+            0.0, dx_gl * jnp.exp2(b.level.astype(jnp.float32)) - 2.0 * PEPS)
+        pos_scatter = b.pos + dx_local[..., None] * b.dir
+
+        # ---- absorption deposit (shared scatter-add; dead lanes dropped OOB)
+        tau_abs = jnp.where(scatter_now, tau_abs_part, tau_abs_full)
+        att = jnp.exp(-tau_abs)
+        delta = jnp.where(tau_abs > TAULIM,
+                          b.photons * (1.0 - att),
+                          b.photons * tau_abs * (1.0 - 0.5 * tau_abs))
+        didx = jnp.where(active, gidx, cells)         # OOB => dropped
+        if with_ali:
+            if domain is not None and dom_gidx is not None:
+                selfc = dom_gidx[jnp.clip(didx, 0, cells - 1)] == b.e_cell
+            else:
+                selfc = didx == b.e_cell
+            tabs = tabs.at[jnp.where(selfc, cells, didx)].add(
+                delta * tw * ADHOC, mode="drop")
+            new_xab = xab_c.at[jnp.where(selfc, didx, cells)].add(
+                delta * tw * ADHOC, mode="drop")
+        else:
+            tabs = tabs.at[didx].add(delta * tw * ADHOC, mode="drop")
+            new_xab = xab_c
+        if per_freq_tally:
+            if intf.ndim == 3:
+                # SAVE_INTENSITY==2: (I, Ix, Iy, Iz) component tallies
+                # (reference INT/INTX/INTY/INTZ buffers, ASOC.py:35)
+                w4 = jnp.concatenate([jnp.ones_like(delta)[:, None],
+                                      b.dir], axis=1)
+                intf = intf.at[didx, b.ifreq].add(delta[:, None] * w4,
+                                                  mode="drop")
+            else:
+                intf = intf.at[didx, b.ifreq].add(delta, mode="drop")
+        absd = absd + jnp.sum(jnp.where(active, delta, 0.0))
+        photons = jnp.where(active, b.photons * att, b.photons)
+
+        # ---- crossing branch: move into next cell (ancestor-stack
+        # up-walk: no PAR gathers on the hot path)
+        posx = jnp.where(active[..., None], pos_boundary, b.pos)
+        cross = active & ~scatter_now
+        npos, nlevel, nind, anc = traverse.index_update_stack(
+            grid, posx, b.level, b.ind, anc, cross, descend=False)
+        failed = cross & (nlevel == b.level) & (nind == b.ind)
+        npos = jnp.where(failed[..., None], npos + PEPS * b.dir, npos)
+        dirx = b.dir
+        if mirror_mask:
+            # mirrored faces reflect exiting packets back inside (Mirror,
+            # kernel_ASOC_aux.c:1054; ini keyword 'mirror xXyYzZ').
+            # exited lanes hold root coordinates in npos. Under domain
+            # decomposition the Z faces are mirrored only on the boundary
+            # slabs (interior slab faces belong to the halo exchange).
+            bounds = jnp.asarray([grid.nx, grid.ny, grid.nz], jnp.float32)
+            exiting = cross & (nind < 0)
+            lo_hit = npos <= 0.0
+            hi_hit = npos >= bounds
+            if domain is None:
+                lo_m = jnp.asarray([bool(mirror_mask & 1),
+                                    bool(mirror_mask & 4),
+                                    bool(mirror_mask & 16)])
+                hi_m = jnp.asarray([bool(mirror_mask & 2),
+                                    bool(mirror_mask & 8),
+                                    bool(mirror_mask & 32)])
+                lo_m = lo_m[None, :]
+                hi_m = hi_m[None, :]
+            else:
+                lo_m = jnp.stack([
+                    jnp.full((), bool(mirror_mask & 1)),
+                    jnp.full((), bool(mirror_mask & 4)),
+                    jnp.full((), bool(mirror_mask & 16)) & (dom_rank == 0)])
+                hi_m = jnp.stack([
+                    jnp.full((), bool(mirror_mask & 2)),
+                    jnp.full((), bool(mirror_mask & 8)),
+                    jnp.full((), bool(mirror_mask & 32))
+                    & (dom_rank == dom_s - 1)])
+                lo_m = lo_m[None, :]
+                hi_m = hi_m[None, :]
+            refl = (lo_hit & lo_m) | (hi_hit & hi_m)
+            refl = refl & exiting[:, None]
+            rpos = jnp.where(lo_hit, PEPS - npos,
+                             jnp.where(hi_hit, 2.0 * bounds - PEPS - npos,
+                                       npos))
+            mpos = jnp.where(refl, jnp.clip(rpos, PEPS, bounds - PEPS),
+                             npos)
+            dirx = jnp.where(refl, -b.dir, b.dir)
+            mirrored = jnp.any(refl, axis=-1)
+            mp, ml, mi = traverse.index_global(grid, mpos)
+            npos = jnp.where(mirrored[:, None], mp, npos)
+            nlevel = jnp.where(mirrored, ml, nlevel)
+            nind = jnp.where(mirrored, mi, nind)
+            if grid.levels > 1:
+                anc = jnp.where(mirrored[:, None],
+                                traverse.stack_from_par(grid, ml, mi), anc)
+
+        # ---- ROI save: packets that just crossed into the ROI box
+        if roi_nside > 0:
+            from .roi import roi_element_index
+            from ..ops.traverse import root_pos
+            roi_mask = physics["roi_mask"]
+            new_gidx = jnp.clip(
+                grid.off[jnp.clip(nlevel, 0, grid.levels - 1)]
+                + jnp.maximum(nind, 0), 0, cells - 1)
+            was_in = roi_mask[gidx]
+            now_in = roi_mask[new_gidx] & (nind >= 0)
+            entered = cross & now_in & ~was_in
+            rp = root_pos(grid, npos, nlevel, nind)
+            rnx, rny, rnz, rstep = physics["roi_dim"]
+            elem = roi_element_index(rp, b.dir, physics["roi_box"],
+                                     rnx, rny, rnz, rstep)
+            npix_hp = 12 * roi_nside * roi_nside
+            theta = jnp.arccos(jnp.clip(b.dir[:, 2], -1.0, 1.0))
+            phi = jnp.arctan2(b.dir[:, 1], b.dir[:, 0])
+            from ..render.healpix import ang2pix_ring
+            hpix = ang2pix_ring(roi_nside, theta, phi)
+            slot = jnp.where(entered, elem * npix_hp + hpix,
+                             roi_c.shape[0])
+            roi_c = roi_c.at[slot].add(photons, mode="drop")
+
+        # ---- domain decomposition: exits through an interior slab face
+        # freeze as emigrants (the caller's ppermute exchange moves them);
+        # only exits through the global X/Y faces (and the outer Z faces
+        # of the boundary slabs) escape
+        exited = cross & (nind < 0)
+        if domain is not None:
+            out_xy = ((npos[:, 0] <= 0.0) | (npos[:, 0] >= grid.nx)
+                      | (npos[:, 1] <= 0.0) | (npos[:, 1] >= grid.ny))
+            z = npos[:, 2]
+            go_up = exited & ~out_xy & (z >= 0.5 * dom_nzl) \
+                & (dom_rank < dom_s - 1)
+            go_dn = exited & ~out_xy & (z < 0.5 * dom_nzl) & (dom_rank > 0)
+            new_emig = jnp.where(go_up, 1, jnp.where(go_dn, -1, 0))
+            emig = jnp.where(active, new_emig, emig)
+            exited = exited & (new_emig == 0)
+
+        # ---- merge: scattering lanes freeze at the scattering point
+        # (direction + new free path drawn at the next service step)
+        pos = jnp.where(scatter_now[..., None], pos_scatter, npos)
+        level = jnp.where(scatter_now, b.level, nlevel)
+        ind = jnp.where(scatter_now, b.ind, nind)
+        dir = jnp.where(scatter_now[..., None], b.dir, dirx)
+
+        # ---- deferred descent: link lanes move one level down
+        if grid.levels > 1:
+            pos, level, ind, anc = traverse.descend_one(
+                grid, pos, level, ind, anc, dens, is_link)
+
+        # ---- packet splitting: one split per refinement level entered
+        # (descend_one fires once per level, so a multi-level descent
+        # splits at each level like the reference's per-level sub-rays)
+        if do_split:
+            want = is_link & ~sp["pending"] \
+                & (sp["lane_depth"] < split_max)
+            photons = jnp.where(want, 0.5 * photons, photons)
+            depth_new = sp["lane_depth"] + want.astype(jnp.int32)
+            # crossing axis: the octet coordinate closest to a face
+            fdist = jnp.minimum(pos, 2.0 - pos)
+            face = jnp.argmin(fdist, axis=1).astype(jnp.int32)
+            wl = want[..., None]
+            clone_path = sp["lane_path"] | jnp.left_shift(
+                jnp.uint32(1),
+                jnp.clip(depth_new - 1, 0, 31).astype(jnp.uint32))
+            sp = {**sp,
+                  "pos": jnp.where(wl, pos, sp["pos"]),
+                  "dir": jnp.where(wl, dir, sp["dir"]),
+                  "level": jnp.where(want, level, sp["level"]),
+                  "ind": jnp.where(want, ind, sp["ind"]),
+                  "photons": jnp.where(want, photons, sp["photons"]),
+                  "ifreq": jnp.where(want, b.ifreq, sp["ifreq"]),
+                  "stream": jnp.where(want, b.stream, sp["stream"]),
+                  "hi": jnp.where(want, b.hi, sp["hi"]),
+                  "path": jnp.where(want, clone_path, sp["path"]),
+                  "depth": jnp.where(want, depth_new, sp["depth"]),
+                  "face": jnp.where(want, face, sp["face"]),
+                  "pending": sp["pending"] | want,
+                  "lane_depth": depth_new}
+        scat = b.scatterings + scatter_now.astype(jnp.int32)
+        overscattered = scatter_now & (scat > MAX_SCATTERINGS)
+        # magnitude test: WITH_REFERENCE delta packets carry NEGATIVE
+        # weights that must keep propagating (the tally math is linear)
+        exhausted = active & (jnp.abs(photons) < PHOTON_LIMIT)
+        esc_pending = esc_pending + jnp.where(
+            (exited | overscattered) & active, photons, 0.0)
+        ind = jnp.where(overscattered | exhausted, jnp.int32(-1), ind)
+        tau = jnp.where(scatter_now, 0.0,
+                        jnp.where(cross, tau + dtau_sca, tau))
+        pending = (pending | scatter_now) & (ind >= 0)
+
+        nb = PacketBatch(pos=pos, dir=dir, level=level, ind=ind,
+                         photons=photons, ifreq=b.ifreq, stream=b.stream,
+                         hi=b.hi, counter=b.counter,
+                         scatterings=scat, e_cell=b.e_cell)
+        return (nb, pending, free_path, tau, tabs, intf, esc_pending, absd,
+                new_xab, roi_c, sp, anc, lane_c, emig)
+
+    return StepKit(service, march, draw_birth_fp, draw_fp_weighted,
+                   lane_const, lane_const_of, do_split, split_max, sw_a)
 
 
 @partial(jax.jit, static_argnames=("source_kind", "nlanes", "max_iters",
@@ -170,67 +699,13 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
     service_period = min(service_period, refill_period)
     if refill_period % service_period:
         raise ValueError("service_period must divide refill_period")
-    csc = physics["csc"]
-    bins = csc.shape[-1]
-    kabs_t = physics["kabs"]
-    ksca_t = physics["ksca"]
-    tw_t = physics["tw"]
-    uniform_freq = (jnp.ndim(kabs_t) == 0)
     seed = jnp.uint32(seed)
-    cells = grid.cells
-
-    # Mixed-frequency pools: per-lane dynamic-row gathers dominate the step
-    # cost on TPU (measured: csc[ifreq, bin] 2-D gather ~47% of step time,
-    # kabs/ksca/tw [ifreq] gathers ~15%). A packet's frequency is fixed for
-    # its whole life, so hoist those gathers out of the inner step: once per
-    # refill body we materialize per-lane kabs/ksca/tw and a flattened-CSC
-    # row offset (loop-invariant across the refill_period inner steps), and
-    # the step's phase-function lookup becomes a single 1-D gather.
-    lane_const = (not uniform_freq and "opt_abs" not in physics
-                  and "msf_csc" not in physics and "dw_a" not in physics)
-    csc_flat = csc.reshape(-1) if lane_const else None
-
-    # STEP_WEIGHT==1 free-path stretching: p(tau) = A exp(-A tau), weight
-    # exp((A-1) tau)/A (kernel_ASOC.c:524-536). sw_a in physics enables it.
-    sw_a = physics.get("sw_a", None)
-    if sw_a is not None:
-        split_max = 0          # splitting assumes memoryless free paths
-    # clone RNG identity: a clone keeps the donor packet's (stream, hi)
-    # and draws from a disjoint counter block 64*path, where `path` is the
-    # binary split-path code (bit k set <=> this node is the clone branch
-    # of a split at depth k+1). Unique per clone, independent of phase,
-    # frequency, or host-side chunking -- unlike a global clone counter,
-    # which collides across sources and across 4M-packet chunks. The
-    # 64-slot block bound holds because a lane consumes at most 3 birth
-    # slots + MAX_SCATTERINGS counter steps; path*64 stays in uint32 for
-    # split_max <= 26.
-    split_max = min(split_max, 26)
-    do_split = split_max > 0
-
-    def draw_fp_weighted(u):
-        if sw_a is None:
-            return -jnp.log(u), 1.0
-        fp = -jnp.log(u) / sw_a
-        return fp, jnp.exp(sw_a * fp - fp) / sw_a
-
-    def draw_birth_fp(stream, hi):
-        # birth free path: counter slot 2, first word
-        u = socrng.uniform1(seed, stream, jnp.full_like(stream, 2), hi)
-        return draw_fp_weighted(u)
-
-    def make_dead(n):
-        z3 = jnp.zeros((n, 3), jnp.float32)
-        zi = jnp.full(n, -1, jnp.int32)
-        return PacketBatch(
-            pos=z3, dir=z3 + (1.0 / np.sqrt(3.0)),
-            level=jnp.zeros(n, jnp.int32), ind=zi,
-            photons=jnp.zeros(n, jnp.float32),
-            ifreq=jnp.zeros(n, jnp.int32),
-            stream=jnp.zeros(n, jnp.uint32),
-            hi=jnp.zeros(n, jnp.uint32),
-            counter=jnp.zeros(n, jnp.uint32),
-            scatterings=jnp.zeros(n, jnp.int32),
-            e_cell=jnp.full(n, -1, jnp.int32))
+    kit = make_step_fns(grid, physics, seed,
+                        per_freq_tally=per_freq_tally, esc_bins=esc_bins,
+                        with_ali=with_ali, roi_nside=roi_nside,
+                        mirror_mask=mirror_mask, split_max=split_max)
+    do_split = kit.do_split
+    sw_a = kit.sw_a
 
     def cond(state):
         it = state[0]
@@ -260,73 +735,8 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
 
         # ---- serve pending split-clone requests into dead lanes first
         if do_split:
-            di = dead.astype(jnp.int32)
-            drank = jnp.cumsum(di) - di
-            pend = sp["pending"]
-            pi = pend.astype(jnp.int32)
-            prank = jnp.cumsum(pi) - pi
-            n_pend = jnp.sum(pi)
-            n_dead = jnp.sum(di)
-            lanes_idx = jnp.arange(nlanes, dtype=jnp.int32)
-            donor_map = jnp.zeros(nlanes, jnp.int32).at[
-                jnp.where(pend, prank, nlanes)].set(lanes_idx, mode="drop")
-            adopt = dead & (drank < n_pend)
-            donor = donor_map[jnp.clip(drank, 0, nlanes - 1)]
-            new_stream = sp["stream"][donor]
-            hi_clone = sp["hi"][donor]
-            cbase = sp["path"][donor] * jnp.uint32(64)
-            # re-sample the clone's entry point over the crossed octet
-            # face (tangential coords uniform in [PEPS, 2-PEPS]); draw
-            # from the clone's own counter block
-            u1, u2 = socrng.uniform2(seed, new_stream, cbase, hi_clone)
-            dpos = sp["pos"][donor]
-            axis = sp["face"][donor]                  # 0/1/2 crossing axis
-            span = jnp.float32(2.0 - 2.0 * PEPS)
-            t1 = PEPS + span * u1
-            t2 = PEPS + span * u2
-            jpos = jnp.stack([
-                jnp.where(axis == 0, dpos[:, 0],
-                          jnp.where(axis == 1, t1, t1)),
-                jnp.where(axis == 1, dpos[:, 1],
-                          jnp.where(axis == 0, t1, t2)),
-                jnp.where(axis == 2, dpos[:, 2], t2)], axis=1)
-            # deepest-level octets only: at level 0 keep the exact position
-            jpos = jnp.where((sp["level"][donor] > 0)[:, None], jpos, dpos)
-            # recompute the sub-cell index within the same octet
-            first = sp["ind"][donor] - _suboct_of(dpos)
-            jind = jnp.where(sp["level"][donor] > 0,
-                             first + _suboct_of(jpos), sp["ind"][donor])
-            al = adopt[..., None]
-            b = PacketBatch(
-                pos=jnp.where(al, jpos, b.pos),
-                dir=jnp.where(al, sp["dir"][donor], b.dir),
-                level=jnp.where(adopt, sp["level"][donor], b.level),
-                ind=jnp.where(adopt, jind, b.ind),
-                photons=jnp.where(adopt, sp["photons"][donor], b.photons),
-                ifreq=jnp.where(adopt, sp["ifreq"][donor], b.ifreq),
-                stream=jnp.where(adopt, new_stream, b.stream),
-                hi=jnp.where(adopt, hi_clone, b.hi),
-                counter=jnp.where(adopt, cbase + jnp.uint32(3), b.counter),
-                scatterings=jnp.where(adopt, 0, b.scatterings),
-                e_cell=jnp.where(adopt, -1, b.e_cell))
-            # birth free path from slot cbase+2 for clones, slot 2 for
-            # everyone else (the batch-wide draw is masked away)
-            fp_u = socrng.uniform1(
-                seed, b.stream,
-                jnp.where(adopt, cbase + jnp.uint32(2), jnp.uint32(2)),
-                b.hi)
-            free_path = jnp.where(adopt, -jnp.log(fp_u), free_path)
-            tau = jnp.where(adopt, 0.0, tau)
-            pending = pending & ~adopt
-            sp = {**sp,
-                  "lane_depth": jnp.where(adopt, sp["depth"][donor],
-                                          sp["lane_depth"]),
-                  "lane_path": jnp.where(adopt, sp["path"][donor],
-                                         sp["lane_path"]),
-                  "pending": pend & ~(prank < n_dead),
-                  "clones": sp["clones"]
-                  + jnp.sum(adopt.astype(jnp.uint32))}
-            dead = b.ind < 0
+            b, pending, free_path, tau, sp, dead = serve_clones(
+                grid, kit, seed, b, pending, free_path, tau, sp, dead)
 
         # ---- refill dead lanes from the remaining packet budget
         deadi = dead.astype(jnp.int32)
@@ -348,7 +758,7 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
             counter=jnp.where(can, nb.counter, b.counter),
             scatterings=jnp.where(can, 0, b.scatterings),
             e_cell=jnp.where(can, nb.e_cell, b.e_cell))
-        fp_new, w_new = draw_birth_fp(nb.stream, nb.hi)
+        fp_new, w_new = kit.draw_birth_fp(nb.stream, nb.hi)
         free_path = jnp.where(can, fp_new, free_path)
         pending = pending & ~can
         if do_split:
@@ -373,324 +783,31 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
 
         # ---- per-lane physics constants, refreshed once per refill body
         # (amortized over the refill_period inner steps)
-        if lane_const:
-            lane_c = (kabs_t[b.ifreq], ksca_t[b.ifreq], tw_t[b.ifreq],
-                      b.ifreq * bins)
-        else:
-            lane_c = ()
+        lane_c = kit.lane_const_of(b)
 
         # ---- refill_period physics steps between refills (amortizes the
         # generator cost; lanes that die mid-block idle until the next
         # refill). Each sub-block first services pending scatter events,
         # then runs service_period cheap march steps.
         def phys(_, st):
-            return march(*st)
+            return kit.march(*st)
 
         st = (b, pending, free_path, tau, tabs, intf, esc_pending, absd,
-              xab_c, roi_c, sp, anc, lane_c)
+              xab_c, roi_c, sp, anc, lane_c, None)
         for _ in range(max(1, refill_period // service_period)):
-            st = service(*st)
+            st = kit.service(*st)
             st = lax.fori_loop(0, service_period, phys, st)
         (b, pending, free_path, tau, tabs, intf, esc_pending, absd, xab_c,
-         roi_c, sp, anc, lane_c) = st
+         roi_c, sp, anc, lane_c, _) = st
         return (it + 1, b, pending, free_path, tau, next_id, tabs, intf,
                 esc, esc_pending, absd, xab_c, roi_c, sp, anc)
-
-    def service(b, pending, free_path, tau, tabs, intf, esc_pending, absd,
-                xab_c, roi_c, sp, anc, lane_c=()):
-        """Serve pending scattering events: one RNG evaluation, the
-        phase-function table gather and the deflection, for every frozen
-        lane at once (the expensive per-step work the march steps skip)."""
-        act = pending & (b.ind >= 0)
-        if "msf_csc" in physics:
-            u_fp, u_bin, u_phi, u_sp = socrng.step_uniforms4(
-                seed, b.stream, b.counter, b.hi)
-        else:
-            u_fp, u_bin, u_phi = socrng.step_uniforms(
-                seed, b.stream, b.counter, b.hi)
-        dw_corr = None
-        if "msf_csc" in physics:
-            # multiple scattering functions (WITH_MSF): pick the scattering
-            # species with probability ABU[cell,d]*SCA_d / sum
-            # (kernel_ASOC.c:786-795), then sample that species' CSC
-            gidx = jnp.clip(grid.off[jnp.clip(b.level, 0, grid.levels - 1)]
-                            + jnp.maximum(b.ind, 0), 0, cells - 1)
-            msf_csc = physics["msf_csc"]          # [NDUST, BINS]
-            wspec = (physics["msf_abu"][gidx, :]
-                     * physics["msf_sca"][None, :])   # [N, NDUST]
-            cdf = jnp.cumsum(wspec, axis=1)
-            r = 0.99999 * u_sp * cdf[:, -1]
-            species = jnp.sum((cdf < r[:, None]).astype(jnp.int32), axis=1)
-            species = jnp.clip(species, 0, msf_csc.shape[0] - 1)
-            bin_idx = jnp.clip((u_bin * bins).astype(jnp.int32), 0, bins - 1)
-            cos_theta = msf_csc[species, bin_idx]
-        elif "dw_a" in physics:
-            # DIR_WEIGHT (WScatter, kernel_ASOC_aux.c:567): sample the
-            # deflection from HG(DW_A) relative to the current direction,
-            # weight correction p_DSC(cos)/p_HG(cos); incompatible with MSF
-            # (as in the reference)
-            a = physics["dw_a"]
-            t = (1.0 - a * a) / (1.0 - a + 2.0 * a * u_bin)
-            cos_theta = jnp.clip((1.0 + a * a - t * t)
-                                 / (2.0 * a + 1e-6), -1.0, 1.0)
-            p_hg = jnp.maximum(
-                (1.0 / (4.0 * jnp.pi)) * (1.0 - a * a)
-                / (1.0 + a * a - 2.0 * a * cos_theta) ** 1.5, 1e-6)
-            dscv = physics["dsc"]
-            dbin = jnp.clip(((1.0 + cos_theta) * 0.5 * dscv.shape[-1]
-                             ).astype(jnp.int32), 0, dscv.shape[-1] - 1)
-            p_true = jnp.maximum(dscv[dbin], 1e-6)
-            dw_corr = p_true / p_hg
-        elif lane_const:
-            bin_idx = jnp.clip((u_bin * bins).astype(jnp.int32), 0, bins - 1)
-            cos_theta = csc_flat[lane_c[3] + bin_idx]
-        else:
-            cos_theta = _csc_lookup(csc, b.ifreq, u_bin, bins)
-        new_dir = _deflect(b.dir, cos_theta, (2.0 * jnp.pi) * u_phi)
-
-        fp_next, w_next = draw_fp_weighted(u_fp)
-        photons = b.photons
-        if sw_a is not None:
-            photons = jnp.where(act, photons * w_next, photons)
-        if dw_corr is not None:
-            photons = jnp.where(act, photons * dw_corr, photons)
-        nb = PacketBatch(
-            pos=b.pos,
-            dir=jnp.where(act[..., None], new_dir, b.dir),
-            level=b.level, ind=b.ind, photons=photons, ifreq=b.ifreq,
-            stream=b.stream, hi=b.hi,
-            counter=b.counter + act.astype(jnp.uint32),
-            scatterings=b.scatterings, e_cell=b.e_cell)
-        free_path = jnp.where(act, fp_next, free_path)
-        tau = jnp.where(act, 0.0, tau)
-        return (nb, pending & ~act, free_path, tau, tabs, intf, esc_pending,
-                absd, xab_c, roi_c, sp, anc, lane_c)
-
-    def march(b, pending, free_path, tau, tabs, intf, esc_pending, absd,
-              xab_c, roi_c, sp, anc, lane_c=()):
-        alive = b.ind >= 0
-        active = alive & ~pending          # frozen lanes await service
-        gidx = jnp.clip(grid.off[jnp.clip(b.level, 0, grid.levels - 1)]
-                        + jnp.maximum(b.ind, 0), 0, cells - 1)
-        dens = grid.dens[gidx]
-        # deferred descent: a lane may sit on a refined (link) cell -- the
-        # density gather doubles as the link test, and such a lane spends
-        # this step descending ONE level (ALU only) instead of marching.
-        # This removes the (levels-1)-gather unrolled descent chain from
-        # every step: each march step costs exactly one hierarchy gather.
-        if grid.levels > 1:
-            is_link = active & (dens <= 0.0)
-            active = active & ~is_link
-        else:
-            is_link = jnp.zeros_like(active)
-        if "opt_abs" in physics:
-            # WITH_ABU: per-cell abundance-weighted cross sections for the
-            # current frequency (reference OPT array, ASOC.py:1146-1175);
-            # may be stored bfloat16 (optishalf) -- widen for the math
-            kabs = physics["opt_abs"][gidx].astype(jnp.float32)
-            ksca = physics["opt_sca"][gidx].astype(jnp.float32)
-            tw = tw_t
-        elif uniform_freq:
-            kabs, ksca, tw = kabs_t, ksca_t, tw_t
-        elif lane_const:
-            kabs, ksca, tw = lane_c[0], lane_c[1], lane_c[2]
-        else:
-            kabs = kabs_t[b.ifreq]
-            ksca = ksca_t[b.ifreq]
-            tw = tw_t[b.ifreq]
-
-        # ---- geometric step to next boundary
-        ds_local, pos_boundary = traverse.boundary_step(b.pos, b.dir)
-        ds_gl = ds_local * jnp.exp2(-b.level.astype(jnp.float32))
-        tau_abs_full = ds_gl * dens * kabs
-        dtau_sca = ds_gl * dens * ksca
-
-        scatter_now = active & (free_path < tau + dtau_sca)
-
-        # ---- scattering point inside this cell
-        dx_gl = (free_path - tau) / jnp.maximum(ksca * dens, 1e-30)
-        tau_abs_part = dx_gl * dens * kabs
-        dx_local = jnp.maximum(
-            0.0, dx_gl * jnp.exp2(b.level.astype(jnp.float32)) - 2.0 * PEPS)
-        pos_scatter = b.pos + dx_local[..., None] * b.dir
-
-        # ---- absorption deposit (shared scatter-add; dead lanes dropped OOB)
-        tau_abs = jnp.where(scatter_now, tau_abs_part, tau_abs_full)
-        att = jnp.exp(-tau_abs)
-        delta = jnp.where(tau_abs > TAULIM,
-                          b.photons * (1.0 - att),
-                          b.photons * tau_abs * (1.0 - 0.5 * tau_abs))
-        didx = jnp.where(active, gidx, cells)         # OOB => dropped
-        if with_ali:
-            selfc = didx == b.e_cell
-            tabs = tabs.at[jnp.where(selfc, cells, didx)].add(
-                delta * tw * ADHOC, mode="drop")
-            new_xab = xab_c.at[jnp.where(selfc, didx, cells)].add(
-                delta * tw * ADHOC, mode="drop")
-        else:
-            tabs = tabs.at[didx].add(delta * tw * ADHOC, mode="drop")
-            new_xab = xab_c
-        if per_freq_tally:
-            if intf.ndim == 3:
-                # SAVE_INTENSITY==2: (I, Ix, Iy, Iz) component tallies
-                # (reference INT/INTX/INTY/INTZ buffers, ASOC.py:35)
-                w4 = jnp.concatenate([jnp.ones_like(delta)[:, None],
-                                      b.dir], axis=1)
-                intf = intf.at[didx, b.ifreq].add(delta[:, None] * w4,
-                                                  mode="drop")
-            else:
-                intf = intf.at[didx, b.ifreq].add(delta, mode="drop")
-        absd = absd + jnp.sum(jnp.where(active, delta, 0.0))
-        photons = jnp.where(active, b.photons * att, b.photons)
-
-        # ---- crossing branch: move into next cell (ancestor-stack
-        # up-walk: no PAR gathers on the hot path)
-        posx = jnp.where(active[..., None], pos_boundary, b.pos)
-        cross = active & ~scatter_now
-        npos, nlevel, nind, anc = traverse.index_update_stack(
-            grid, posx, b.level, b.ind, anc, cross, descend=False)
-        failed = cross & (nlevel == b.level) & (nind == b.ind)
-        npos = jnp.where(failed[..., None], npos + PEPS * b.dir, npos)
-        dirx = b.dir
-        if mirror_mask:
-            # mirrored faces reflect exiting packets back inside (Mirror,
-            # kernel_ASOC_aux.c:1054; ini keyword 'mirror xXyYzZ').
-            # exited lanes hold root coordinates in npos.
-            bounds = jnp.asarray([grid.nx, grid.ny, grid.nz], jnp.float32)
-            exiting = cross & (nind < 0)
-            lo_hit = npos <= 0.0
-            hi_hit = npos >= bounds
-            lo_m = jnp.asarray([bool(mirror_mask & 1),
-                                bool(mirror_mask & 4),
-                                bool(mirror_mask & 16)])
-            hi_m = jnp.asarray([bool(mirror_mask & 2),
-                                bool(mirror_mask & 8),
-                                bool(mirror_mask & 32)])
-            refl = (lo_hit & lo_m[None, :]) | (hi_hit & hi_m[None, :])
-            refl = refl & exiting[:, None]
-            rpos = jnp.where(lo_hit, PEPS - npos,
-                             jnp.where(hi_hit, 2.0 * bounds - PEPS - npos,
-                                       npos))
-            mpos = jnp.where(refl, jnp.clip(rpos, PEPS, bounds - PEPS),
-                             npos)
-            dirx = jnp.where(refl, -b.dir, b.dir)
-            mirrored = jnp.any(refl, axis=-1)
-            mp, ml, mi = traverse.index_global(grid, mpos)
-            npos = jnp.where(mirrored[:, None], mp, npos)
-            nlevel = jnp.where(mirrored, ml, nlevel)
-            nind = jnp.where(mirrored, mi, nind)
-            if grid.levels > 1:
-                anc = jnp.where(mirrored[:, None],
-                                traverse.stack_from_par(grid, ml, mi), anc)
-
-        # ---- ROI save: packets that just crossed into the ROI box
-        if roi_nside > 0:
-            from .roi import roi_element_index
-            from ..ops.traverse import root_pos
-            roi_mask = physics["roi_mask"]
-            new_gidx = jnp.clip(
-                grid.off[jnp.clip(nlevel, 0, grid.levels - 1)]
-                + jnp.maximum(nind, 0), 0, cells - 1)
-            was_in = roi_mask[gidx]
-            now_in = roi_mask[new_gidx] & (nind >= 0)
-            entered = cross & now_in & ~was_in
-            rp = root_pos(grid, npos, nlevel, nind)
-            rnx, rny, rnz, rstep = physics["roi_dim"]
-            elem = roi_element_index(rp, b.dir, physics["roi_box"],
-                                     rnx, rny, rnz, rstep)
-            npix_hp = 12 * roi_nside * roi_nside
-            theta = jnp.arccos(jnp.clip(b.dir[:, 2], -1.0, 1.0))
-            phi = jnp.arctan2(b.dir[:, 1], b.dir[:, 0])
-            from ..render.healpix import ang2pix_ring
-            hpix = ang2pix_ring(roi_nside, theta, phi)
-            slot = jnp.where(entered, elem * npix_hp + hpix,
-                             roi_c.shape[0])
-            roi_c = roi_c.at[slot].add(photons, mode="drop")
-
-        # ---- merge: scattering lanes freeze at the scattering point
-        # (direction + new free path drawn at the next service step)
-        pos = jnp.where(scatter_now[..., None], pos_scatter, npos)
-        level = jnp.where(scatter_now, b.level, nlevel)
-        ind = jnp.where(scatter_now, b.ind, nind)
-        dir = jnp.where(scatter_now[..., None], b.dir, dirx)
-
-        # ---- deferred descent: link lanes move one level down
-        if grid.levels > 1:
-            pos, level, ind, anc = traverse.descend_one(
-                grid, pos, level, ind, anc, dens, is_link)
-
-        # ---- packet splitting: one split per refinement level entered
-        # (descend_one fires once per level, so a multi-level descent
-        # splits at each level like the reference's per-level sub-rays)
-        if do_split:
-            want = is_link & ~sp["pending"] \
-                & (sp["lane_depth"] < split_max)
-            photons = jnp.where(want, 0.5 * photons, photons)
-            depth_new = sp["lane_depth"] + want.astype(jnp.int32)
-            # crossing axis: the octet coordinate closest to a face
-            fdist = jnp.minimum(pos, 2.0 - pos)
-            face = jnp.argmin(fdist, axis=1).astype(jnp.int32)
-            wl = want[..., None]
-            clone_path = sp["lane_path"] | jnp.left_shift(
-                jnp.uint32(1),
-                jnp.clip(depth_new - 1, 0, 31).astype(jnp.uint32))
-            sp = {**sp,
-                  "pos": jnp.where(wl, pos, sp["pos"]),
-                  "dir": jnp.where(wl, dir, sp["dir"]),
-                  "level": jnp.where(want, level, sp["level"]),
-                  "ind": jnp.where(want, ind, sp["ind"]),
-                  "photons": jnp.where(want, photons, sp["photons"]),
-                  "ifreq": jnp.where(want, b.ifreq, sp["ifreq"]),
-                  "stream": jnp.where(want, b.stream, sp["stream"]),
-                  "hi": jnp.where(want, b.hi, sp["hi"]),
-                  "path": jnp.where(want, clone_path, sp["path"]),
-                  "depth": jnp.where(want, depth_new, sp["depth"]),
-                  "face": jnp.where(want, face, sp["face"]),
-                  "pending": sp["pending"] | want,
-                  "lane_depth": depth_new}
-        scat = b.scatterings + scatter_now.astype(jnp.int32)
-        overscattered = scatter_now & (scat > MAX_SCATTERINGS)
-        # magnitude test: WITH_REFERENCE delta packets carry NEGATIVE
-        # weights that must keep propagating (the tally math is linear)
-        exhausted = active & (jnp.abs(photons) < PHOTON_LIMIT)
-        exited = cross & (nind < 0)
-        esc_pending = esc_pending + jnp.where(
-            (exited | overscattered) & active, photons, 0.0)
-        ind = jnp.where(overscattered | exhausted, jnp.int32(-1), ind)
-        tau = jnp.where(scatter_now, 0.0,
-                        jnp.where(cross, tau + dtau_sca, tau))
-        pending = (pending | scatter_now) & (ind >= 0)
-
-        nb = PacketBatch(pos=pos, dir=dir, level=level, ind=ind,
-                         photons=photons, ifreq=b.ifreq, stream=b.stream,
-                         hi=b.hi, counter=b.counter,
-                         scatterings=scat, e_cell=b.e_cell)
-        return (nb, pending, free_path, tau, tabs, intf, esc_pending, absd,
-                new_xab, roi_c, sp, anc, lane_c)
 
     if xab is None:
         xab = jnp.zeros(1, jnp.float32)
     if roi_tally is None:
         roi_tally = jnp.zeros(1, jnp.float32)
     b0 = make_dead(nlanes)
-    if do_split:
-        sp0 = dict(pos=jnp.zeros((nlanes, 3), jnp.float32),
-                   dir=jnp.zeros((nlanes, 3), jnp.float32),
-                   level=jnp.zeros(nlanes, jnp.int32),
-                   ind=jnp.zeros(nlanes, jnp.int32),
-                   photons=jnp.zeros(nlanes, jnp.float32),
-                   ifreq=jnp.zeros(nlanes, jnp.int32),
-                   stream=jnp.zeros(nlanes, jnp.uint32),
-                   hi=jnp.zeros(nlanes, jnp.uint32),
-                   path=jnp.zeros(nlanes, jnp.uint32),
-                   depth=jnp.zeros(nlanes, jnp.int32),
-                   face=jnp.zeros(nlanes, jnp.int32),
-                   lane_depth=jnp.zeros(nlanes, jnp.int32),
-                   lane_path=jnp.zeros(nlanes, jnp.uint32),
-                   pending=jnp.zeros(nlanes, bool),
-                   clones=jnp.uint32(0))
-    else:
-        sp0 = {}
+    sp0 = init_split_state(nlanes) if do_split else {}
     state = (jnp.int32(0), b0, jnp.zeros(nlanes, bool),
              jnp.zeros(nlanes, jnp.float32),
              jnp.zeros(nlanes, jnp.float32), jnp.int32(0), tabs, intf,

@@ -61,7 +61,7 @@ def test_domain_matches_single_device(grid_kind):
     n = 8 * (2 * (36 + 48 + 48))
     mesh = make_mesh(jax.devices(), freq_axis=1)      # dp = 8
     slabs = split_grid_slabs(grid, 8)
-    tabs_d, esc_d, lost = domain_background_run(
+    tabs_d, esc_d, lost, _aux = domain_background_run(
         slabs, physics, jnp.float32(1.0), n, 7, mesh, nlanes=512)
     assert lost == 0.0            # pending queue never overflowed
 
@@ -103,7 +103,7 @@ def test_domain_cell_emission_matches_single_device(grid_kind):
 
     mesh = make_mesh(jax.devices(), freq_axis=1)      # dp = 8
     slabs = split_grid_slabs(grid, 8)
-    tabs_d, esc_d, lost = domain_cell_emission_run(
+    tabs_d, esc_d, lost, _aux = domain_cell_emission_run(
         slabs, physics, emit, per_cell, 7, mesh, nlanes=512)
     assert lost == 0.0
 
@@ -205,7 +205,7 @@ def test_domain_generator_sources_match_single_device(kind):
     mesh = make_mesh(jax.devices(), freq_axis=1)
     slabs = split_grid_slabs(grid, 8)
     hi0 = stream_hi_base(kind)
-    tabs_d, esc_d, lost = domain_generator_run(
+    tabs_d, esc_d, lost, _aux = domain_generator_run(
         slabs, physics, kind, params, n, 7, mesh, nlanes=512, hi_base=hi0)
     assert lost == 0.0
 
@@ -227,3 +227,73 @@ def test_domain_generator_sources_match_single_device(kind):
     assert np.abs(tabs_d - tabs).sum() / tabs.sum() < 1e-3
     match = np.isclose(tabs_d, tabs, rtol=1e-3, atol=1e-6 * tabs.max())
     assert match.mean() > 0.95
+
+
+def _write_base_model(tmp_path, n=8, octree=False):
+    import shutil
+    from soc_tpu.io.cloud import write_hierarchy
+    for f in ("tmp.dust", "tmp.dsc", "bg_intensity.bin"):
+        shutil.copy(os.path.join("/tmp/socex", f), tmp_path)
+    if octree:
+        rng = np.random.default_rng(0)
+        root = rng.uniform(0.5, 1.0, n ** 3).astype(np.float32)
+        centre = (n // 2) + n * (n // 2) + n * n * (n // 2)
+        root[centre] = encode_link_np(np.asarray([0], np.int32))[0]
+        l1 = rng.uniform(2.0, 4.0, 8).astype(np.float32)
+        write_hierarchy(tmp_path / "tmp.cloud", n, n, n, [n ** 3, 8],
+                        [root, l1])
+    else:
+        write_hierarchy(tmp_path / "tmp.cloud", n, n, n, [n ** 3],
+                        [np.ones(n ** 3, np.float32)])
+    return """
+gridlength      0.01
+cloud           tmp.cloud
+mapping         8 8 1.0
+density         3.0e4
+seed            1.0
+directions      0.0 0.0
+optical         tmp.dust
+dsc             tmp.dsc 2500
+background      bg_intensity.bin
+bgpackets       %d
+cellpackets     %d
+iterations      2
+absorbed        absorbed.data
+temperature     tmp.T
+""" % (8 * 6 * n * n, 2 * n ** 3)
+
+
+def _compare_domain_run(tmp_path, base, extra):
+    from soc_tpu.pipeline import driver
+    (tmp_path / "plain.ini").write_text(base + extra)
+    (tmp_path / "dom.ini").write_text(base + extra + "domains 8\n")
+    res_s = driver.run(str(tmp_path / "plain.ini"), lanes=1 << 10)
+    res_d = driver.run(str(tmp_path / "dom.ini"), lanes=1 << 10)
+    rel = abs(res_d.ctabs.sum() - res_s.ctabs.sum()) / res_s.ctabs.sum()
+    assert rel < 2e-3
+    good = np.isclose(res_d.temperature, res_s.temperature, rtol=3e-3)
+    assert good.mean() > 0.97
+    # per-frequency absorbed: the lifted `noabsorbed` restriction -- the
+    # domain runner now carries the per-channel tally columns
+    assert res_s.absorbed is not None and res_d.absorbed is not None
+    s_col = res_s.absorbed.sum(axis=0)
+    d_col = res_d.absorbed.sum(axis=0)
+    m = s_col > 1e-3 * s_col.max()
+    np.testing.assert_allclose(d_col[m], s_col[m], rtol=2e-2)
+    return res_s, res_d
+
+
+def test_domains_lifted_absorbed_ali_emweight_mirror(tmp_path):
+    """The round-2 `domains` exclusion list is gone: per-frequency
+    absorption tallies, ALI self-absorption accounting, emission-weighted
+    packet allocation and mirror boundaries all run Z-slab decomposed
+    (the step physics is transport_run's own StepKit)."""
+    base = _write_base_model(tmp_path, octree=False)
+    _compare_domain_run(tmp_path, base,
+                        "ALI\nemweight 1 0 100\nmirror xX\n")
+
+
+def test_domains_lifted_split_octree(tmp_path):
+    """Packet splitting at refinement boundaries under Z-slab domains."""
+    base = _write_base_model(tmp_path, octree=True)
+    _compare_domain_run(tmp_path, base, "split\n")
