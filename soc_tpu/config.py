@@ -104,6 +104,7 @@ class RunConfig:
         self.do_split = 0
         self.n_domains = 0
         self.n_devices = 0
+        self.mmap_absorbed = 0
         # --- simulation control
         self.iterations = 1
         self.seed = pi / 4.0
@@ -399,6 +400,11 @@ class RunConfig:
             self.y_shear = f()
         elif key.startswith("mirror"):
             self.mirror = a[0] if a else ""
+        elif key.startswith("mmapabs"):
+            # host-resident per-frequency absorption tally (the reference
+            # mmaps FABSORBED, ASOC.py:623-638): the [CELLS, NFREQ] array
+            # never lives in device HBM; columns stream back per channel
+            self.mmap_absorbed = n() if a else 1
         elif key.startswith("devices"):
             # multi-chip product path: shard every phase over N devices
             # on a (dp x freq) mesh (parallel/product.py); bare keyword

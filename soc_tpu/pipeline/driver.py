@@ -62,7 +62,7 @@ def _run_over_freqs(grid, medium, kind, make_params, per_freq, tabs, intf,
                     seed, nlanes, per_freq_tally, phase=None, iteration=0,
                     mirror_mask=0, freq_mask=None, roi=None,
                     physics_extra=None, split_max=0, ckpt=None,
-                    ckpt_key=""):
+                    ckpt_key="", host_tally=None, ckpt_slot="tabs"):
     """Run one transport pass per frequency (uniform-frequency fast path:
     scalar cross sections, [BINS] CSC row -- all frequencies share one
     compiled executable).
@@ -76,6 +76,7 @@ def _run_over_freqs(grid, medium, kind, make_params, per_freq, tabs, intf,
     import sys
     from ..transport.sources import stream_hi_base
     progress = os.environ.get("SOC_TPU_PROGRESS", "0") != "0"
+    intf_dummy = intf
     nfreq = medium.nfreq
     hi_base = stream_hi_base(phase or kind, iteration)
     esc_list = [0.0] * nfreq
@@ -96,9 +97,18 @@ def _run_over_freqs(grid, medium, kind, make_params, per_freq, tabs, intf,
         if physics_extra is not None:
             physics.update(physics_extra(ifreq))
         params = make_params(ifreq)
-        params["ifreq"] = jnp.int32(ifreq)
+        if host_tally is not None:
+            # out-of-core tally (mmapabs): the device holds one [CELLS]
+            # column; identity stays hi = hi_base + channel via the base
+            # shift while the tally column index is 0
+            params["ifreq"] = jnp.int32(0)
+            params["hi_base"] = jnp.uint32(int(hi_base) + ifreq)
+            intf = jnp.zeros((grid.cells, 1) + host_tally.shape[2:],
+                             jnp.float32)
+        else:
+            params["ifreq"] = jnp.int32(ifreq)
+            params["hi_base"] = jnp.uint32(hi_base)
         params["per_freq"] = jnp.int32(per_freq)
-        params["hi_base"] = jnp.uint32(hi_base)
         kwargs = {}
         if roi is not None:
             physics["roi_mask"] = roi["mask"]
@@ -118,10 +128,14 @@ def _run_over_freqs(grid, medium, kind, make_params, per_freq, tabs, intf,
             roi["tally"][ifreq] = np.asarray(rest.pop(0))
         esc_list[ifreq] = float(esc[0])
         abs_list[ifreq] = float(absd)
+        if host_tally is not None:
+            host_tally[:, ifreq] += np.asarray(intf)[:, 0]
+            intf = intf_dummy          # restore the caller's carry
         if ckpt is not None:
+            slots = {ckpt_slot: tabs,
+                     "intf": intf if host_tally is None else host_tally}
             ckpt.record("%s/f%d" % (ckpt_key, ifreq), esc_list[ifreq],
-                        tabs, intf,
-                        roi=None if roi is None else roi["tally"])
+                        roi=None if roi is None else roi["tally"], **slots)
     return tabs, intf, np.asarray(esc_list), np.asarray(abs_list)
 
 
@@ -129,7 +143,7 @@ def simulate_background(grid, medium, cfg, ibg, tabs, intf, seed,
                         lanes=DEFAULT_LANES, per_freq_tally=False,
                         mixed=True, chunk=4 << 20, freq_mask=None, roi=None,
                         physics_extra=None, ckpt=None, domain=None,
-                        pmesh=None):
+                        pmesh=None, host_tally=None):
     """Phase-1 isotropic background over all frequencies.
 
     Packet budget: the reference sends 8*AREA*BATCH packets per frequency
@@ -184,8 +198,9 @@ def simulate_background(grid, medium, cfg, ibg, tabs, intf, seed,
             injected = np.where(freq_mask, injected, 0.0)
         return tabs, intf, escaped, injected
     if freq_mask is not None or roi is not None \
-            or physics_extra is not None or ckpt is not None:
-        mixed = False    # mask/ROI/OPT/checkpoint handling is per-frequency
+            or physics_extra is not None or ckpt is not None \
+            or host_tally is not None:
+        mixed = False    # mask/ROI/OPT/checkpoint/mmap handling is per-freq
     if mixed:
         nfreq = medium.nfreq
         physics = dict(kabs=medium.abs_gl, ksca=medium.sca_gl,
@@ -219,7 +234,8 @@ def simulate_background(grid, medium, cfg, ibg, tabs, intf, seed,
             grid, medium, "bg", make_params, per_freq, tabs, intf, seed,
             lanes, per_freq_tally, mirror_mask=mirror_mask_of(cfg),
             freq_mask=freq_mask, roi=roi, physics_extra=physics_extra,
-            split_max=split_max, ckpt=ckpt, ckpt_key="bg")
+            split_max=split_max, ckpt=ckpt, ckpt_key="bg",
+            host_tally=host_tally)
     # weighted injection total: with splitting the extra packets carry
     # 1/boost weight, so the expectation stays 8*AREA*batch per frequency
     injected = np.float64(8 * area * batch) \
@@ -232,7 +248,7 @@ def simulate_background(grid, medium, cfg, ibg, tabs, intf, seed,
 def simulate_hpbg(grid, medium, cfg, hpbg, tabs, intf, seed,
                   lanes=DEFAULT_LANES, per_freq_tally=False, weighted=False,
                   freq_mask=None, roi=None, physics_extra=None, ckpt=None,
-                  domain=None, pmesh=None):
+                  domain=None, pmesh=None, host_tally=None):
     """Phase-1 Healpix-sky background (SimRAM_HP equivalent).
 
     hpbg : [NFREQ, NPIX] sky intensities; photons per packet =
@@ -303,14 +319,16 @@ def simulate_hpbg(grid, medium, cfg, hpbg, tabs, intf, seed,
         lanes, per_freq_tally, mirror_mask=mirror_mask_of(cfg),
         split_max=split_max_of(cfg, grid),
         freq_mask=freq_mask, roi=roi,
-        physics_extra=physics_extra, ckpt=ckpt, ckpt_key="hpbg")
+        physics_extra=physics_extra, ckpt=ckpt, ckpt_key="hpbg",
+        host_tally=host_tally)
     return tabs, intf, escaped, injected * per_freq
 
 
 def simulate_point_sources(grid, medium, cfg, lps, tabs, intf, seed,
                            lanes=DEFAULT_LANES, per_freq_tally=False,
                            freq_mask=None, roi=None, physics_extra=None,
-                           ckpt=None, domain=None, pmesh=None):
+                           ckpt=None, domain=None, pmesh=None,
+                           host_tally=None):
     """Phase-1 point sources (internal positions)."""
     if cfg.no_ps < 1 or cfg.pspac < 1:
         return tabs, intf, np.zeros(medium.nfreq), 0.0
@@ -378,7 +396,8 @@ def simulate_point_sources(grid, medium, cfg, lps, tabs, intf, seed,
         grid, medium, "ps", make_params, per_freq, tabs, intf, seed,
         lanes, per_freq_tally, mirror_mask=mirror_mask_of(cfg),
         freq_mask=freq_mask, roi=roi,
-        physics_extra=physics_extra, ckpt=ckpt, ckpt_key="ps")
+        physics_extra=physics_extra, ckpt=ckpt, ckpt_key="ps",
+        host_tally=host_tally)
     injected = np.sum(np.asarray(ps_photons, np.float64), axis=0) * pspac
     if freq_mask is not None:
         injected = np.where(freq_mask, injected, 0.0)
@@ -413,7 +432,7 @@ def emweight_allocation(emit_col, clpac, lims=(0.0, 1e10), rng=None):
 def simulate_cell_emission(grid, medium, cfg, emitted, tabs, intf, seed,
                            lanes=DEFAULT_LANES, per_freq_tally=False,
                            iteration=0, physics_extra=None, domain=None,
-                           pmesh=None):
+                           pmesh=None, host_tally=None, ckpt=None):
     """Phase-2 dust re-emission (SimRAM_CL equivalent).
 
     emitted : [CELLS, NFREQ] photons/Hz/H per cell. Uniform allocation:
@@ -540,16 +559,27 @@ def simulate_cell_emission(grid, medium, cfg, emitted, tabs, intf, seed,
             pad = _pool_lanes(1 << 30, total)
             com = np.full(pad, grid.cells - 1, np.int32)
             com[:total] = cell_of_id
+            col = jnp.int32(0) if host_tally is not None \
+                else jnp.int32(ifreq)
+            hib = jnp.uint32(int(hi_base) + ifreq) \
+                if host_tally is not None else jnp.uint32(hi_base)
+            intf_t = intf if host_tally is None else \
+                jnp.zeros((grid.cells, 1) + host_tally.shape[2:],
+                          jnp.float32)
             params = dict(emit=emitted[:, ifreq] * jnp.asarray(weight),
                           cell_of_id=jnp.asarray(com),
-                          ifreq=jnp.int32(ifreq),
+                          ifreq=col,
                           per_freq=jnp.int32(pad),
-                          hi_base=jnp.uint32(hi_base))
-            tabs, intf, esc, absd = transport_run(
-                grid, physics, params, jnp.int32(total), tabs, intf,
+                          hi_base=hib)
+            tabs, intf_t, esc, absd = transport_run(
+                grid, physics, params, jnp.int32(total), tabs, intf_t,
                 seed, source_kind="cell", nlanes=nlanes,
                 per_freq_tally=per_freq_tally,
                 mirror_mask=mirror_mask_of(cfg))
+            if host_tally is not None:
+                host_tally[:, ifreq] += np.asarray(intf_t)[:, 0]
+            else:
+                intf = intf_t
             escaped[ifreq] = float(esc[0])
         return tabs, intf, escaped, None
 
@@ -566,21 +596,32 @@ def simulate_cell_emission(grid, medium, cfg, emitted, tabs, intf, seed,
                            csc=medium.csc[ifreq], tw=medium.tw[ifreq])
             if physics_extra is not None:
                 physics.update(physics_extra(ifreq))
+            col = jnp.int32(0) if host_tally is not None \
+                else jnp.int32(ifreq)
+            hib = jnp.uint32(int(hi_base) + ifreq) \
+                if host_tally is not None else jnp.uint32(hi_base)
+            intf_t = intf if host_tally is None else \
+                jnp.zeros((grid.cells, 1) + host_tally.shape[2:],
+                          jnp.float32)
             params = dict(emit=emitted[:, ifreq] / np.float32(per_cell),
                           per_cell=jnp.int32(per_cell),
-                          ifreq=jnp.int32(ifreq),
+                          ifreq=col,
                           per_freq=jnp.int32(per_freq),
-                          hi_base=jnp.uint32(hi_base))
-            tabs, intf, esc, absd, xab = transport_run(
-                grid, physics, params, jnp.int32(per_freq), tabs, intf,
+                          hi_base=hib)
+            tabs, intf_t, esc, absd, xab = transport_run(
+                grid, physics, params, jnp.int32(per_freq), tabs, intf_t,
                 seed, source_kind="cell",
                 nlanes=_pool_lanes(lanes, per_freq),
                 per_freq_tally=per_freq_tally, with_ali=True, xab=xab,
                 mirror_mask=mirror_mask_of(cfg))
+            if host_tally is not None:
+                host_tally[:, ifreq] += np.asarray(intf_t)[:, 0]
+            else:
+                intf = intf_t
             escaped[ifreq] = float(esc[0])
         return tabs, intf, escaped, np.asarray(xab)
 
-    if physics_extra is None:
+    if physics_extra is None and host_tally is None and ckpt is None:
         # mixed-frequency pool over (cell, freq): like the background
         # source, the drain tail is paid once instead of NFREQ times and
         # the per-lane-constant fast path applies. Packet identity
@@ -617,7 +658,8 @@ def simulate_cell_emission(grid, medium, cfg, emitted, tabs, intf, seed,
         grid, medium, "cell", make_params, per_freq, tabs, intf, seed,
         lanes, per_freq_tally, iteration=iteration,
         mirror_mask=mirror_mask_of(cfg),
-        physics_extra=physics_extra)
+        physics_extra=physics_extra, host_tally=host_tally,
+        ckpt=ckpt, ckpt_key="it%d" % iteration, ckpt_slot="p2_tabs")
     return tabs, intf, escaped, None
 
 
@@ -637,7 +679,7 @@ def read_diffuse_field(path, cells):
 def simulate_diffuse(grid, medium, cfg, diffuserad, tabs, intf, seed,
                      lanes=DEFAULT_LANES, per_freq_tally=False,
                      freq_mask=None, roi=None, physics_extra=None,
-                     ckpt=None, domain=None, pmesh=None):
+                     ckpt=None, domain=None, pmesh=None, host_tally=None):
     """Phase-1 diffuse volume emission (SimRAM_CL SOURCE==2, the reference's
     II==2 source block, ASOC.py:1250-1272).
 
@@ -702,13 +744,14 @@ def simulate_diffuse(grid, medium, cfg, diffuserad, tabs, intf, seed,
         grid, medium, "cell", make_params, per_freq, tabs, intf, seed,
         lanes, per_freq_tally, phase="diffuse",
         mirror_mask=mirror_mask_of(cfg), freq_mask=mask, roi=roi,
-        physics_extra=physics_extra, ckpt=ckpt, ckpt_key="diffuse")
+        physics_extra=physics_extra, ckpt=ckpt, ckpt_key="diffuse",
+        host_tally=host_tally)
     return tabs, intf, escaped, injected
 
 
 def simulate_roi_load(grid, medium, cfg, tabs, intf, seed,
                       lanes=DEFAULT_LANES, per_freq_tally=False,
-                      freq_mask=None, pmesh=None):
+                      freq_mask=None, pmesh=None, host_tally=None):
     """Phase-1 ROI boundary source (SOURCE==3, kernel_ASOC.c:469-505):
     re-inject the (surface element x healpix direction) photon histograms
     recorded by a previous run's roisave into this (sub-)model.
@@ -749,7 +792,7 @@ def simulate_roi_load(grid, medium, cfg, tabs, intf, seed,
     tabs, intf, escaped, absorbed = _run_over_freqs(
         grid, medium, "roi", make_params, per_freq, tabs, intf, seed,
         lanes, per_freq_tally, mirror_mask=mirror_mask_of(cfg),
-        freq_mask=freq_mask)
+        freq_mask=freq_mask, host_tally=host_tally)
     return tabs, intf, escaped, injected
 
 
@@ -943,6 +986,34 @@ def _scaled_absorbed(grid, intf, gl_cm, nnn_limit=0.0):
     return fabs
 
 
+def _scale_absorbed_inplace(grid, tally, gl_cm, nnn_limit=0.0,
+                            block=1 << 20):
+    """_scaled_absorbed semantics applied IN PLACE over row blocks: used
+    for the out-of-core host tally (mmapabs), where materializing a scaled
+    copy of [CELLS, NFREQ] would defeat the point."""
+    from ..solve import equilibrium
+    lev = np.asarray(equilibrium.cell_levels(grid))
+    dens = np.asarray(grid.dens)
+    coeff = (8.0 ** lev) * (FACTOR / gl_cm)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        scale = (coeff / np.maximum(dens, 1e-35)).astype(np.float32)
+    bad = dens <= max(0.0, nnn_limit)
+    for i0 in range(0, tally.shape[0], block):
+        i1 = min(i0 + block, tally.shape[0])
+        tally[i0:i1] *= scale[i0:i1, None]
+        tally[i0:i1][bad[i0:i1]] = -1.0e20
+    return tally
+
+
+def _write_cell_frequency_array_chunked(path, arr, block=1 << 20):
+    """absorbed.data ABI writer that never materializes a copy."""
+    with open(path, "wb") as fp:
+        np.asarray(arr.shape[:2], np.int32).tofile(fp)
+        for i0 in range(0, arr.shape[0], block):
+            np.ascontiguousarray(arr[i0:i0 + block],
+                                 dtype=np.float32).tofile(fp)
+
+
 def _write_emitted_file(cfg, freq, emitted):
     """Write emitted.data with the reference ABI: only the REMIT-band
     columns are stored (ASOC.py:3972-3977 EMITTED[REMIT_NFREQ])."""
@@ -1117,13 +1188,39 @@ def _run_inner(cfg, lanes, write_files, t_start):
     else:
         tally_shape = (1, 1)
     tabs = jnp.zeros(grid.cells, jnp.float32)
+    host_tally = None
     if pmesh is not None and per_freq_tally:
         # dp-partial per-frequency tallies, frequency-sharded: the
         # [CELLS, NFREQ] absorption array never lives on one chip
         intf = pmesh.zeros_intf(grid.cells,
                                 comps=4 if cfg.save_intensity == 2 else 0)
     else:
-        intf = jnp.zeros(tally_shape, jnp.float32)
+        if per_freq_tally:
+            # out-of-core tally (`mmapabs`, or automatically when the
+            # array exceeds SOC_TPU_TALLY_BYTES): the reference mmaps
+            # FABSORBED on the host for exactly this reason
+            # (ASOC.py:39-42, 623-638) -- the device then holds ONE
+            # [CELLS] column at a time and columns stream back per channel
+            need = int(grid.cells) * nfreq * 4 \
+                * (4 if cfg.save_intensity == 2 else 1)
+            budget = int(float(os.environ.get("SOC_TPU_TALLY_BYTES",
+                                              "0") or 0))
+            if cfg.mmap_absorbed or (budget and need > budget):
+                if domain is not None:
+                    raise ValueError("mmapabs under `domains` is not "
+                                     "supported; use `devices` (the "
+                                     "freq-sharded tally)")
+                import tempfile
+                tf = tempfile.NamedTemporaryFile(
+                    prefix=".fabsorbed.", suffix=".tally", dir=".",
+                    delete=False)
+                host_tally = np.memmap(tf.name, dtype=np.float32,
+                                       mode="w+", shape=tally_shape)
+                os.unlink(tf.name)     # scratch: vanishes with the mmap
+                host_tally[:] = 0.0
+                intf = jnp.zeros((1, 1), jnp.float32)
+        if host_tally is None:
+            intf = jnp.zeros(tally_shape, jnp.float32)
     injected = np.zeros(nfreq)
     escaped = np.zeros(nfreq)
     ckpt = None
@@ -1145,6 +1242,10 @@ def _run_inner(cfg, lanes, write_files, t_start):
             tabs, intf0 = ckpt.restore(tabs,
                                        np.zeros(tally_shape, np.float32))
             intf = pmesh.scatter_intf(np.asarray(intf0))
+        elif host_tally is not None:
+            tabs, _ = ckpt.restore(tabs, jnp.zeros((1, 1), jnp.float32))
+            if ckpt.arrays is not None:
+                host_tally[:] = np.asarray(ckpt.arrays["intf"])
         else:
             tabs, intf = ckpt.restore(tabs, intf)
         if roi is not None:
@@ -1162,7 +1263,7 @@ def _run_inner(cfg, lanes, write_files, t_start):
                 grid, medium, cfg, ibg, tabs, intf, seed, lanes,
                 per_freq_tally, freq_mask=freq_mask, roi=roi,
                 physics_extra=physics_extra, ckpt=ckpt, domain=domain,
-                pmesh=pmesh)
+                pmesh=pmesh, host_tally=host_tally)
             escaped += np.asarray(esc)
             injected += inj
         if cfg.bgpac > 0 and cfg.file_hpbg:
@@ -1173,7 +1274,7 @@ def _run_inner(cfg, lanes, write_files, t_start):
                 per_freq_tally, weighted=cfg.has_key("hpbgw"),
                 freq_mask=freq_mask, roi=roi,
                 physics_extra=physics_extra, ckpt=ckpt, domain=domain,
-                pmesh=pmesh)
+                pmesh=pmesh, host_tally=host_tally)
             escaped += np.asarray(esc)
             injected += inj
         if cfg.no_ps > 0 and cfg.pspac > 0:
@@ -1184,7 +1285,7 @@ def _run_inner(cfg, lanes, write_files, t_start):
                 grid, medium, cfg, lps, tabs, intf, seed, lanes,
                 per_freq_tally, freq_mask=freq_mask, roi=roi,
                 physics_extra=physics_extra, ckpt=ckpt, domain=domain,
-                pmesh=pmesh)
+                pmesh=pmesh, host_tally=host_tally)
             escaped += np.asarray(esc)
             injected += inj
         if cfg.file_diffuse and (cfg.dfpac > 0 or cfg.clpac > 0):
@@ -1193,19 +1294,24 @@ def _run_inner(cfg, lanes, write_files, t_start):
                 grid, medium, cfg, diffuserad, tabs, intf, seed + 5, lanes,
                 per_freq_tally, freq_mask=freq_mask, roi=roi,
                 physics_extra=physics_extra, ckpt=ckpt, domain=domain,
-                pmesh=pmesh)
+                pmesh=pmesh, host_tally=host_tally)
             escaped += np.asarray(esc)
             injected += inj
         if cfg.file_roi_load and cfg.roipac > 0:
             tabs, intf, esc, inj = simulate_roi_load(
                 grid, medium, cfg, tabs, intf, seed + 9, lanes,
-                per_freq_tally, freq_mask=freq_mask, pmesh=pmesh)
+                per_freq_tally, freq_mask=freq_mask, pmesh=pmesh,
+                host_tally=host_tally)
             escaped += np.asarray(esc)
             injected += inj
     ctabs = tabs
     if ckpt is not None:
-        intf_ck = (np.asarray(pmesh.reduce_intf(intf))
-                   if pmesh is not None and per_freq_tally else intf)
+        if pmesh is not None and per_freq_tally:
+            intf_ck = np.asarray(pmesh.reduce_intf(intf))
+        elif host_tally is not None:
+            intf_ck = host_tally
+        else:
+            intf_ck = intf
         ckpt.flush(tabs, intf_ck,
                    roi=None if roi is None else roi["tally"])
     res.ctabs = np.asarray(ctabs)
@@ -1227,6 +1333,10 @@ def _run_inner(cfg, lanes, write_files, t_start):
     # (ASOC.py:63-65)
     if cfg.lib_abs:
         if per_freq_tally:
+            if pmesh is not None:
+                intf = pmesh.reduce_intf(intf)
+            elif host_tally is not None:
+                intf = host_tally
             fabs = _scaled_absorbed(grid, intf, cfg.gl * PARSEC,
                                     cfg.nnn_limit)
             res.absorbed = fabs
@@ -1271,11 +1381,29 @@ def _run_inner(cfg, lanes, write_files, t_start):
         temperature, emitted, intf = _subiterations(
             cfg, grid, medium, optics, table, ctabs, intf, seed, lanes,
             per_freq_tally, physics_extra, freq, gl_cm, write_files,
-            pmesh=pmesh)
+            pmesh=pmesh, host_tally=host_tally)
     elif not cfg.nosolve:
         emit_total = ctabs
         xab = None
-        for iteration in range(max(1, cfg.iterations)):
+        it0 = 0
+        if ckpt is not None:
+            # phase-2 resume: jump past the last completed iteration
+            # (counter-based RNG makes the continuation bit-identical)
+            for kk in range(max(1, cfg.iterations) - 1, -1, -1):
+                if ckpt.completed("iter%d" % kk) \
+                        and ckpt.saved("it_emitted") is not None:
+                    emitted = jnp.asarray(ckpt.saved("it_emitted"))
+                    temperature = jnp.asarray(
+                        ckpt.saved("it_temperature"))
+                    emit_total = jnp.asarray(ckpt.saved("it_emit_total"))
+                    if ckpt.saved("it_oemitted") is not None:
+                        oemitted = jnp.asarray(ckpt.saved("it_oemitted"))
+                        otabs = jnp.asarray(ckpt.saved("it_otabs"))
+                    if ckpt.saved("it_oxab") is not None:
+                        oxab = np.asarray(ckpt.saved("it_oxab"))
+                    it0 = kk + 1
+                    break
+        for iteration in range(it0, max(1, cfg.iterations)):
             beta = 1.0
             # WITH_REFERENCE ramp (also scales the OXAB carry below)
             k = ((iteration + wr_fir) / float(wr_tot)) if wr > 1 \
@@ -1292,11 +1420,19 @@ def _run_inner(cfg, lanes, write_files, t_start):
                 else:
                     sim_emit = emitted
                 tabs_it = jnp.zeros(grid.cells, jnp.float32)
+                if ckpt is not None \
+                        and ckpt.saved("p2_tabs") is not None \
+                        and any(d.startswith("it%d/" % iteration)
+                                for d in ckpt.done):
+                    # mid-sweep resume: the partial re-emission tally of
+                    # THIS iteration's completed channels
+                    tabs_it = jnp.asarray(ckpt.saved("p2_tabs"))
                 tabs_it, intf, _, xab = simulate_cell_emission(
                     grid, medium, cfg, sim_emit, tabs_it, intf,
                     seed, lanes, per_freq_tally, iteration=iteration,
                     physics_extra=physics_extra, domain=domain,
-                    pmesh=pmesh)
+                    pmesh=pmesh, host_tally=host_tally,
+                    ckpt=None if pmesh is not None else ckpt)
                 if delta_sim:
                     tabs_it = tabs_it + otabs
                 if wr:
@@ -1356,6 +1492,28 @@ def _run_inner(cfg, lanes, write_files, t_start):
                                                temperature, gl_cm)
             emitted = jnp.asarray(_apply_remit_band(
                 cfg, freq, np.asarray(emitted)))
+            if ckpt is not None and cfg.clpac > 0:
+                # iteration-boundary snapshot: everything the next
+                # iteration's body reads (SURVEY 5.4 -- phase 2 is as
+                # long as phase 1 on big models; without cell packets
+                # nothing iterates, so no snapshot)
+                if pmesh is not None and per_freq_tally:
+                    intf_ck = np.asarray(pmesh.reduce_intf(intf))
+                elif host_tally is not None:
+                    intf_ck = host_tally
+                else:
+                    intf_ck = np.asarray(intf)
+                ckpt.record(
+                    "iter%d" % iteration, 0.0, intf=intf_ck,
+                    it_emitted=np.asarray(emitted),
+                    it_temperature=np.asarray(temperature),
+                    it_emit_total=np.asarray(emit_total),
+                    it_oemitted=(np.asarray(oemitted)
+                                 if oemitted is not None else None),
+                    it_otabs=(np.asarray(otabs)
+                              if otabs is not None else None),
+                    it_oxab=(np.asarray(oxab)
+                             if oxab is not None else None))
             if cfg.clpac <= 0:
                 break   # nothing changes between iterations without CLPAC
         if write_files and wr > 1 and oemitted is not None:
@@ -1374,6 +1532,8 @@ def _run_inner(cfg, lanes, write_files, t_start):
         # collapse the dp-partial frequency-sharded tallies for the
         # host-side intensity/absorbed outputs below
         intf = pmesh.reduce_intf(intf)
+    elif host_tally is not None:
+        intf = host_tally          # outputs below read host NumPy
     timings["solve"] = time.time() - t0
 
     # ---- intensity output for DustEM coupling (SAVE_INTENSITY modes,
@@ -1411,12 +1571,21 @@ def _run_inner(cfg, lanes, write_files, t_start):
 
     # ---- absorbed-file output (reference end-of-run scaling)
     if per_freq_tally and not cfg.noabsorbed:
-        fabs = _scaled_absorbed(
-            grid, intf[:, :, 0] if cfg.save_intensity == 2 else intf,
-            gl_cm, cfg.nnn_limit)
-        res.absorbed = fabs
-        if write_files and cfg.file_absorbed:
-            write_cell_frequency_array(cfg.file_absorbed, fabs)
+        if host_tally is not None:
+            raw = intf[:, :, 0] if cfg.save_intensity == 2 else intf
+            fabs = _scale_absorbed_inplace(grid, raw, gl_cm,
+                                           cfg.nnn_limit)
+            res.absorbed = fabs
+            if write_files and cfg.file_absorbed:
+                _write_cell_frequency_array_chunked(cfg.file_absorbed,
+                                                    fabs)
+        else:
+            fabs = _scaled_absorbed(
+                grid, intf[:, :, 0] if cfg.save_intensity == 2 else intf,
+                gl_cm, cfg.nnn_limit)
+            res.absorbed = fabs
+            if write_files and cfg.file_absorbed:
+                write_cell_frequency_array(cfg.file_absorbed, fabs)
 
     if write_files and temperature is not None and cfg.file_temperature:
         write_cell_field(cfg.file_temperature, grid, res.temperature)
@@ -1434,7 +1603,7 @@ def _run_inner(cfg, lanes, write_files, t_start):
 
 def _subiterations(cfg, grid, medium, optics, table, ctabs, intf, seed,
                    lanes, per_freq_tally, physics_extra, freq, gl_cm,
-                   write_files, pmesh=None):
+                   write_files, pmesh=None, host_tally=None):
     """SUBITERATIONS: hot/cold cell splitting with the reference field
     (ASOC.py:2261-2420).
 
@@ -1504,7 +1673,8 @@ def _subiterations(cfg, grid, medium, optics, table, ctabs, intf, seed,
             tabs_it, intf, _, _ = simulate_cell_emission(
                 grid, medium, cfg_it, sim_emit, tabs_it, intf, seed,
                 lanes, per_freq_tally, iteration=iteration,
-                physics_extra=physics_extra, pmesh=pmesh)
+                physics_extra=physics_extra, pmesh=pmesh,
+                host_tally=host_tally)
             if iteration == 1:
                 ptabs = tabs_it
             else:

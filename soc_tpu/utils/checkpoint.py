@@ -12,8 +12,11 @@ to an uninterrupted run.
 File format: .npz with tabs/intf tally snapshots, the unit-key list and
 each unit's escaped-photon count. Enabled by the ini keyword
 `checkpoint <file> [every_n_units]`; covers the phase-1 constant-source
-simulation (the long phase -- re-emission iterations restart from the
-loop boundary via the ordinary absorbed/emitted artifacts).
+simulation AND the phase-2 re-emission iterations: the plain cell sweep
+records per-(iteration, frequency) units, every iteration ends with a
+state snapshot (emitted/temperature/reference-field/ALI carries), and the
+counter-based RNG makes a resumed run bit-identical to an uninterrupted
+one from either granularity.
 """
 
 import os
@@ -47,9 +50,8 @@ class RunCheckpoint:
                     return
                 self.done = [str(k) for k in z["done"]]
                 self.esc = [float(v) for v in z["esc"]]
-                self.arrays = dict(tabs=z["tabs"], intf=z["intf"])
-                if "roi" in z.files:
-                    self.arrays["roi"] = z["roi"]
+                self.arrays = {k: z[k] for k in z.files
+                               if k not in ("done", "esc", "fingerprint")}
 
     def completed(self, key):
         return key in self.done
@@ -60,7 +62,7 @@ class RunCheckpoint:
     def restore(self, tabs, intf):
         """Initial tallies: the saved snapshot when resuming, else the
         given fresh arrays."""
-        if self.arrays is None:
+        if self.arrays is None or "tabs" not in self.arrays:
             return tabs, intf
         import jax.numpy as jnp
         return (jnp.asarray(self.arrays["tabs"]),
@@ -73,23 +75,49 @@ class RunCheckpoint:
             return tally
         return np.asarray(self.arrays["roi"], np.float32)
 
-    def record(self, key, esc_value, tabs, intf, roi=None):
-        """Mark a unit complete and persist every N units (atomic rename)."""
+    def saved(self, name):
+        """The saved array under `name`, or None."""
+        if self.arrays is None or name not in self.arrays:
+            return None
+        return self.arrays[name]
+
+    def record(self, key, esc_value, tabs=None, intf=None, roi=None,
+               **named):
+        """Mark a unit complete, merge the given named array snapshots,
+        and persist every N units (atomic rename). Named slots accumulate
+        across calls: phase 1 writes tabs/intf/roi, the phase-2 sweep adds
+        p2_tabs, iteration boundaries add the it_* state arrays."""
         self.done.append(key)
         self.esc.append(float(esc_value))
         self._since_save += 1
         if self._since_save >= self.every:
             self._since_save = 0
-            self.flush(tabs, intf, roi=roi)
+            self.flush(tabs, intf, roi=roi, **named)
+        else:
+            self._merge(tabs, intf, roi, named)
 
-    def flush(self, tabs, intf, roi=None):
+    def _merge(self, tabs, intf, roi, named):
+        if self.arrays is None:
+            self.arrays = {}
+        if tabs is not None:
+            self.arrays["tabs"] = np.asarray(tabs)
+        if intf is not None:
+            self.arrays["intf"] = np.asarray(intf)
+        if roi is not None:
+            self.arrays["roi"] = np.asarray(roi, np.float32)
+        for k, v in named.items():
+            if v is not None:
+                self.arrays[k] = np.asarray(v)
+
+    def flush(self, tabs=None, intf=None, roi=None, **named):
+        self._merge(tabs, intf, roi, named)
         if not self.path:
             return
-        extra = {} if roi is None else dict(roi=np.asarray(roi, np.float32))
+        arrays = self.arrays or {}
+        # np.savez rejects None entries; every slot in self.arrays is real
         tmp = self.path + ".tmp.npz"
         with open(tmp, "wb") as fp:
             np.savez(fp, done=np.asarray(self.done, dtype="U64"),
                      esc=np.asarray(self.esc, np.float64),
-                     fingerprint=np.asarray(self.fingerprint),
-                     tabs=np.asarray(tabs), intf=np.asarray(intf), **extra)
+                     fingerprint=np.asarray(self.fingerprint), **arrays)
         os.replace(tmp, self.path)

@@ -173,3 +173,90 @@ def test_hpbg_resume_reports_full_injected(tmp_path, monkeypatch):
     res2 = driver.run(str(ini), lanes=1 << 10)
     np.testing.assert_allclose(res2.injected, res_full.injected, rtol=1e-12)
     np.testing.assert_array_equal(res2.ctabs, res_full.ctabs)
+
+
+def _phase2_ini(tmp_path, extra=""):
+    make_model(tmp_path)
+    ini = tmp_path / "run.ini"
+    ini.write_text(INI.format(bgpac=8 * 6 * N * N)
+                   .replace("iterations      1", "iterations      3")
+                   .replace("noabsorbed", "absorbed absorbed.data")
+                   + "cellpackets %d\n" % (2 * N ** 3) + extra)
+    return str(ini)
+
+
+def test_phase2_mid_sweep_resume_bit_identical(tmp_path, monkeypatch):
+    """Kill the run in the MIDDLE of iteration 1's re-emission sweep: the
+    resumed run restores the partial per-channel tally (p2_tabs) and the
+    iteration-0 state snapshot, reruns only the remaining channels, and
+    reproduces the uninterrupted result bit for bit (SURVEY 5.4 --
+    phase-2 preemption coverage)."""
+    ini = _phase2_ini(tmp_path)
+    res_full = driver.run(ini, lanes=1 << 10)
+    full_ckpt = np.load(tmp_path / "run.ckpt")
+    done_full = [str(k) for k in full_ckpt["done"]]
+    # phase-1 channels + 3 iterations x (44 sweep units + 1 snapshot);
+    # iteration 0 has no sweep (no emitted field yet)
+    assert "iter0" in done_full and "it1/f3" in done_full
+    os.remove(tmp_path / "run.ckpt")
+    os.remove(tmp_path / "absorbed.data")
+
+    real = driver.transport_run
+    calls = {"n": 0}
+
+    def flaky(*args, **kwargs):
+        # 44 phase-1 bg units + iteration-1 sweep channels, then die
+        if calls["n"] >= 44 + 13:
+            raise Preempt()
+        calls["n"] += 1
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(driver, "transport_run", flaky)
+    with pytest.raises(Preempt):
+        driver.run(ini, lanes=1 << 10)
+    monkeypatch.setattr(driver, "transport_run", real)
+
+    ck = np.load(tmp_path / "run.ckpt")
+    done = [str(k) for k in ck["done"]]
+    assert "iter0" in done                      # crossed a phase-2 boundary
+    assert any(d.startswith("it1/") for d in done)   # mid-sweep
+    assert not ("iter1" in done)
+
+    res2 = driver.run(ini, lanes=1 << 10)
+    np.testing.assert_array_equal(res2.ctabs, res_full.ctabs)
+    np.testing.assert_array_equal(res2.temperature, res_full.temperature)
+    np.testing.assert_array_equal(res2.emitted, res_full.emitted)
+    np.testing.assert_array_equal(res2.absorbed, res_full.absorbed)
+
+
+def test_phase2_resume_with_reference_and_ali(tmp_path, monkeypatch):
+    """Iteration-boundary resume with the WITH_REFERENCE control variate
+    and ALI carries: the oemitted/otabs/oxab state travels in the
+    snapshot, so the continuation is bit-identical."""
+    ini = _phase2_ini(tmp_path, "reference 1\nALI\n")
+    res_full = driver.run(ini, lanes=1 << 10)
+    os.remove(tmp_path / "run.ckpt")
+    os.remove(tmp_path / "absorbed.data")
+
+    real = driver.transport_run
+    calls = {"n": 0}
+
+    def flaky(*args, **kwargs):
+        # die inside iteration 2's sweep (ALI path: iteration units only)
+        if calls["n"] >= 44 + 44 + 13:
+            raise Preempt()
+        calls["n"] += 1
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(driver, "transport_run", flaky)
+    with pytest.raises(Preempt):
+        driver.run(ini, lanes=1 << 10)
+    monkeypatch.setattr(driver, "transport_run", real)
+    ck = np.load(tmp_path / "run.ckpt")
+    done = [str(k) for k in ck["done"]]
+    assert "iter1" in done and "iter2" not in done
+
+    res2 = driver.run(ini, lanes=1 << 10)
+    np.testing.assert_array_equal(res2.ctabs, res_full.ctabs)
+    np.testing.assert_array_equal(res2.temperature, res_full.temperature)
+    np.testing.assert_array_equal(res2.emitted, res_full.emitted)

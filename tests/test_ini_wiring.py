@@ -649,3 +649,44 @@ def test_pol_healpix_fits_products(model_dir):
     assert int(hdr["NSIDE"]) == nside
     assert hdr["TTYPE1"] == "I_STOKES"
     assert maps[0].sum() > 0
+
+
+def test_mmapabs_out_of_core_tally(model_dir, monkeypatch):
+    """`mmapabs` (and the SOC_TPU_TALLY_BYTES auto-trigger): the
+    [CELLS, NFREQ] per-frequency tally lives in a host memmap with only
+    one [CELLS] column on the device at a time; results must be identical
+    to the device-resident run (same streams, same deposits)."""
+    r_dev = run_ini(model_dir, "cellpackets 2048\niterations 2\n")
+    r_mm = run_ini(model_dir, "cellpackets 2048\niterations 2\nmmapabs\n")
+    np.testing.assert_allclose(r_mm.ctabs, r_dev.ctabs, rtol=1e-6)
+    # in-place scaling runs in float32 (vs the float64 copy path): a few
+    # cells differ at the last float32 bit
+    np.testing.assert_allclose(np.asarray(r_mm.absorbed),
+                               np.asarray(r_dev.absorbed), rtol=5e-6,
+                               atol=1e-30)
+    np.testing.assert_allclose(r_mm.temperature, r_dev.temperature,
+                               rtol=1e-6)
+    # the chunked writer produced a well-formed absorbed.data payload
+    a_mm = np.fromfile(model_dir / "absorbed.data", np.float32)
+    assert a_mm[:2].view(np.int32).tolist() == [12 ** 3, 44]
+    np.testing.assert_allclose(a_mm[2:].reshape(-1, 44),
+                               np.asarray(r_mm.absorbed), rtol=1e-7)
+    # auto-trigger: a tiny device budget forces the host tally
+    monkeypatch.setenv("SOC_TPU_TALLY_BYTES", "1024")
+    r_auto = run_ini(model_dir, "cellpackets 2048\niterations 2\n")
+    np.testing.assert_allclose(np.asarray(r_auto.absorbed),
+                               np.asarray(r_dev.absorbed), rtol=5e-6,
+                               atol=1e-30)
+
+
+def test_mmapabs_with_ali_and_emweight(model_dir):
+    """The out-of-core tally must cover the per-frequency ALI and
+    emission-weighted re-emission loops too."""
+    extra = "cellpackets 2048\niterations 2\nALI\nemweight 1 0 100\n"
+    r_dev = run_ini(model_dir, extra)
+    r_mm = run_ini(model_dir, extra + "mmapabs\n")
+    np.testing.assert_allclose(np.asarray(r_mm.absorbed),
+                               np.asarray(r_dev.absorbed), rtol=5e-6,
+                               atol=1e-30)
+    np.testing.assert_allclose(r_mm.temperature, r_dev.temperature,
+                               rtol=1e-6)
