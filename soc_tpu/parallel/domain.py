@@ -260,6 +260,87 @@ def domain_generator_run(slabs, physics, gen_name, params, total_packets,
         src_values=(params, jnp.uint32(0)), features=features)
 
 
+def _owner_of_cell(slabs):
+    """[GCELLS] int32: owning slab of every global cell (cached)."""
+    own = getattr(slabs, "_owner_cache", None)
+    if own is None:
+        gcells = int(np.sum(np.asarray(slabs.lcells)))
+        own = np.zeros(gcells, np.int32)
+        for si in range(slabs.n_slabs):
+            m = slabs.gidx[si] >= 0
+            own[slabs.gidx[si][m]] = si
+        slabs._owner_cache = own
+    return own
+
+
+def _owner_lists(slabs, spawn_kind, statics, src_values, total, seed):
+    """Per-slab ascending lists of the packet ids each slab OWNS.
+
+    Round-2 weakness: every device evaluated the shared counter-based
+    source for EVERY id and kept ~1/S of them -- O(total) redundant
+    generator work per device and S refill windows to inject one pool.
+    Ownership is a pure function of the id (entry position / emitting
+    cell), so it is computed ONCE here -- on the host for cell emission
+    (the inverse cell map), in one vectorized device pass for surface
+    sources -- and each device then refills straight from its own list.
+    Returns (own_ids [S, PAD] int32, own_n [S] int32, PAD); PAD is a
+    stable power-of-two so every channel hits one cached executable.
+    """
+    S, nzl = slabs.n_slabs, slabs.nz_local
+    total = int(total)
+    if spawn_kind == "cell":
+        per_cell, gcells, has_com = statics
+        if has_com:
+            gcell = np.asarray(src_values[2])[:total]
+        else:
+            gcell = np.arange(total, dtype=np.int64) // per_cell
+        owner = _owner_of_cell(slabs)[np.clip(gcell, 0, gcells - 1)]
+    else:
+        owner = np.empty(total, np.int32)
+        chunk = 1 << 22
+        if spawn_kind == "bg":
+            _, hi = src_values
+            for i0 in range(0, total, chunk):
+                ids = jnp.arange(i0, min(i0 + chunk, total),
+                                 dtype=jnp.int32)
+                stream = ids.astype(jnp.uint32)
+                pos, _ = background_entry(
+                    slabs.nx, slabs.ny, slabs.nz, stream,
+                    jnp.full_like(stream, jnp.uint32(hi)),
+                    jnp.uint32(seed))
+                owner[i0:i0 + len(ids)] = np.clip(
+                    np.floor(np.asarray(pos[:, 2]) / nzl), 0,
+                    S - 1).astype(np.int32)
+        else:
+            from ..transport.sources import GENERATORS
+            gen = GENERATORS[statics[0]]
+            params, _ = src_values
+            nx, ny, nz = slabs.nx, slabs.ny, slabs.nz
+            dummy = Grid(dens=jnp.zeros(1, jnp.float32),
+                         lcells=jnp.asarray([nx * ny * nz], jnp.int32),
+                         off=jnp.zeros(1, jnp.int32),
+                         par=jnp.zeros(1, jnp.int32),
+                         nx=nx, ny=ny, nz=nz, levels=1,
+                         cells=nx * ny * nz)
+            for i0 in range(0, total, chunk):
+                ids = jnp.arange(i0, min(i0 + chunk, total),
+                                 dtype=jnp.int32)
+                nb = gen(dummy, ids, jnp.uint32(seed), params)
+                ow = np.clip(np.floor(np.asarray(nb.pos[:, 2]) / nzl),
+                             0, S - 1).astype(np.int32)
+                ow[np.asarray(nb.ind) < 0] = -1     # dead at birth
+                owner[i0:i0 + len(ids)] = ow
+    counts = np.bincount(owner[owner >= 0], minlength=S)
+    pad = max(64, int(counts.max()), -(-total // S) + total // (2 * S))
+    pad = 1 << (pad - 1).bit_length()
+    own_ids = np.zeros((S, pad), np.int32)
+    for si in range(S):
+        lst = np.nonzero(owner == si)[0]
+        own_ids[si, :len(lst)] = lst
+    return (jnp.asarray(own_ids), jnp.asarray(counts.astype(np.int32)),
+            pad)
+
+
 _RUNNER_CACHE = {}
 
 
@@ -300,6 +381,9 @@ def _domain_call(slabs, physics, total_packets, seed, mesh, nlanes,
            tuple(int(x) for x in slabs.off), nlanes, k_inner, max_super,
            bins, len(extra_specs), mesh, feat_key,
            tuple(sorted(phys_rep)), tuple(sorted(phys_loc)))
+    own_ids, own_n, pad = _owner_lists(slabs, spawn_kind, statics,
+                                       src_values, total_packets, seed)
+    key = key + (pad,)
     runner = _RUNNER_CACHE.get(key)
     if runner is None:
         runner = _build_domain_runner(slabs, mesh, nlanes, k_inner,
@@ -309,7 +393,7 @@ def _domain_call(slabs, physics, total_packets, seed, mesh, nlanes,
     tabs_s, intf_s, xab_s, esc, lost = runner(
         jnp.asarray(slabs.dens), jnp.asarray(slabs.lcells),
         jnp.asarray(slabs.par), phys_rep, phys_loc, tuple(src_values),
-        jnp.int32(total_packets), jnp.uint32(seed), *extra_arrays)
+        own_ids, own_n, jnp.uint32(seed), *extra_arrays)
     # assemble global tallies from per-slab local cells
     total_cells = int(np.sum(np.asarray(slabs.lcells)))
 
@@ -373,14 +457,17 @@ def _build_domain_runner(slabs, mesh, nlanes, k_inner, max_super,
     @jax.jit
     @partial(shard_map, mesh=mesh,
              in_specs=(P("dp"), P("dp"), P("dp"),
-                       P(), P("dp"), P(), P(), P())
+                       P(), P("dp"), P(), P("dp"), P("dp"), P())
                       + tuple(extra_specs),
              out_specs=(P("dp"), P("dp"), P("dp"), P(), P()),
              check_vma=False)
     def run(dens_s, lcells_s, par_s, phys_rep, phys_loc, srcv,
-            total_packets, seed, *extras):
+            own_ids, own_n, seed, *extras):
         rank = lax.axis_index("dp")
         grid = local_grid(dens_s[0], lcells_s[0], par_s[0])
+        own_l = own_ids[0]            # this slab's owned packet ids
+        n_own = own_n[0]
+        pad_own = own_l.shape[0]
         physics = dict(phys_rep)
         physics.update({k: v[0] for k, v in phys_loc.items()})
         kit = make_step_fns(
@@ -560,12 +647,14 @@ def _build_domain_runner(slabs, mesh, nlanes, k_inner, max_super,
                                              sp["lane_path"])}
             pend_n = pend_n - jnp.sum(take.astype(jnp.int32))
 
-            # ---- refill remaining free lanes from the shared id budget
+            # ---- refill remaining free lanes from THIS slab's owned-id
+            # list (no shared-budget scan: every drawn id is kept)
             free = (b.ind < 0) & (emig == 0)
             fi = free.astype(jnp.int32)
             rankf = jnp.cumsum(fi) - fi
-            ids = next_id + rankf
-            can = free & (ids < total_packets)
+            lidx = next_id + rankf
+            can = free & (lidx < n_own)
+            ids = own_l[jnp.clip(lidx, 0, pad_own - 1)]
             nb, sfp = spawn_from_ids(jnp.where(can, ids, 0), can)
             cl = can[:, None]
             b = PacketBatch(
@@ -654,7 +743,7 @@ def _build_domain_runner(slabs, mesh, nlanes, k_inner, max_super,
             pend = pend.at[jnp.where(okl, idx, PCAP)].set(r_dn, mode="drop")
             pend_n = jnp.minimum(pend_n + c_dn, PCAP)
 
-            active = (jnp.any(b.ind >= 0) | (next_id < total_packets)
+            active = (jnp.any(b.ind >= 0) | (next_id < n_own)
                       | (pend_n > 0))
             if do_split:
                 active = active | jnp.any(sp["pending"])
