@@ -266,12 +266,27 @@ def bench_sca(lanes, total_packets=1 << 21, repeats=3):
         out = simulate_scattering(
             grid, physics, params, total_packets, odir, ra, de, centre,
             0.5, (128, 128), np.uint32(9), source_kind="bg",
-            nlanes=lanes, capacity=1 << 17)
+            nlanes=lanes, capacity=1 << 20)
         s = float(np.asarray(out).sum())          # forced readback
         dt = _t.time() - t0
         best = dt if best is None or dt < best else best
     assert np.isfinite(s) and s > 0
-    return total_packets / best
+    # pure-march reference on the same engine (ffs off; the channel is
+    # optically thin so nothing scatters): one full chord per packet.
+    # The FFS workload is ~2.4 chord-equivalents of transport plus one
+    # peel-off LOS per packet, so packets/s is work-bound, not
+    # engine-bound -- sca_march_pps makes the step-parity visible.
+    best_m = None
+    for _ in range(repeats):
+        t0 = _t.time()
+        out = simulate_scattering(
+            grid, physics, params, total_packets, odir, ra, de, centre,
+            0.5, (128, 128), np.uint32(9), source_kind="bg",
+            nlanes=lanes, capacity=1 << 20, ffs=False)
+        _ = float(np.asarray(out).sum())
+        dt = _t.time() - t0
+        best_m = dt if best_m is None or dt < best_m else best_m
+    return total_packets / best, total_packets / best_m
 
 
 def bench_a2e(cells=65536, ne=128, nfreq=44, nsize=4):
@@ -355,7 +370,7 @@ def main():
     sol_pps = bench_speed_of_light(grid, tr["packets"])
     step_rate, bound_rate = bench_sol_stepping(lanes)
     octree_pps = bench_octree(medium, lanes)
-    sca_pps = bench_sca(lanes)
+    sca_pps, sca_march_pps = bench_sca(lanes)
     a2e_cps, a2e_dev_cps = bench_a2e()
     freq = np.loadtxt(os.path.join(workdir, "freq.dat"))
     map_s = bench_map(grid, medium, freq)
@@ -381,6 +396,7 @@ def main():
             "sol_stepping_fraction": round(step_rate / bound_rate, 3),
             "octree3_transport_pps": round(octree_pps, 1),
             "sca_peeloff_pps": round(sca_pps, 1),
+            "sca_march_pps": round(sca_march_pps, 1),
             # two bases, labeled: end-to-end includes host<->device traffic
             # (here a dev-tunnel link, 10-35 MB/s), device-resident is the
             # rate an in-pipeline solve with device-resident tallies sees

@@ -442,7 +442,9 @@ def simulate_cell_emission(grid, medium, cfg, emitted, tabs, intf, seed,
     roulette below one packet).
     """
     from ..transport.sources import stream_hi_base
-    emitted_np = np.asarray(emitted)
+    emitted_np = None          # host copy only when a path needs it
+    if cfg.use_emweight > 0 or domain is not None:
+        emitted_np = np.asarray(emitted)
     emitted = jnp.asarray(emitted)
     hi_base = stream_hi_base("cell", iteration)
 
@@ -970,6 +972,16 @@ def _apply_remit_band(cfg, freq, emitted):
     return emitted
 
 
+def _apply_remit_band_dev(cfg, freq, emitted):
+    """Device-side remit masking: the iteration loop would otherwise
+    round-trip the [CELLS, NFREQ] emission through host NumPy every
+    iteration (seconds per iteration on a slow host link)."""
+    mask = remit_mask_of(cfg, freq)
+    if mask.all():
+        return emitted
+    return emitted * jnp.asarray(mask.astype(np.float32))[None, :]
+
+
 def _scaled_absorbed(grid, intf, gl_cm, nnn_limit=0.0):
     """Per-frequency tallies -> absorbed.data payload: scale by
     8^level*FACTOR/(GL*PARSEC)/DENS, mark parent cells -1e20; cells with
@@ -1490,8 +1502,8 @@ def _run_inner(cfg, lanes, write_files, t_start):
             else:
                 emitted = equilibrium.emission(freq, optics[0].abs_gl,
                                                temperature, gl_cm)
-            emitted = jnp.asarray(_apply_remit_band(
-                cfg, freq, np.asarray(emitted)))
+            emitted = _apply_remit_band_dev(cfg, freq,
+                                            jnp.asarray(emitted))
             if ckpt is not None and cfg.clpac > 0:
                 # iteration-boundary snapshot: everything the next
                 # iteration's body reads (SURVEY 5.4 -- phase 2 is as
@@ -1695,8 +1707,8 @@ def _subiterations(cfg, grid, medium, optics, table, ctabs, intf, seed,
             told = np.asarray(temperature)
             emitted = equilibrium.emission(freq, optics[0].abs_gl,
                                            temperature, gl_cm)
-            emitted = jnp.asarray(_apply_remit_band(
-                cfg, freq, np.asarray(emitted)))
+            emitted = _apply_remit_band_dev(cfg, freq,
+                                            jnp.asarray(emitted))
     return temperature, emitted, intf
 
 

@@ -846,7 +846,7 @@ def empty_events(capacity):
 def simulate_scattering(grid, physics, source_params, total_packets,
                         odirs, ra, de, centre, map_dx, npix, seed,
                         source_kind="bg", nlanes=1 << 14, ffs=True,
-                        capacity=1 << 16, healpix_nside=0, obs_pos=None):
+                        capacity=1 << 20, healpix_nside=0, obs_pos=None):
     """Full single-frequency scattered-light simulation.
 
     Returns OUT[NDIR, NY, NX], or -- with healpix_nside > 0 and obs_pos
