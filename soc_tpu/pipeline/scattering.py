@@ -176,7 +176,25 @@ def _run_inner(cfg, write_files, nlanes):
     lev = np.asarray(cell_levels(grid))
     dens = np.asarray(grid.dens)
 
+    n_dev = int(getattr(cfg, "n_devices", 0))
+    if n_dev:
+        import jax
+        if n_dev < 0:
+            n_dev = len(jax.devices())
+        if n_dev > len(jax.devices()):
+            raise ValueError("devices %d: only %d visible"
+                             % (n_dev, len(jax.devices())))
+
     def sim(physics, params, total, kind, ffs):
+        if n_dev > 1:
+            # `devices N`: the budget splits over a flat dp mesh with the
+            # product-path id scheme; one psum of the map per channel
+            from ..render.scattered import simulate_scattering_sharded
+            return simulate_scattering_sharded(
+                n_dev, grid, physics, params, total, odirs, ras, des,
+                centre, cfg.map_dx, (nxp, nyp), seed, source_kind=kind,
+                nlanes=nlanes, ffs=ffs, healpix_nside=healpix_nside,
+                obs_pos=obs_pos)
         return simulate_scattering(
             grid, physics, params, total, odirs, ras, des, centre,
             cfg.map_dx, (nxp, nyp), seed, source_kind=kind,

@@ -843,6 +843,93 @@ def empty_events(capacity):
         valid=jnp.zeros(capacity, bool))
 
 
+@partial(jax.jit, static_argnames=("source_kind", "nlanes", "ffs",
+                                   "capacity", "npix", "mode",
+                                   "max_rounds"))
+def _sca_channel_fused(grid, physics, source_params, total, seed, odirs,
+                       ra, de, centre, map_dx, npix, out_flat, obs_pos,
+                       source_kind="bg", nlanes=1 << 14, ffs=True,
+                       capacity=1 << 20, mode="ortho", max_rounds=1 << 16):
+    """One whole scattered-light channel as a single jitted loop:
+    alternate sca_run (until the event buffer fills or the budget drains)
+    with peel_off_run, entirely on device. Identical math and RNG streams
+    to the host-flushed simulate_scattering loop; exists so the channel
+    can run INSIDE shard_map for multi-chip execution."""
+
+    def cond(st):
+        it, carry, out_flat = st
+        return (it < max_rounds) & (jnp.any(carry["b"].ind >= 0)
+                                    | (carry["next_id"] < total))
+
+    def body(st):
+        it, carry, out_flat = st
+        events = empty_events(capacity)
+        carry, events, ecount = sca_run(
+            grid, physics, source_params, total, carry, events,
+            jnp.int32(0), seed, source_kind=source_kind, nlanes=nlanes,
+            ffs=ffs, capacity=capacity)
+        out_flat = peel_off_run(
+            grid, physics, events, ecount, odirs, ra, de, centre,
+            map_dx, npix, out_flat, obs_pos, mode=mode, nlanes=nlanes)
+        return it + 1, carry, out_flat
+
+    carry = sca_pool_init(grid, nlanes)
+    _, _, out_flat = lax.while_loop(cond, body,
+                                    (jnp.int32(0), carry, out_flat))
+    return out_flat
+
+
+def simulate_scattering_sharded(n_devices, grid, physics, source_params,
+                                total_packets, odirs, ra, de, centre,
+                                map_dx, npix, seed, source_kind="bg",
+                                nlanes=1 << 14, ffs=True,
+                                capacity=1 << 20, healpix_nside=0,
+                                obs_pos=None):
+    """Multi-chip scattered light (`devices N` in the ASOCS pipeline):
+    the packet budget splits over a flat dp mesh by global id range (the
+    product-path identity scheme, so results match the single-device run
+    allclose) and each device runs the fused channel loop independently;
+    the only communication is one psum of the output map per channel."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+    devices = jax.devices()[:n_devices]
+    mesh = Mesh(np.asarray(devices), ("dp",))
+    n = len(devices)
+    healpix = healpix_nside > 0
+    if healpix:
+        out_shape = (12 * healpix_nside * healpix_nside,)
+        obs_pos = jnp.asarray(obs_pos, jnp.float32)
+        mode = "healpix"
+    else:
+        odirs = jnp.asarray(np.atleast_2d(odirs), jnp.float32)
+        ra = jnp.asarray(np.atleast_2d(ra), jnp.float32)
+        de = jnp.asarray(np.atleast_2d(de), jnp.float32)
+        out_shape = (odirs.shape[0], npix[1], npix[0])
+        obs_pos = jnp.zeros(3, jnp.float32)
+        mode = "ortho"
+    total = int(total_packets)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(), P()), out_specs=P(), check_vma=False)
+    def run(phys, params, seed_t):
+        dp = lax.axis_index("dp")
+        q, r = total // n, total % n
+        my = (q + (dp < r)).astype(jnp.int32)
+        k0 = (dp * q + jnp.minimum(dp, r)).astype(jnp.uint32)
+        params = dict(params)
+        params["k0"] = params.get("k0", jnp.uint32(0)) + k0
+        out_flat = jnp.zeros(int(np.prod(out_shape)), jnp.float32)
+        out_flat = _sca_channel_fused(
+            grid, phys, params, my, seed_t, odirs, ra, de,
+            jnp.asarray(centre, jnp.float32), map_dx, tuple(npix),
+            out_flat, obs_pos, source_kind=source_kind, nlanes=nlanes,
+            ffs=ffs, capacity=capacity, mode=mode)
+        return lax.psum(out_flat, "dp")
+
+    out = run(physics, dict(source_params), jnp.uint32(seed))
+    return np.asarray(out).reshape(out_shape)
+
+
 def simulate_scattering(grid, physics, source_params, total_packets,
                         odirs, ra, de, centre, map_dx, npix, seed,
                         source_kind="bg", nlanes=1 << 14, ffs=True,

@@ -195,3 +195,30 @@ def test_cell_emission_ffs_thin_channel(model_dir):
     # signal; without it the thin channel catches almost nothing
     assert (out_noffs[30].sum() == 0
             or out_ffs[30].sum() > out_noffs[30].sum())
+
+
+def test_devices_sharded_scattering_matches(model_dir):
+    """`devices 8` in the scattering ini runs each channel's transport +
+    peel-off sharded over the dp mesh (budget split by global id range)
+    and reproduces the single-device maps allclose."""
+    ini = write_ini(model_dir)
+    out1 = scattering.run(ini, nlanes=1 << 11)
+    ini8 = model_dir / "sca8.ini"
+    ini8.write_text(open(ini).read() + "devices 8\n")
+    out8 = scattering.run(str(ini8), nlanes=1 << 11)
+    assert out1.sum() > 0
+    np.testing.assert_allclose(out8, out1, rtol=2e-4,
+                               atol=1e-6 * abs(out1).max())
+
+
+def test_devices_sharded_scattering_healpix(model_dir):
+    """Sharded internal-observer (healpix) scattered light."""
+    extra = "perspective 5.0 5.0 5.0\noutnside 8\n"
+    ini = write_ini(model_dir, extra)
+    out1 = scattering.run(ini, nlanes=1 << 11)
+    ini8 = model_dir / "sca8.ini"
+    ini8.write_text(open(ini).read() + "devices 8\n")
+    out8 = scattering.run(str(ini8), nlanes=1 << 11)
+    assert out1.sum() > 0
+    np.testing.assert_allclose(out8, out1, rtol=2e-4,
+                               atol=1e-6 * abs(out1).max())
