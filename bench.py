@@ -352,6 +352,56 @@ def bench_map(grid, medium, freq, npix=512):
     return time.time() - t0
 
 
+def bench_scaling(lanes, total=1 << 18):
+    """Packet-throughput scaling efficiency over the visible devices
+    (BASELINE: >= 70% at 2+ hosts). Runs the PRODUCT sharded path
+    (parallel/product.run_freqs) on 1 device and on all of them; returns
+    None on a single-chip harness (the dry-run driver exercises the
+    multi-device path on a virtual mesh instead).
+
+    total : packets per channel (44 channels ~ 11M packets/run at the
+        default; tests pass a small value for the CPU mesh).
+
+    Only meaningful on real chips: on a virtual CPU mesh the N "devices"
+    share the same host cores, so the measured efficiency (~0.3 at N=8)
+    reflects core oversubscription, not ICI scaling."""
+    import jax
+    n = len(jax.devices())
+    if n < 2:
+        return None
+    import time as _t
+    import jax.numpy as jnp
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import ablate_step as ab
+    from soc_tpu.parallel.product import ProductMesh, run_freqs
+    grid, medium = ab.load_workload()
+
+    def rate(ndev):
+        pm = ProductMesh(ndev, medium.nfreq)
+        def make_params(_i):
+            return dict(photons=jnp.float32(1.0))
+        def once():
+            tabs = jnp.zeros(grid.cells, jnp.float32)
+            intf = jnp.zeros((1, 1), jnp.float32)
+            tabs, _, esc, _, _ = run_freqs(
+                pm, grid, medium, "bg", make_params, total, tabs, intf,
+                7, lanes, False)
+            return float(np.asarray(tabs).sum())
+        once()
+        best = None
+        for _ in range(3):
+            t0 = _t.time()
+            once()
+            dt = _t.time() - t0
+            best = dt if best is None else min(best, dt)
+        return total * medium.nfreq / best
+
+    r1 = rate(1)
+    rn = rate(n)
+    return dict(devices=n, pps_1=round(r1, 1), pps_n=round(rn, 1),
+                efficiency=round(rn / (n * r1), 3))
+
+
 def main():
     from soc_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()
@@ -372,6 +422,7 @@ def main():
     octree_pps = bench_octree(medium, lanes)
     sca_pps, sca_march_pps = bench_sca(lanes)
     a2e_cps, a2e_dev_cps = bench_a2e()
+    scaling = bench_scaling(lanes)
     freq = np.loadtxt(os.path.join(workdir, "freq.dat"))
     map_s = bench_map(grid, medium, freq)
 
@@ -408,6 +459,7 @@ def main():
             "a2e_device_vs_baseline": (
                 round(a2e_dev_cps / REFERENCE_A2E_CELLS_PER_SEC, 2)
                 if a2e_dev_cps else None),
+            "scaling": scaling,     # null on a single-chip harness
             "map_render_s_512x512x44": round(map_s, 3),
             "pipeline_e2e_s": round(e2e, 2),
             "sane": tr["sane"] and bool(
