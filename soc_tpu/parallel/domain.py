@@ -168,7 +168,8 @@ _DEFAULT_FEATURES = dict(per_freq_tally=False, icomps=0, with_ali=False,
 
 def domain_background_run(slabs, physics, bg_photons, total_packets, seed,
                           mesh, nlanes=1 << 10, k_inner=32,
-                          max_super=1 << 20, hi_base=None, features=None):
+                          max_super=1 << 20, hi_base=None, features=None,
+                          raw=False):
     """Isotropic-background transport over Z-slab domains on the dp axis.
 
     physics : uniform-frequency dict (scalar kabs/ksca/tw, csc [BINS]),
@@ -190,14 +191,15 @@ def domain_background_run(slabs, physics, bg_photons, total_packets, seed,
     return _domain_call(
         slabs, physics, total_packets, seed, mesh, nlanes, k_inner,
         max_super, "bg", statics=(),
-        src_values=(jnp.float32(bg_photons), hi), features=features)
+        src_values=(jnp.float32(bg_photons), hi), features=features,
+        raw=raw)
 
 
 def domain_cell_emission_run(slabs, physics, emit, per_cell, seed, mesh,
                              nlanes=1 << 10, k_inner=32,
                              max_super=1 << 20, hi_base=None,
                              cell_of_id=None, total_packets=None,
-                             features=None):
+                             features=None, raw=False):
     """Cell-emission transport (the iteration hot path, SimRAM_CL) over
     Z-slab domains: each device owns the packets born in its slab's cells
     and boundary crossings ride the same ppermute halo exchange.
@@ -234,12 +236,13 @@ def domain_cell_emission_run(slabs, physics, emit, per_cell, seed, mesh,
         statics=(int(per_cell), gcells, cell_of_id is not None),
         src_values=src,
         extra_arrays=(jnp.asarray(inv),), extra_specs=(P("dp"),),
-        features=features)
+        features=features, raw=raw)
 
 
 def domain_generator_run(slabs, physics, gen_name, params, total_packets,
                          seed, mesh, nlanes=1 << 10, k_inner=32,
-                         max_super=1 << 20, hi_base=None, features=None):
+                         max_super=1 << 20, hi_base=None, features=None,
+                         raw=False):
     """Z-slab transport for any *surface/point* packet generator
     (point sources incl. all PS_METHODs, healpix background, ROI re-load).
 
@@ -257,7 +260,7 @@ def domain_generator_run(slabs, physics, gen_name, params, total_packets,
     return _domain_call(
         slabs, physics, total_packets, seed, mesh, nlanes, k_inner,
         max_super, "gen", statics=(gen_name, tuple(sorted(params))),
-        src_values=(params, jnp.uint32(0)), features=features)
+        src_values=(params, jnp.uint32(0)), features=features, raw=raw)
 
 
 def _owner_of_cell(slabs):
@@ -346,7 +349,8 @@ _RUNNER_CACHE = {}
 
 def _domain_call(slabs, physics, total_packets, seed, mesh, nlanes,
                  k_inner, max_super, spawn_kind, statics, src_values,
-                 extra_arrays=(), extra_specs=(), features=None):
+                 extra_arrays=(), extra_specs=(), features=None,
+                 raw=False):
     """Invoke the cached jitted Z-slab runner and assemble host tallies.
 
     Returns (tabs [GLOBAL CELLS], escaped, lost, aux): aux carries 'intf'
@@ -394,26 +398,33 @@ def _domain_call(slabs, physics, total_packets, seed, mesh, nlanes,
         jnp.asarray(slabs.dens), jnp.asarray(slabs.lcells),
         jnp.asarray(slabs.par), phys_rep, phys_loc, tuple(src_values),
         own_ids, own_n, jnp.uint32(seed), *extra_arrays)
-    # assemble global tallies from per-slab local cells
-    total_cells = int(np.sum(np.asarray(slabs.lcells)))
-
-    def assemble(arr_s, extra_shape=()):
-        arr_s = np.asarray(arr_s).reshape((S, slabs.cells_pad)
-                                          + extra_shape)
-        out = np.zeros((total_cells,) + extra_shape, np.float32)
-        for s in range(S):
-            m = slabs.gidx[s] >= 0
-            out[slabs.gidx[s][m]] = arr_s[s][m]
-        return out
-
+    if raw:
+        # device-resident tallies in the per-slab [S, cells_pad(, D)]
+        # layout: a per-frequency loop accumulates these ON DEVICE and
+        # assembles once at the end (driver._run_domain_freqs), instead
+        # of one host round-trip per channel
+        return tabs_s, intf_s, xab_s, esc, lost
     aux = {}
     if feat["per_freq_tally"]:
-        aux["intf"] = assemble(intf_s, (feat["icomps"],)
-                               if feat["icomps"] else ())
+        aux["intf"] = assemble_slab_tallies(
+            slabs, intf_s, (feat["icomps"],) if feat["icomps"] else ())
     if feat["with_ali"]:
-        aux["xab"] = assemble(xab_s)
-    tabs = assemble(tabs_s)
+        aux["xab"] = assemble_slab_tallies(slabs, xab_s)
+    tabs = assemble_slab_tallies(slabs, tabs_s)
     return tabs, float(np.asarray(esc)), float(np.asarray(lost)), aux
+
+
+def assemble_slab_tallies(slabs, arr_s, extra_shape=()):
+    """Per-slab local tallies [S, cells_pad(, D)] -> global [CELLS(, D)]
+    host array (drops the padding cells via the gidx ownership map)."""
+    total_cells = int(np.sum(np.asarray(slabs.lcells)))
+    arr_s = np.asarray(arr_s).reshape((slabs.n_slabs, slabs.cells_pad)
+                                      + extra_shape)
+    out = np.zeros((total_cells,) + extra_shape, np.float32)
+    for s in range(slabs.n_slabs):
+        m = slabs.gidx[s] >= 0
+        out[slabs.gidx[s][m]] = arr_s[s][m]
+    return out
 
 
 def _build_domain_runner(slabs, mesh, nlanes, k_inner, max_super,

@@ -914,10 +914,16 @@ def _run_domain_freqs(runner, slabs, dmesh, medium, lanes, freq_mask,
     runner call per channel (all hit one cached executable). The runner's
     per-channel aux tallies (per-frequency absorption column, ALI xab) are
     accumulated into intf_host [CELLS, NFREQ(, 4)] / the returned xab."""
+    from ..parallel.domain import assemble_slab_tallies
+    feat = features or {}
     dn = max(256, lanes // slabs.n_slabs)
     escaped = np.zeros(medium.nfreq)
-    tabs_np = np.zeros(cells, np.float32)
-    xab_np = None
+    # device-resident channel loop: raw per-slab tallies accumulate on
+    # device and cross the link ONCE at the end (previously one
+    # [CELLS]-sized host round-trip per channel serialized dispatch)
+    tabs_acc = xab_acc = None
+    intf_cols, chans = {}, []
+    esc_dev, lost_dev = [], []
     for ifreq in range(medium.nfreq):
         if freq_mask is not None and not bool(freq_mask[ifreq]):
             continue
@@ -930,19 +936,33 @@ def _run_domain_freqs(runner, slabs, dmesh, medium, lanes, freq_mask,
                        csc=medium.csc[ifreq], tw=medium.tw[ifreq])
         if physics_extra is not None:
             physics.update(physics_extra(ifreq))
-        t, e, lost, aux = runner(slabs, physics, *src, seed, dmesh,
-                                 nlanes=dn, hi_base=hi0 + ifreq,
-                                 features=features, **kw)
-        if lost:
+        tabs_s, intf_s, xab_s, e, lost = runner(
+            slabs, physics, *src, seed, dmesh, nlanes=dn,
+            hi_base=hi0 + ifreq, features=features, raw=True, **kw)
+        tabs_acc = tabs_s if tabs_acc is None else tabs_acc + tabs_s
+        if feat.get("per_freq_tally") and intf_host is not None:
+            intf_cols[ifreq] = intf_s
+        if feat.get("with_ali"):
+            xab_acc = xab_s if xab_acc is None else xab_acc + xab_s
+        chans.append(ifreq)
+        esc_dev.append(e)
+        lost_dev.append(lost)
+    if tabs_acc is None:
+        return np.zeros(cells, np.float32), escaped, None
+    lost_all = np.asarray(jnp.stack(lost_dev))
+    for k, ifreq in enumerate(chans):
+        if lost_all[k]:
             raise RuntimeError(
                 "domains: pending-queue overflow destroyed %g photon "
-                "weight at channel %d; raise `lanes`" % (lost, ifreq))
-        tabs_np += t
-        if "intf" in aux and intf_host is not None:
-            intf_host[:, ifreq] += aux["intf"]
-        if "xab" in aux:
-            xab_np = aux["xab"] if xab_np is None else xab_np + aux["xab"]
-        escaped[ifreq] = e
+                "weight at channel %d; raise `lanes`"
+                % (float(lost_all[k]), ifreq))
+    escaped[np.asarray(chans)] = np.asarray(jnp.stack(esc_dev))
+    tabs_np = assemble_slab_tallies(slabs, tabs_acc)
+    for ifreq, col in intf_cols.items():
+        extra = (intf_host.shape[2],) if intf_host.ndim == 3 else ()
+        intf_host[:, ifreq] += assemble_slab_tallies(slabs, col, extra)
+    xab_np = (assemble_slab_tallies(slabs, xab_acc)
+              if xab_acc is not None else None)
     return tabs_np, escaped, xab_np
 
 
