@@ -384,9 +384,12 @@ def run_freqs(pm, grid, medium, kind, make_params, per_freq_of, tabs, intf,
                 if roi is not None:
                     roi["tally"][g] = roi_np[i]
         if ckpt is not None:
-            intf_red = np.asarray(pm.reduce_intf(intf)) \
-                if per_freq_tally else np.asarray(intf)
-            for g, k in zip(live, keys):
-                ckpt.record(k, esc_list[g], np.asarray(tabs), intf_red,
-                            roi=None if roi is None else roi["tally"])
+            # ONE atomic record for the whole group: the snapshot holds
+            # every live channel's deposits, so the persisted done-list
+            # must gain all the group's keys together or none (a per-key
+            # loop would double-count the group on a mid-loop preemption)
+            intf_red = pm.reduce_intf(intf) if per_freq_tally else intf
+            ckpt.record_many(keys, [esc_list[g] for g in live],
+                             tabs, intf_red,
+                             roi=None if roi is None else roi["tally"])
     return tabs, intf, esc_list, abs_list, (xab_c if with_ali else xab)

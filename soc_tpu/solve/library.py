@@ -92,21 +92,31 @@ def _device_table(lib):
     return dev
 
 
+_LOOKUP_JIT = None
+
+
 def _lookup_device(table, lo, span, absorbed_ref, nbins, eps):
-    import jax
+    # module-level jit: a closure-local jax.jit would key its cache on a
+    # fresh function object every call and re-trace each invocation
+    global _LOOKUP_JIT
+    if _LOOKUP_JIT is None:
+        import jax
+        import jax.numpy as jnp
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("nbins",))
+        def run(table, lo, span, aref, nbins, eps):
+            ref = jnp.log10(jnp.maximum(aref, eps))
+            idx = jnp.clip(jnp.round((ref - lo) / span
+                                     * (nbins - 1)).astype(jnp.int32),
+                           0, nbins - 1)
+            flat = (idx[:, 0] * nbins + idx[:, 1]) * nbins + idx[:, 2]
+            return jnp.take(table, flat, axis=0)
+
+        _LOOKUP_JIT = run
     import jax.numpy as jnp
-    from functools import partial
-
-    @partial(jax.jit, static_argnames=("nbins",))
-    def run(table, lo, span, aref, nbins):
-        ref = jnp.log10(jnp.maximum(aref, eps))
-        idx = jnp.clip(jnp.round((ref - lo) / span
-                                 * (nbins - 1)).astype(jnp.int32),
-                       0, nbins - 1)
-        flat = (idx[:, 0] * nbins + idx[:, 1]) * nbins + idx[:, 2]
-        return jnp.take(table, flat, axis=0)
-
-    return run(table, lo, span, absorbed_ref, nbins)
+    return _LOOKUP_JIT(table, lo, span, absorbed_ref, nbins,
+                       jnp.float32(eps))
 
 
 def solve_with_library(lib, absorbed, eps=1e-33, device=None):

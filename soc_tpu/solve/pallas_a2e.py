@@ -206,7 +206,10 @@ def solve_all_chunks_sharded(w_stack, td_stack, ea_stack, chunks, align,
     from jax.sharding import Mesh, PartitionSpec as P
     from jax import shard_map
     if devices is None:
-        devices = jax.devices()
+        # addressable devices only: a multi-controller mesh would need
+        # globalized inputs (jax.make_array_from_callback), which the
+        # host-local chunk batches here are not
+        devices = jax.local_devices()
     mesh = Mesh(np.asarray(devices), ("cells",))
     assert chunks.shape[0] % len(devices) == 0, \
         "pad nchunk to a multiple of the device count"

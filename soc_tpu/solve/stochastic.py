@@ -260,7 +260,13 @@ def solve_emission(solver, absorbed, nstoch=999, batch=16384, clip_last=True,
         # Multi-chip: the chunk axis is sharded over all visible devices
         # (cells are embarrassingly parallel) -- each superbatch carries
         # super_chunks chunks PER DEVICE.
-        n_dev = len(jax.devices()) \
+        # local devices only: under multi-host jax.distributed the global
+        # device list includes non-addressable devices, and shard_map over
+        # those with host-local inputs is invalid in multi-controller JAX
+        # (every process runs the full solve on its own chips instead --
+        # redundant across hosts but correct; the transport phases are the
+        # multi-host-scaled part)
+        n_dev = len(jax.local_devices()) \
             if os.environ.get("SOC_TPU_A2E_SHARD", "1") != "0" else 1
         if n_dev > 1:
             from .pallas_a2e import solve_all_chunks_sharded

@@ -96,21 +96,48 @@ class RunCheckpoint:
         else:
             self._merge(tabs, intf, roi, named)
 
+    def record_many(self, keys, esc_values, tabs=None, intf=None,
+                    roi=None, **named):
+        """Mark a GROUP of units complete under ONE shared snapshot. The
+        multi-channel product path deposits a whole frequency group in a
+        single device call, so its snapshot is only consistent with ALL
+        of the group's keys -- per-key record() calls would open a
+        preemption window where the persisted file holds some keys but a
+        snapshot containing every channel's deposits (double-counted on
+        resume)."""
+        self.done.extend(keys)
+        self.esc.extend(float(v) for v in esc_values)
+        self._since_save += len(keys)
+        if self._since_save >= self.every:
+            self._since_save = 0
+            self.flush(tabs, intf, roi=roi, **named)
+        else:
+            self._merge(tabs, intf, roi, named)
+
     def _merge(self, tabs, intf, roi, named):
+        # store REFERENCES: device arrays are immutable, so holding one
+        # is a zero-cost snapshot; flush() pays the device->host copy
+        # only when something is actually persisted (a np.asarray here
+        # would read back the full [CELLS, NFREQ] tally on every unit
+        # even at checkpoint_every > 1)
         if self.arrays is None:
             self.arrays = {}
         if tabs is not None:
-            self.arrays["tabs"] = np.asarray(tabs)
+            self.arrays["tabs"] = tabs
         if intf is not None:
-            self.arrays["intf"] = np.asarray(intf)
+            self.arrays["intf"] = intf
         if roi is not None:
-            self.arrays["roi"] = np.asarray(roi, np.float32)
+            self.arrays["roi"] = roi
         for k, v in named.items():
             if v is not None:
-                self.arrays[k] = np.asarray(v)
+                self.arrays[k] = v
 
     def flush(self, tabs=None, intf=None, roi=None, **named):
         self._merge(tabs, intf, roi, named)
+        if self.arrays is not None:
+            for k, v in self.arrays.items():
+                self.arrays[k] = np.asarray(v, np.float32) if k == "roi" \
+                    else np.asarray(v)
         if not self.path:
             return
         arrays = self.arrays or {}

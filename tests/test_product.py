@@ -146,35 +146,49 @@ def test_devices_abundances_msf(model_dir):
     assert_match(r1, r8, rtol=1e-4)
 
 
-def test_devices_checkpoint_resume(model_dir):
-    """Mid-run checkpoint + devices: a resumed sharded run reproduces the
-    uninterrupted sharded run."""
+class Preempt(Exception):
+    pass
+
+
+def test_devices_checkpoint_resume(model_dir, monkeypatch):
+    """Mid-run preemption under devices: a run killed between frequency
+    groups resumes from the checkpoint and reproduces the uninterrupted
+    sharded run exactly. Groups are recorded atomically (record_many), so
+    no kill point can persist a snapshot whose deposits are ahead of its
+    done-list (the old per-key loop double-counted a group on resume)."""
+    from soc_tpu.utils.checkpoint import RunCheckpoint
     extra = "devices 8\ncheckpoint run.ckpt 1\n"
     r_full = run_ini(model_dir, extra)
     ck = np.load(model_dir / "run.ckpt")
-    done = [str(k) for k in ck["done"]]
-    assert len(done) == 44                 # every channel recorded
-    # truncate: keep the first 2 groups' records, as if preempted
-    keep = 8
-    np.savez(model_dir / "run.ckpt",
-             done=np.asarray(done[:keep], dtype="U64"),
-             esc=ck["esc"][:keep], fingerprint=ck["fingerprint"],
-             tabs=ck["tabs"] * 0.0 + np.nan, intf=ck["intf"])
-    # NaN tabs would poison the result UNLESS resume only recomputes the
-    # missing units -- so rebuild tabs from the kept intf contribution:
-    # easiest honest check: write the snapshot the driver itself produced
-    # after `keep` units by re-running with a kill point is heavy; instead
-    # verify the plain resume path: delete nothing, rerun -> all units
-    # skipped, identical tallies
-    np.savez(model_dir / "run.ckpt",
-             done=np.asarray(done, dtype="U64"),
-             esc=ck["esc"], fingerprint=ck["fingerprint"],
-             tabs=ck["tabs"], intf=ck["intf"])
+    assert len(ck["done"]) == 44           # every channel recorded
+    os.remove(model_dir / "run.ckpt")
+
+    # kill the run just before the 4th group is recorded: deposits for
+    # that group are already in the device tallies, but the checkpoint
+    # must only hold the 3 complete groups
+    real = RunCheckpoint.record_many
+    calls = {"n": 0}
+
+    def flaky(self, keys, *a, **kw):
+        if calls["n"] >= 3:
+            raise Preempt()
+        calls["n"] += 1
+        return real(self, keys, *a, **kw)
+
+    monkeypatch.setattr(RunCheckpoint, "record_many", flaky)
+    with pytest.raises(Preempt):
+        run_ini(model_dir, extra)
+    monkeypatch.setattr(RunCheckpoint, "record_many", real)
+
+    ck_part = np.load(model_dir / "run.ckpt")
+    assert len(ck_part["done"]) == 12      # 3 groups x 4 channels, whole
+
     r_resume = run_ini(model_dir, extra)
-    np.testing.assert_allclose(r_resume.ctabs, r_full.ctabs, rtol=1e-6)
-    np.testing.assert_allclose(r_resume.escaped, r_full.escaped, rtol=1e-6)
-    np.testing.assert_allclose(r_resume.absorbed, r_full.absorbed,
-                               rtol=1e-6, atol=1e-25)
+    np.testing.assert_array_equal(np.asarray(r_resume.ctabs),
+                                  np.asarray(r_full.ctabs))
+    np.testing.assert_array_equal(r_resume.escaped, r_full.escaped)
+    np.testing.assert_array_equal(np.asarray(r_resume.absorbed),
+                                  np.asarray(r_full.absorbed))
 
 
 def test_devices_roi_save(model_dir):
