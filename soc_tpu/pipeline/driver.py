@@ -1928,8 +1928,10 @@ def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
     # ---- PSTau: column density + optical depth from each point source
     # toward the observer (ASOC.py:3631-3650, text output "%s_%d.dat")
     if cfg.file_pssavetau and cfg.no_ps > 0:
-        ext_all = jnp.asarray(np.asarray(medium.abs_gl)
-                              + np.asarray(medium.sca_gl))
+        # per-cell WITH_ABU extinction when abundances vary
+        ext_all = jnp.asarray(ext_cells) if ext_cells is not None \
+            else jnp.asarray(np.asarray(medium.abs_gl)
+                             + np.asarray(medium.sca_gl))
         itau = int(np.argmin(np.abs(np.asarray(freq)
                                     - max(cfg.pssavetau_freq, 0.0))))
         for idir in range(len(cfg.obs_theta)):
@@ -1964,7 +1966,10 @@ def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
         kk = render_mapping.map_scale_kk(cfg.gl)
         emit_map = jnp.asarray((np.asarray(emitted, np.float64)
                                 * (kk * freq)[None, :]).astype(np.float32))
-        ext_gl = jnp.asarray(np.asarray(medium.abs_gl)
+        # per-cell WITH_ABU extinction when abundances vary (the
+        # reference's pol kernels read the same GOPT arrays as Mapping)
+        ext_gl = jnp.asarray(ext_cells) if ext_cells is not None \
+            else jnp.asarray(np.asarray(medium.abs_gl)
                              + np.asarray(medium.sca_gl))
         polred = len(cfg.file_polred) > 0
         if cfg.intobs[0] > -1e7 or cfg.npix[1] <= 0:

@@ -347,7 +347,9 @@ def render_healpix(grid, emit_map, ext_gl, intobs, nside, max_steps=100000,
             dens = _interp_density(grid, gpos + (0.5 * ds)[:, None]
                                    * step_dir, dens, level, interpolate)
         w = jnp.where(active, ds, 0.0)
-        dtau = (w * dens)[:, None] * ext_gl[None, :]
+        # ext_gl [NF] (constant abundances) or [CELLS, NF] (WITH_ABU OPT)
+        ext_row = ext_gl[gidx, :] if ext_gl.ndim == 2 else ext_gl[None, :]
+        dtau = (w * dens)[:, None] * ext_row
         emit = emit_map[gidx, :]
         attw = jnp.where(dtau < 1.0e-3, 1.0 - 0.5 * dtau,
                          (1.0 - jnp.exp(-dtau)) / jnp.maximum(dtau, 1e-30))
@@ -366,8 +368,12 @@ def render_perspective(grid, emit_map, ext_gl, intobs, npix,
                        max_steps=100000):
     """Panoramic (lon, lat) map from an internal observer (the INTOBS branch
     of the Mapping kernel, kernel_ASOC_map.c:538-557): longitude spans 2 pi
-    over NPIX.x (zero in the map centre), latitude pix-size rows around the
-    equator.
+    over NPIX.x with lon 0 in the map centre, latitude pix-size rows around
+    the equator. Reference orientation: the map centre (lon 0, lat 0) looks
+    along +X ("towards GC"); NOTE the reference's own all-sky healpix
+    kernels use the opposite convention ((lon, lat) = (0, 0) along -X,
+    render_healpix), so a panorama and an all-sky map of the same model
+    differ by 180 degrees in longitude -- in the reference too.
 
     Returns (photons [NF, NY, NX], tau [NF, NY, NX], colden [NY, NX]).
     """
@@ -410,7 +416,9 @@ def render_perspective(grid, emit_map, ext_gl, intobs, npix,
         failed = active & (nlevel == level) & (nind == ind)
         npos = jnp.where(failed[:, None], npos + 1e-4 * step_dir, npos)
         w = jnp.where(active, ds, 0.0)
-        dtau = (w * dens)[:, None] * ext_gl[None, :]
+        # ext_gl [NF] (constant abundances) or [CELLS, NF] (WITH_ABU OPT)
+        ext_row = ext_gl[gidx, :] if ext_gl.ndim == 2 else ext_gl[None, :]
+        dtau = (w * dens)[:, None] * ext_row
         emit = emit_map[gidx, :]
         attw = jnp.where(dtau < 1.0e-3, 1.0 - 0.5 * dtau,
                          (1.0 - jnp.exp(-dtau)) / jnp.maximum(dtau, 1e-30))
@@ -431,13 +439,13 @@ def render_pstau(grid, ext_gl, ps_pos, odir, max_steps=100000):
     observer (PSTau, kernel_ASOC_map.c:1545-1583): one ray per source,
     stepping TOWARDS the observer direction until exit.
 
-    ps_pos : [S, 3]; ext_gl : [NF]
+    ps_pos : [S, 3]; ext_gl : [NF] or [CELLS, NF] (WITH_ABU per-cell OPT)
     Returns (tau [S, NF], colden [S]) -- colden in GL units.
     """
     step_dir = jnp.where(jnp.abs(odir) < 1e-5, 1e-5, odir)
     ps_pos = jnp.asarray(ps_pos, jnp.float32)
     step_dir = jnp.broadcast_to(step_dir, ps_pos.shape)
-    nf = ext_gl.shape[0]
+    nf = ext_gl.shape[-1]
     pos, level, ind, anc = traverse.index_global_stack(grid, ps_pos)
     ns = pos.shape[0]
     tau = jnp.zeros((ns, nf), jnp.float32)
@@ -459,7 +467,8 @@ def render_pstau(grid, ext_gl, ps_pos, odir, max_steps=100000):
         failed = active & (nlevel == level) & (nind == ind)
         npos = jnp.where(failed[:, None], npos + 1e-4 * step_dir, npos)
         w = jnp.where(active, ds, 0.0)
-        tau = tau + (w * dens)[:, None] * ext_gl[None, :]
+        ext_row = ext_gl[gidx, :] if ext_gl.ndim == 2 else ext_gl[None, :]
+        tau = tau + (w * dens)[:, None] * ext_row
         colden = colden + w * dens
         return it + 1, npos, nlevel, nind, anc, tau, colden
 
@@ -517,7 +526,9 @@ def render_ortho_hier(grid, emit_map, ext_gl, odir, ra, de, centre, map_dx,
         failed = active & (nlevel == level) & (nind == ind)
         npos = jnp.where(failed[:, None], npos + 1e-4 * step_dir, npos)
         w = jnp.where(active, ds, 0.0)
-        dtau = (w * dens)[:, None] * ext_gl[None, :]
+        # ext_gl [NF] (constant abundances) or [CELLS, NF] (WITH_ABU OPT)
+        ext_row = ext_gl[gidx, :] if ext_gl.ndim == 2 else ext_gl[None, :]
+        dtau = (w * dens)[:, None] * ext_row
         emit = emit_map[gidx, :]
         attw = jnp.where(dtau < 1.0e-3, 1.0 - 0.5 * dtau,
                          (1.0 - jnp.exp(-dtau)) / jnp.maximum(dtau, 1e-30))

@@ -97,7 +97,9 @@ def render_pol(grid, emit_map, ext_gl, bfield, p0, odir, ra, de, centre,
         cc = 0.99999 - 0.99998 * bdotdir * bdotdir     # cos^2(gamma)
 
         w = jnp.where(active, ds, 0.0)
-        dtau = (w * dens)[:, None] * ext_gl[None, :]
+        # ext_gl [NF] (constant abundances) or [CELLS, NF] (WITH_ABU OPT)
+        ext_row = ext_gl[gidx, :] if ext_gl.ndim == 2 else ext_gl[None, :]
+        dtau = (w * dens)[:, None] * ext_row
         if rho_weight:
             sz = jnp.broadcast_to((w * dens)[:, None], dtau.shape)
         else:
@@ -185,11 +187,18 @@ def render_pol_healpix(grid, emit_map, ext_gl, bfield, p0, intobs, nside,
                           -jnp.sin(theta) * jnp.sin(phi),
                           jnp.cos(theta)], -1)
     step_dir = jnp.where(jnp.abs(step_dir) < 1e-5, 1e-5, step_dir)
-    # per-pixel tangent basis: RA = e_phi, DE = e_theta x unit vectors
-    ra = jnp.stack([-jnp.sin(phi), jnp.cos(phi),
+    # per-pixel ORTHONORMAL tangent basis for THIS line of sight:
+    # DE = north, RA = east of the (x,y-negated) step_dir above, so
+    # DE.step_dir = RA.step_dir = 0 and the position angle psi lives in
+    # the plane of the sky. Deviation from the reference documented:
+    # kernel_ASOC_map_H.c:53-59 takes HRA/HDE from the un-negated
+    # spherical direction while marching along a z-negated one, leaving
+    # HDE.HDIR = -sin(2 theta) -- its mid-latitude psi mixes in the
+    # line-of-sight B component (equator/poles agree in both codes).
+    ra = jnp.stack([jnp.sin(phi), -jnp.cos(phi),
                     jnp.zeros_like(phi)], -1)
-    de = jnp.stack([-jnp.cos(theta) * jnp.cos(phi),
-                    -jnp.cos(theta) * jnp.sin(phi),
+    de = jnp.stack([jnp.cos(theta) * jnp.cos(phi),
+                    jnp.cos(theta) * jnp.sin(phi),
                     jnp.sin(theta)], -1)
     odir = -step_dir
     pos = jnp.broadcast_to(jnp.asarray(intobs, jnp.float32),
@@ -232,7 +241,8 @@ def render_pol_healpix(grid, emit_map, ext_gl, bfield, p0, intobs, nside,
         bdotdir = jnp.sum(bn * odir, axis=-1)
         cc = 0.99999 - 0.99998 * bdotdir * bdotdir
         w = jnp.where(active, ds, 0.0)
-        dtau = (w * dens)[:, None] * ext_gl[None, :]
+        ext_row = ext_gl[gidx, :] if ext_gl.ndim == 2 else ext_gl[None, :]
+        dtau = (w * dens)[:, None] * ext_row
         emit = emit_map[gidx, :]
         attw = jnp.where(dtau < 1.0e-3, 1.0 - 0.5 * dtau,
                          (1.0 - jnp.exp(-dtau)) / jnp.maximum(dtau, 1e-30))

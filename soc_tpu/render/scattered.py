@@ -31,10 +31,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..constants import DEPS, MAX_SCATTERINGS, PEPS, TAULIM
+from ..constants import MAX_SCATTERINGS, PEPS
 from ..ops import traverse
 from ..transport.propagate import PacketBatch, _deflect, _csc_lookup
-from ..transport import sources as src
 from .. import rng as socrng
 
 

@@ -518,10 +518,15 @@ def gen_hpbg(grid, ids_local, seed, params):
     dir = jnp.where(jnp.abs(dir) < 1e-5, 1e-5, dir)
     dir = dir / jnp.linalg.norm(dir, axis=-1, keepdims=True)
 
-    # face selection ~ |DIR| components (projected areas)
-    ax = jnp.abs(dir[:, 0])
-    ay = jnp.abs(dir[:, 1])
-    az = jnp.abs(dir[:, 2])
+    # face selection ~ |DIR_F| * face area = the face's share of the
+    # beam's projected footprint. Deviation from the reference documented:
+    # kernel_ASOC.c:929-944 splits by fabs(DIR) alone, which on non-cubic
+    # grids concentrates packets on the small faces (wrong surface flux
+    # density even though the per-channel total is normalized); on cubic
+    # grids the two rules are identical, thresholds and all.
+    ax = jnp.abs(dir[:, 0]) * (ny * nz)
+    ay = jnp.abs(dir[:, 1]) * (nx * nz)
+    az = jnp.abs(dir[:, 2]) * (nx * ny)
     tot = ax + ay + az
     ax, ay = ax / tot, ay / tot
     hit_x = u2 < ax

@@ -148,3 +148,40 @@ def test_hierarchy_maps_sum_to_total():
     assert hier[1].sum() > 0            # refined level contributes
     np.testing.assert_allclose(hier.sum(axis=0), np.asarray(full),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_hpbg_entry_faces_weighted_by_area():
+    """On a non-cubic grid the entry face must be chosen with probability
+    ~ |dir_F| * A_F (the face's share of the beam's projected footprint),
+    not ~ |dir_F| alone (the reference's rule, kernel_ASOC.c:929-944,
+    which over-samples the small faces ~5x for elongated clouds)."""
+    from soc_tpu.transport.sources import gen_hpbg
+    nx, ny, nz = 32, 8, 8
+    grid = uniform_grid(nx, ny, nz, density=1.0)
+    nside = 8
+    npix = 12 * nside * nside
+    # delta sky: all packets from one mid-latitude pixel
+    pix = npix // 3
+    cdf = np.zeros(npix, np.float32)
+    cdf[pix:] = 1.0
+    n = 1 << 15
+    params = dict(hpbg=jnp.ones(npix, jnp.float32),
+                  cdf=jnp.asarray(cdf), ifreq=jnp.int32(0),
+                  per_freq=jnp.int32(n))
+    state = gen_hpbg(grid, jnp.arange(n, dtype=jnp.uint32), 11, params)
+    pos = np.asarray(state[0] if isinstance(state, tuple) else state.pos)
+    theta, phi = hp.pix2ang_ring(nside, jnp.asarray([pix]))
+    d = np.asarray([np.sin(theta[0]) * np.cos(phi[0]),
+                    np.sin(theta[0]) * np.sin(phi[0]),
+                    -np.cos(theta[0])])
+    d = d / np.linalg.norm(d)
+    w = np.abs(d) * np.asarray([ny * nz, nx * nz, nx * ny])
+    w = w / w.sum()
+    eps = 1e-2
+    on_x = (pos[:, 0] < eps) | (pos[:, 0] > nx - eps)
+    on_y = (pos[:, 1] < eps) | (pos[:, 1] > ny - eps)
+    on_z = (pos[:, 2] < eps) | (pos[:, 2] > nz - eps)
+    frac = np.asarray([on_x.mean(), (~on_x & on_y).mean(),
+                       (~on_x & ~on_y & on_z).mean()])
+    assert frac.sum() > 0.999
+    np.testing.assert_allclose(frac, w, atol=0.02)

@@ -225,3 +225,53 @@ def test_pol_healpix_interpolation():
                                       interpolate=2)
     assert not np.allclose(np.asarray(gi1), np.asarray(gi0))
     assert abs(np.asarray(gi1).sum() / np.asarray(gi0).sum() - 1.0) < 0.05
+
+
+def test_pol_healpix_angle_matches_projection():
+    """The Q/U position angle at every pixel must equal the angle of B
+    projected on the plane PERPENDICULAR to that pixel's line of sight
+    (the round-2 basis took DE from the un-negated spherical direction,
+    so DE.LOS = sin 2theta and mid-latitude angles were wrong)."""
+    import jax.numpy as jnp
+    from soc_tpu.grid import uniform_grid
+    from soc_tpu.render import healpix as hp
+    from soc_tpu.render.polarization import render_pol_healpix
+    n = 8
+    nside = 4
+    grid = uniform_grid(n, n, n, density=1.0)
+    emit = jnp.ones((grid.cells, 1), jnp.float32)
+    ext = jnp.full(1, 0.01, jnp.float32)
+    bvec = np.asarray([0.8, -0.5, 0.6], np.float32)
+    bfield = jnp.asarray(np.tile(bvec / np.linalg.norm(bvec),
+                                 (grid.cells, 1)))
+    s_i, s_q, s_u, _ = render_pol_healpix(
+        grid, emit, ext, bfield, 0.2, (n / 2, n / 2, n / 2), nside)
+    s_q = np.asarray(s_q)[0]
+    s_u = np.asarray(s_u)[0]
+    npix = 12 * nside * nside
+    theta, phi = (np.asarray(a) for a in
+                  hp.pix2ang_ring(nside, jnp.arange(npix)))
+    los = np.stack([-np.sin(theta) * np.cos(phi),
+                    -np.sin(theta) * np.sin(phi), np.cos(theta)], -1)
+    # orthonormal sky basis per pixel: north / east for this LOS
+    north = np.stack([np.cos(theta) * np.cos(phi),
+                      np.cos(theta) * np.sin(phi), np.sin(theta)], -1)
+    east = np.stack([np.sin(phi), -np.cos(phi), np.zeros_like(phi)], -1)
+    b = bvec / np.linalg.norm(bvec)
+    # uniform B, uniform cloud: expected psi identical along the whole LOS
+    psi = 0.5 * np.pi + np.arctan2(-(east @ b), north @ b)
+    q_exp = np.cos(2 * psi)
+    u_exp = np.sin(2 * psi)
+    # compare angles where the polarized signal is significant
+    amp = np.hypot(s_q, s_u)
+    m = amp > 0.2 * amp.max()
+    ang_map = 0.5 * np.arctan2(s_u[m], s_q[m])
+    ang_exp = 0.5 * np.arctan2(u_exp[m], q_exp[m])
+    d = np.angle(np.exp(2j * (ang_map - ang_exp))) / 2   # mod pi distance
+    assert np.abs(d).max() < 1e-3, np.abs(d).max()
+    # basis sanity on the renderer's own output: B || z must give U = 0
+    bz = jnp.asarray(np.tile(np.asarray([0, 0, 1], np.float32),
+                             (grid.cells, 1)))
+    _, qz, uz, _ = render_pol_healpix(
+        grid, emit, ext, bz, 0.2, (n / 2, n / 2, n / 2), nside)
+    assert np.abs(np.asarray(uz)).max() < 1e-5 * np.abs(qz).max()
