@@ -140,6 +140,74 @@ def spawn(grid, physics, source_params, total_packets, next_id, seed,
     return b, free_path, next_id + jnp.int32(nlanes)
 
 
+def _pack_event_rows(pos, dir, photons, level, ind):
+    """One packed event row per lane: pos3 | dir3 | photons | level | ind
+    (ints bit-cast to float32) -- the wire format of the event buffer."""
+    as_f = lambda x: lax.bitcast_convert_type(x, jnp.float32)
+    return jnp.concatenate([pos, dir, photons[:, None],
+                            as_f(level)[:, None], as_f(ind)[:, None]],
+                           axis=1)
+
+
+def _unpack_events(evbuf, ecount, capacity):
+    """Inverse of _pack_event_rows over the whole buffer."""
+    as_i = lambda x: lax.bitcast_convert_type(x, jnp.int32)
+    return ScatterEvents(
+        pos=evbuf[:, 0:3], dir=evbuf[:, 3:6], photons=evbuf[:, 6],
+        level=as_i(evbuf[:, 7]), ind=as_i(evbuf[:, 8]),
+        valid=jnp.arange(capacity) < ecount)
+
+
+def _service_scatter(grid, physics, seed, capacity, b, act,
+                     evbuf, ecount, free_path, tau):
+    """The scattering service shared by propagate_events and sca_run --
+    their per-packet RNG sequences are documented bit-identical, and
+    sharing this body makes that parity structural instead of
+    copy-discipline. For the act lanes (frozen at their scattering
+    point): append the peel-off event, draw the new direction (species
+    roulette ~ ABU[cell]*SCA then that species' CSC under WITH_MSF,
+    kernel_ASOC.c:786-795; else the tabulated inverse-CDF), kill lanes
+    that reached the scattering cap after this final event
+    (kernel_ASOC_sca.c:437), and reset free-path/tau progress.
+
+    Returns (evbuf, ecount, dir, ind, counter, free_path, tau)."""
+    csc = physics["csc"]
+    bins = csc.shape[-1]
+    sc = act.astype(jnp.int32)
+    rank = jnp.cumsum(sc) - sc
+    slot = jnp.where(act, ecount + rank, capacity)   # OOB drop
+    evbuf = evbuf.at[slot].set(
+        _pack_event_rows(b.pos, b.dir, b.photons, b.level, b.ind),
+        mode="drop")
+    ecount = ecount + jnp.sum(sc)
+
+    u_bin, u_phi, u_fp, u_sp = socrng.uniform4(seed, b.stream,
+                                               b.counter, b.hi)
+    if "msf_csc" in physics:
+        gidx = jnp.clip(grid.off[jnp.clip(b.level, 0, grid.levels - 1)]
+                        + jnp.maximum(b.ind, 0), 0, grid.cells - 1)
+        msf_csc = physics["msf_csc"]            # [NDUST, BINS]
+        wspec = (physics["msf_abu"][gidx, :]
+                 * physics["msf_sca"][None, :])
+        cdf = jnp.cumsum(wspec, axis=1)
+        r = 0.99999 * u_sp * cdf[:, -1]
+        species = jnp.sum((cdf < r[:, None]).astype(jnp.int32), axis=1)
+        species = jnp.clip(species, 0, msf_csc.shape[0] - 1)
+        bin_idx = jnp.clip((u_bin * bins).astype(jnp.int32), 0, bins - 1)
+        cos_theta = msf_csc[species, bin_idx]
+    else:
+        cos_theta = _csc_lookup(csc, b.ifreq, u_bin, bins)
+    new_dir = jnp.where(
+        act[:, None], _deflect(b.dir, cos_theta, (2.0 * jnp.pi) * u_phi),
+        b.dir)
+    over = act & (b.scatterings >= MAX_SCATTERINGS)
+    ind = jnp.where(over, -1, b.ind)
+    counter = b.counter + act.astype(jnp.uint32)
+    free_path = jnp.where(act, -jnp.log(u_fp), free_path)
+    tau = jnp.where(act, 0.0, tau)
+    return evbuf, ecount, new_dir, ind, counter, free_path, tau
+
+
 @partial(jax.jit, static_argnames=("capacity", "max_iters",
                                    "service_period"))
 def propagate_events(grid, physics, b, free_path, tau, pending, events,
@@ -164,64 +232,21 @@ def propagate_events(grid, physics, b, free_path, tau, pending, events,
     seed = jnp.uint32(seed)
     kabs = physics["kabs"]
     ksca = physics["ksca"]
-    csc = physics["csc"]
-    bins = csc.shape[-1]
     nlanes = b.lanes
-    as_f = lambda x: lax.bitcast_convert_type(x, jnp.float32)
-    as_i = lambda x: lax.bitcast_convert_type(x, jnp.int32)
-    evbuf0 = jnp.concatenate(
-        [events.pos, events.dir, events.photons[:, None],
-         as_f(events.level)[:, None], as_f(events.ind)[:, None]], axis=1)
+    evbuf0 = _pack_event_rows(events.pos, events.dir, events.photons,
+                              events.level, events.ind)
 
     def service(b, pending, free_path, tau, evbuf, ecount, anc):
+        # b.dir is still the INCOMING direction; b.pos froze at the
+        # scattering point -- _service_scatter appends + redirects
         act = pending & (b.ind >= 0)
-        # ---- append the frozen events (b.dir is still the INCOMING
-        # direction; b.pos froze at the scattering point)
-        sc = act.astype(jnp.int32)
-        rank = jnp.cumsum(sc) - sc
-        slot = jnp.where(act, ecount + rank, capacity)   # OOB drop
-        payload = jnp.concatenate(
-            [b.pos, b.dir, b.photons[:, None],
-             as_f(b.level)[:, None], as_f(b.ind)[:, None]], axis=1)
-        evbuf = evbuf.at[slot].set(payload, mode="drop")
-        ecount = ecount + jnp.sum(sc)
-
-        # ---- new direction + free path
-        u_bin, u_phi, u_fp, u_sp = socrng.uniform4(seed, b.stream,
-                                                   b.counter, b.hi)
-        gidx = jnp.clip(grid.off[jnp.clip(b.level, 0, grid.levels - 1)]
-                        + jnp.maximum(b.ind, 0), 0, grid.cells - 1)
-        if "msf_csc" in physics:
-            # WITH_MSF: scattering species ~ ABU[cell]*SCA per dust
-            # (kernel_ASOC.c:786-795), then that species' CSC
-            msf_csc = physics["msf_csc"]            # [NDUST, BINS]
-            wspec = (physics["msf_abu"][gidx, :]
-                     * physics["msf_sca"][None, :])
-            cdf = jnp.cumsum(wspec, axis=1)
-            r = 0.99999 * u_sp * cdf[:, -1]
-            species = jnp.sum((cdf < r[:, None]).astype(jnp.int32), axis=1)
-            species = jnp.clip(species, 0, msf_csc.shape[0] - 1)
-            bin_idx = jnp.clip((u_bin * bins).astype(jnp.int32), 0, bins - 1)
-            cos_theta = msf_csc[species, bin_idx]
-        else:
-            cos_theta = _csc_lookup(csc, b.ifreq, u_bin, bins)
-        new_dir = _deflect(b.dir, cos_theta, (2.0 * jnp.pi) * u_phi)
-        # lanes that hit the scattering cap die after their final peel-off
-        # event (the reference caps at MAX_SCATTERINGS, kernel cap 20)
-        # kill at == MAX after the final peel-off event, matching
-        # kernel_ASOC_sca.c:437 (the THERMAL kernel's cap is >20 -- one
-        # more scattering -- and transport_run keeps that)
-        over = act & (b.scatterings >= MAX_SCATTERINGS)
+        evbuf, ecount, dirx, ind, counter, free_path, tau = \
+            _service_scatter(grid, physics, seed, capacity, b, act,
+                             evbuf, ecount, free_path, tau)
         nb = PacketBatch(
-            pos=b.pos,
-            dir=jnp.where(act[:, None], new_dir, b.dir),
-            level=b.level,
-            ind=jnp.where(over, -1, b.ind),
+            pos=b.pos, dir=dirx, level=b.level, ind=ind,
             photons=b.photons, ifreq=b.ifreq, stream=b.stream, hi=b.hi,
-            counter=b.counter + act.astype(jnp.uint32),
-            scatterings=b.scatterings, e_cell=b.e_cell)
-        free_path = jnp.where(act, -jnp.log(u_fp), free_path)
-        tau = jnp.where(act, 0.0, tau)
+            counter=counter, scatterings=b.scatterings, e_cell=b.e_cell)
         return nb, pending & ~act, free_path, tau, evbuf, ecount, anc
 
     def march(b, pending, free_path, tau, evbuf, ecount, anc):
@@ -288,10 +313,7 @@ def propagate_events(grid, physics, b, free_path, tau, pending, events,
     # the loop only exits with every lane dead (all owed events already
     # appended by the service that killed them) or capacity-bound (frozen
     # lanes stay pending for the caller's next invocation)
-    events = ScatterEvents(
-        pos=evbuf[:, 0:3], dir=evbuf[:, 3:6], photons=evbuf[:, 6],
-        level=as_i(evbuf[:, 7]), ind=as_i(evbuf[:, 8]),
-        valid=jnp.arange(capacity) < ecount)
+    events = _unpack_events(evbuf, ecount, capacity)
     return b, free_path, tau, pending, events, ecount
 
 
@@ -455,57 +477,23 @@ def sca_run(grid, physics, source_params, total_packets, carry, events,
     seed = jnp.uint32(seed)
     kabs = physics["kabs"]
     ksca = physics["ksca"]
-    csc = physics["csc"]
-    bins = csc.shape[-1]
     cells = grid.cells
     spb = max(1, refill_period // service_period)
     if nlanes * spb > capacity:
         raise ValueError("event capacity %d cannot hold one refill body of "
                          "events (%d lanes x %d services)"
                          % (capacity, nlanes, spb))
-    as_f = lambda x: lax.bitcast_convert_type(x, jnp.float32)
-    as_i = lambda x: lax.bitcast_convert_type(x, jnp.int32)
-    evbuf0 = jnp.concatenate(
-        [events.pos, events.dir, events.photons[:, None],
-         as_f(events.level)[:, None], as_f(events.ind)[:, None]], axis=1)
+    evbuf0 = _pack_event_rows(events.pos, events.dir, events.photons,
+                              events.level, events.ind)
     FP_FAR = jnp.float32(1e30)
 
     def service(c, evbuf, ecount, anc):
         b = c["b"]
-        # ---- scattering events: append + redirect (propagate_events)
+        # ---- scattering events: the shared append + redirect
         act = c["pend_s"] & (b.ind >= 0)
-        sc = act.astype(jnp.int32)
-        rank = jnp.cumsum(sc) - sc
-        slot = jnp.where(act, ecount + rank, capacity)
-        payload = jnp.concatenate(
-            [b.pos, b.dir, b.photons[:, None],
-             as_f(b.level)[:, None], as_f(b.ind)[:, None]], axis=1)
-        evbuf = evbuf.at[slot].set(payload, mode="drop")
-        ecount = ecount + jnp.sum(sc)
-
-        u_bin, u_phi, u_fp, u_sp = socrng.uniform4(seed, b.stream,
-                                                   b.counter, b.hi)
-        if "msf_csc" in physics:
-            gidx = jnp.clip(grid.off[jnp.clip(b.level, 0, grid.levels - 1)]
-                            + jnp.maximum(b.ind, 0), 0, cells - 1)
-            msf_csc = physics["msf_csc"]
-            wspec = (physics["msf_abu"][gidx, :]
-                     * physics["msf_sca"][None, :])
-            cdf = jnp.cumsum(wspec, axis=1)
-            r = 0.99999 * u_sp * cdf[:, -1]
-            species = jnp.sum((cdf < r[:, None]).astype(jnp.int32), axis=1)
-            species = jnp.clip(species, 0, msf_csc.shape[0] - 1)
-            bin_idx = jnp.clip((u_bin * bins).astype(jnp.int32), 0, bins - 1)
-            cos_theta = msf_csc[species, bin_idx]
-        else:
-            cos_theta = _csc_lookup(csc, b.ifreq, u_bin, bins)
-        new_dir = _deflect(b.dir, cos_theta, (2.0 * jnp.pi) * u_phi)
-        over = act & (b.scatterings >= MAX_SCATTERINGS)
-        ind = jnp.where(over, -1, b.ind)
-        dirx = jnp.where(act[:, None], new_dir, b.dir)
-        counter = b.counter + act.astype(jnp.uint32)
-        free_path = jnp.where(act, -jnp.log(u_fp), c["free_path"])
-        tau = jnp.where(act, 0.0, c["tau"])
+        evbuf, ecount, dirx, ind, counter, free_path, tau = \
+            _service_scatter(grid, physics, seed, capacity, b, act,
+                             evbuf, ecount, c["free_path"], c["tau"])
 
         # ---- FFS resets: the stage-0 march finished with tau = tau_tot
         actr = c["pend_r"] & (ind >= 0)
@@ -655,10 +643,7 @@ def sca_run(grid, physics, source_params, total_packets, carry, events,
     state = (jnp.int32(0), carry, evbuf0, ecount)
     state = lax.while_loop(cond, body, state)
     _, carry, evbuf, ecount = state
-    events = ScatterEvents(
-        pos=evbuf[:, 0:3], dir=evbuf[:, 3:6], photons=evbuf[:, 6],
-        level=as_i(evbuf[:, 7]), ind=as_i(evbuf[:, 8]),
-        valid=jnp.arange(capacity) < ecount)
+    events = _unpack_events(evbuf, ecount, capacity)
     return carry, events, ecount
 
 
