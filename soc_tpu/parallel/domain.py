@@ -622,7 +622,7 @@ def _build_domain_runner(slabs, mesh, nlanes, k_inner, max_super,
             # ---- serve pending split-clone requests into dead lanes
             if do_split:
                 b, pending, free_path, tau, sp, dead = serve_clones(
-                    grid, kit, seed, b, pending, free_path, tau, sp,
+                    seed, b, pending, free_path, tau, sp,
                     dead & (emig == 0))
                 dead = (b.ind < 0) & (emig == 0)
 

@@ -14,11 +14,11 @@ In-process function calls over arrays instead of the reference's
 os.system + /dev/shm file chain.
 """
 
-from dataclasses import dataclass, field as dfield
+from dataclasses import dataclass
 
 import numpy as np
 
-from ..constants import EMIT_COEFF, FACTOR, H_K, PARSEC, PLANCK, planck_intensity
+from ..constants import EMIT_COEFF, FACTOR, H_K, PLANCK, planck_intensity
 from ..solve import stochastic
 from ..solve.solver_file import SolverData
 
@@ -37,9 +37,13 @@ class DustComponent:
     freq: np.ndarray = None
 
 
-def split_absorbed(absorbed, rabs, abu, idust):
-    """Per-dust absorption share (per unit abundance of that dust)."""
-    den = np.einsum("cd,fd->cf", abu, rabs)
+def split_absorbed(absorbed, rabs, abu, idust, den=None):
+    """Per-dust absorption share (per unit abundance of that dust).
+
+    den : optional precomputed sum_d' ABU[c,d'] R[f,d'] -- it is the same
+    for every dust, so multi-dust callers compute it once."""
+    if den is None:
+        den = np.einsum("cd,fd->cf", abu, rabs)
     return absorbed * rabs[None, :, idust] / np.maximum(den, 1e-40)
 
 
@@ -142,8 +146,9 @@ def solve_emission_multi(components, absorbed, abu=None,
     emitted = np.zeros((cells, nfreq), np.float32)
     pemitted = np.zeros((cells, nfreq), np.float32) if pol else None
     per_dust = []
+    split_den = np.einsum("cd,fd->cf", abu, rabs)
     for d, comp in enumerate(components):
-        absd = split_absorbed(absorbed, rabs, abu, d)
+        absd = split_absorbed(absorbed, rabs, abu, d, den=split_den)
         pol_d = pol.get(d) if pol else None
         if comp.kind == "gset":
             # stochastic grains: with CR heating the reference feeds the

@@ -83,6 +83,12 @@ def prepare_size_arrays_fused(solver, isize):
     w_flat, tdown, ea = prepare_size_arrays(solver, isize)
     ne = solver.ne
     w = np.asarray(w_flat, np.float64).reshape(ne, ne, -1)
+    # the XLA path clamps each heating entry max(dot, 0) BEFORE folding
+    # (kernel_A2E.c:50); pre-folding makes that clamp unreachable, so the
+    # fused path is exact only when every dot is provably >= 0 -- i.e.
+    # all weights AND all absorbed values are non-negative. Record the
+    # weight half here; solve_emission checks the absorbed half.
+    cache[("fused_nonneg", isize)] = bool(w.min() >= 0.0)
     wf = np.cumsum(w[::-1], axis=0)[::-1]
     w_t = np.ascontiguousarray(
         wf.reshape(ne * ne, -1).T.astype(np.float32))
@@ -215,6 +221,19 @@ def get_fused_stacks(solver, nstoch=999):
     return cache[skey]
 
 
+def fused_weights_nonneg(solver, nstoch=999):
+    """True when every stochastic size's heating weights are >= 0 (then
+    the pre-folded fused solve equals the clamp-then-fold XLA solve for
+    non-negative absorbed inputs)."""
+    n_stoch = min(nstoch, solver.nsize)
+    cache = getattr(solver, "_prep_cache", None) or {}
+    for i in range(n_stoch):
+        if ("fused_nonneg", i) not in cache:
+            prepare_size_arrays_fused(solver, i)
+            cache = solver._prep_cache
+    return all(cache[("fused_nonneg", i)] for i in range(n_stoch))
+
+
 def solve_emission(solver, absorbed, nstoch=999, batch=16384, clip_last=True,
                    aalg=None):
     """Full A2E solve: sum emission over all grain sizes.
@@ -239,6 +258,13 @@ def solve_emission(solver, absorbed, nstoch=999, batch=16384, clip_last=True,
     use_fused = (jax.default_backend() == "tpu" and solver.ne % 128 == 0
                  and batch % 128 == 0
                  and os.environ.get("SOC_TPU_A2E") != "xla")
+    if use_fused and not (fused_weights_nonneg(solver, nstoch)
+                          and absorbed.min() >= 0.0):
+        # the pre-folded fused kernel cannot apply the per-entry
+        # max(dot, 0) clamp (kernel_A2E.c:50); with negative weights or
+        # absorbed values (WITH_REFERENCE delta noise) it would diverge
+        # from the XLA path, so fall back to the exact solve
+        use_fused = False
     emitted = np.zeros((cells, nfreq), np.float32)
     pemitted = np.zeros((cells, nfreq), np.float32) if aalg is not None         else None
     n_stoch = min(nstoch, solver.nsize)
@@ -352,12 +378,14 @@ def solve_emission_streaming(solver, absorbed_path, emitted_path,
     """
     from ..native import StreamReader, StreamWriter
     with StreamReader(absorbed_path, batch) as rd:
-        wr = StreamWriter(emitted_path, rd.rows, solver.nfreq)
-        wp = None
-        if aalg is not None and pemitted_path:
-            wp = StreamWriter(pemitted_path, rd.rows, solver.nfreq)
+        # writers open inside the try: a failure opening the second one
+        # must still close (flush) the first
+        wr = wp = None
         row0 = 0
         try:
+            wr = StreamWriter(emitted_path, rd.rows, solver.nfreq)
+            if aalg is not None and pemitted_path:
+                wp = StreamWriter(pemitted_path, rd.rows, solver.nfreq)
             for chunk in rd:
                 if aalg is not None:
                     a_chunk = np.asarray(aalg)[row0: row0 + len(chunk)]
@@ -370,7 +398,8 @@ def solve_emission_streaming(solver, absorbed_path, emitted_path,
                     wr.put(solve_emission(solver, chunk, nstoch=nstoch))
                 row0 += len(chunk)
         finally:
-            wr.close()
+            if wr is not None:
+                wr.close()
             if wp is not None:
                 wp.close()
     return row0

@@ -143,7 +143,7 @@ def init_split_state(nlanes):
                 clones=jnp.uint32(0))
 
 
-def serve_clones(grid, kit, seed, b, pending, free_path, tau, sp, dead):
+def serve_clones(seed, b, pending, free_path, tau, sp, dead):
     """Serve pending split-clone requests into dead lanes (shared by the
     single-device refill and the domain superstep). Returns the updated
     (b, pending, free_path, tau, sp, dead)."""
@@ -579,9 +579,14 @@ def make_step_fns(grid, physics, seed, *, per_freq_tally=False,
             pos, level, ind, anc = traverse.descend_one(
                 grid, pos, level, ind, anc, dens, is_link)
 
-        # ---- packet splitting: one split per refinement level entered
-        # (descend_one fires once per level, so a multi-level descent
-        # splits at each level like the reference's per-level sub-rays)
+        # ---- packet splitting: at most ONE split in flight per lane --
+        # the clone slot holds until the next refill body serves it, so a
+        # multi-level descent within one body splits only at the first
+        # crossed level (the reference's BUFFER stack spawns per level,
+        # kernel_ASOC.c:3263-3360). Unbiased either way: the weight is
+        # halved exactly when a clone is actually posted; the cost is
+        # less variance reduction on deep (>1 level per ~refill_period
+        # steps) descents, bounded by split_max as usual.
         if do_split:
             want = is_link & ~sp["pending"] \
                 & (sp["lane_depth"] < split_max)
@@ -736,7 +741,7 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
         # ---- serve pending split-clone requests into dead lanes first
         if do_split:
             b, pending, free_path, tau, sp, dead = serve_clones(
-                grid, kit, seed, b, pending, free_path, tau, sp, dead)
+                seed, b, pending, free_path, tau, sp, dead)
 
         # ---- refill dead lanes from the remaining packet budget
         deadi = dead.astype(jnp.int32)

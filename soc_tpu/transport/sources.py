@@ -332,10 +332,19 @@ def gen_point_source(grid, ids_local, seed, params):
         pos = jnp.where(external[:, None], surfaced, pos)
     else:
         if params.get("halfspace", None) is not None:
-            # PS_METHOD 1: fold the direction toward the cloud
+            # PS_METHOD 1: fold the direction toward the cloud across
+            # exactly ONE axis, priority z, x, y (kernel_ASOC.c:231-255)
+            # -- the 0.5 half-space weight is exact only for a single
+            # fold; folding every outside axis would confine corner
+            # sources to a quarter/octant-space at 2x/4x the true flux
             below = pos < 0.0
             above = pos > bounds
-            flip = (below & (dir < 0.0)) | (above & (dir > 0.0))
+            out_ax = below | above
+            pick_z = out_ax[:, 2]
+            pick_x = ~pick_z & out_ax[:, 0]
+            pick_y = ~pick_z & ~pick_x & out_ax[:, 1]
+            pick = jnp.stack([pick_x, pick_y, pick_z], -1)
+            flip = pick & ((below & (dir < 0.0)) | (above & (dir > 0.0)))
             dir = jnp.where(external[:, None] & flip, -dir, dir)
             photons = jnp.where(external, photons * 0.5, photons)
         # PS_METHOD 0/1: step to the cloud surface; misses die at IndexG

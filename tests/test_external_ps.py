@@ -118,3 +118,29 @@ def test_ps_method2_internal_source_weight_unchanged():
     np.testing.assert_allclose(ph[internal], 3.0)
     # external packets get the area/cos/r^2 weighting, never the raw value
     assert (ph[~internal] != 5.0).all()
+
+
+def test_halfspace_corner_source_unbiased():
+    """PS_METHOD 1 must fold exactly ONE axis (priority z, x, y,
+    kernel_ASOC.c:231-255): a corner-external source folded on every
+    outside axis would confine directions to a quarter-space and deliver
+    2x the true flux under the fixed 0.5 half-space weight."""
+    nx = 8
+    grid = uniform_grid(nx, nx, nx, density=1.0)
+    pos = [nx + 6.0, nx / 2, nx + 6.0]        # beyond +X AND +Z
+    n = 400000
+    tabs0, abs0 = run_ps(grid, {}, n, pos)
+    tabs1, abs1 = run_ps(grid, dict(halfspace=jnp.int32(1)), n, pos)
+    assert abs0 > 0
+    np.testing.assert_allclose(abs1 / abs0, 1.0, atol=0.05)
+    # direction distribution: only z is folded, so x must stay two-sided
+    from soc_tpu.transport.sources import GENERATORS
+    params = dict(ps_pos=jnp.asarray([pos], jnp.float32),
+                  photons=jnp.ones(1, jnp.float32),
+                  halfspace=jnp.int32(1),
+                  ifreq=jnp.int32(0), per_freq=jnp.int32(1 << 14))
+    b = GENERATORS["ps"](grid, jnp.arange(1 << 14, dtype=jnp.uint32), 9,
+                         params)
+    d = np.asarray(b.dir)
+    assert (d[:, 2] > 0).mean() < 0.01          # z folded down
+    assert 0.4 < (d[:, 0] > 0).mean() < 0.6     # x untouched
