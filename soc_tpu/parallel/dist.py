@@ -45,9 +45,15 @@ def maybe_initialize():
     SOC_TPU_DISTRIBUTED=auto (cluster autodetection) is set."""
     coord = os.environ.get("SOC_TPU_COORDINATOR")
     if coord:
-        initialize(coordinator=coord,
-                   num_processes=int(os.environ["SOC_TPU_NUM_PROCESSES"]),
-                   process_id=int(os.environ["SOC_TPU_PROCESS_ID"]))
+        nproc = os.environ.get("SOC_TPU_NUM_PROCESSES")
+        pid = os.environ.get("SOC_TPU_PROCESS_ID")
+        if nproc is None or pid is None:
+            raise ValueError(
+                "SOC_TPU_COORDINATOR is set but multi-process init also "
+                "needs SOC_TPU_NUM_PROCESSES and SOC_TPU_PROCESS_ID "
+                "(got NUM_PROCESSES=%r, PROCESS_ID=%r)" % (nproc, pid))
+        initialize(coordinator=coord, num_processes=int(nproc),
+                   process_id=int(pid))
         return True
     if os.environ.get("SOC_TPU_DISTRIBUTED", "").lower() == "auto":
         initialize()

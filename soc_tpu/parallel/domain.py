@@ -311,9 +311,13 @@ def _owner_lists(slabs, spawn_kind, statics, src_values, total, seed):
                     slabs.nx, slabs.ny, slabs.nz, stream,
                     jnp.full_like(stream, jnp.uint32(hi)),
                     jnp.uint32(seed))
-                owner[i0:i0 + len(ids)] = np.clip(
-                    np.floor(np.asarray(pos[:, 2]) / nzl), 0,
-                    S - 1).astype(np.int32)
+                # match the device-side spawn test (floor(z/nzl) == rank
+                # exactly): entries that round onto/over the outer Z face
+                # are unowned (-1), not clipped into the last slab where
+                # they would spawn dead yet count toward own_n
+                ow = np.floor(np.asarray(pos[:, 2]) / nzl).astype(np.int32)
+                ow[(ow < 0) | (ow >= S)] = -1
+                owner[i0:i0 + len(ids)] = ow
         else:
             from ..transport.sources import GENERATORS
             gen = GENERATORS[statics[0]]
@@ -329,8 +333,9 @@ def _owner_lists(slabs, spawn_kind, statics, src_values, total, seed):
                 ids = jnp.arange(i0, min(i0 + chunk, total),
                                  dtype=jnp.int32)
                 nb = gen(dummy, ids, jnp.uint32(seed), params)
-                ow = np.clip(np.floor(np.asarray(nb.pos[:, 2]) / nzl),
-                             0, S - 1).astype(np.int32)
+                ow = np.floor(np.asarray(nb.pos[:, 2])
+                              / nzl).astype(np.int32)
+                ow[(ow < 0) | (ow >= S)] = -1       # off the Z faces
                 ow[np.asarray(nb.ind) < 0] = -1     # dead at birth
                 owner[i0:i0 + len(ids)] = ow
     counts = np.bincount(owner[owner >= 0], minlength=S)
