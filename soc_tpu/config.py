@@ -50,6 +50,7 @@ class RunConfig:
         self.file_external_mask = ""
         # --- ROI save/load (reference WITH_ROI_SAVE / WITH_ROI_LOAD)
         self.roi = None                 # [x0, x1, y0, y1, z0, z1] root cells
+        self.roi_map = 0                # maps from ROI emission only
         self.file_roi_save = ""
         self.roi_step = 1
         self.file_roi_load = ""
@@ -283,6 +284,10 @@ class RunConfig:
             self.roipac = n()
         elif key.startswith("roinside"):
             self.roi_nside = n()
+        elif key.startswith("roimap"):
+            # maps include only emission from inside the ROI box
+            # (ASOC_aux.py:285, -D ROI_MAP in kernel_ASOC_map.c)
+            self.roi_map = 1
         elif key.startswith("roisave"):
             # roisave filename step (ASOC_aux.py:448-451)
             self.file_roi_save = a[0]

@@ -1767,6 +1767,7 @@ def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
     ext_cells : optional [CELLS, NFREQ] per-cell extinction (WITH_ABU)."""
     t0 = time.time()
     gl_cm = cfg.gl * PARSEC
+    thr_cell_w = None        # per-cell 0/1 weight for POLSTAT rho family
     if cfg.level_threshold > 0 and emitted is not None:
         # `threshold L` (LEVEL_THRESHOLD): maps exclude emission from
         # hierarchy levels < L -- low-resolution regions contribute
@@ -1778,6 +1779,8 @@ def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
         lev = np.asarray(equilibrium.cell_levels(grid))
         emitted = np.asarray(emitted).copy()
         emitted[lev < cfg.level_threshold] = 0.0
+        thr_cell_w = jnp.asarray(
+            (lev >= cfg.level_threshold).astype(np.float32))
     fsel = map_freq_mask(cfg, freq) if emitted is not None else None
 
     # savetau frequencies must be rendered even if outside the map band --
@@ -1815,15 +1818,48 @@ def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
             centre = (0.5 * grid.nx, 0.5 * grid.ny, 0.5 * grid.nz)
         kk = render_mapping.map_scale_kk(cfg.gl)
         freq_s = np.asarray(freq)[fsel]
+        map_emitted = np.asarray(emitted, np.float64)
+        if cfg.roi_map and cfg.roi is not None and cfg.fast_map < 999:
+            # ROI_MAP (`roimap`): the Mapping/HealpixMapping kernels add
+            # emission only from cells whose root ancestor lies in the
+            # ROI box; extinction still comes from everything on the LOS
+            # (kernel_ASOC_map.c:515-961 InRoi gate -- emission masking
+            # is exactly that, since tau uses dens not emit). The hier
+            # kernels have no ROI gate in the reference, hence the
+            # fast_map<999 condition.
+            from ..transport.roi import roi_cell_mask
+            map_emitted = map_emitted.copy()
+            map_emitted[~roi_cell_mask(grid, cfg.roi)] = 0.0
         emit_map = jnp.asarray(
-            (np.asarray(emitted, np.float64)[:, fsel]
+            (map_emitted[:, fsel]
              * (kk * freq_s)[None, :]).astype(np.float32))
         if ext_cells is not None:
             ext_gl = jnp.asarray(ext_cells[:, fsel])
         else:
             ext_gl = jnp.asarray((np.asarray(medium.abs_gl)
                                   + np.asarray(medium.sca_gl))[fsel])
-        if cfg.fast_map >= 999:
+        if cfg.fast_map >= 999 and cfg.npix[1] <= 0:
+            # MAP_HIER + healpix (`mapping NSIDE -1 dx` with
+            # FAST_MAP>=999): per-level all-sky maps from the internal
+            # observer (ASOC.py:3332 selects map_H.c HealpixMapping;
+            # NDIR is the ini's direction count but every direction
+            # writes the same all-sky product, so one file per idir
+            # like the reference). Header [NSIDE, NPIX.y] + [NF, LEVELS]
+            # then float32 [NF, LEVELS, 12 NSIDE^2].
+            nside_h = int(cfg.npix[0])
+            intobs = cfg.intobs if cfg.intobs[0] > -1e7 else centre
+            phot, _, _ = render_mapping.render_healpix_hier(
+                grid, emit_map, ext_gl, intobs, nside_h)
+            hier = np.transpose(np.asarray(phot), (1, 0, 2))
+            for idir in range(len(cfg.obs_theta)):
+                res.maps[("hier_hp", idir)] = hier
+                if write_files:
+                    with open("map_dir_%02d_H.bin" % idir, "wb") as fp:
+                        np.asarray(cfg.npix, np.int32).tofile(fp)
+                        np.asarray([hier.shape[0], grid.levels],
+                                   np.int32).tofile(fp)
+                        hier.astype(np.float32).tofile(fp)
+        elif cfg.fast_map >= 999:
             # MAP_HIER: per-hierarchy-level maps, map_dir_XX_H.bin
             # (ASOC.py:3323-3438): [NX, NY] + [NF, LEVELS] int32 headers,
             # then float32 [NF, LEVELS, NY, NX]
@@ -1972,6 +2008,40 @@ def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
             else jnp.asarray(np.asarray(medium.abs_gl)
                              + np.asarray(medium.sca_gl))
         polred = len(cfg.file_polred) > 0
+        if (cfg.polstat > 0
+                and (cfg.intobs[0] > -1e7 or cfg.npix[1] <= 0)):
+            # healpix POLSTAT statistics maps: polmap + polstat>0 +
+            # NPIX.y<0 (ASOC.py:3807-3894, kernel_ASOC_map_H.c:867) --
+            # all-sky rhoTheta/rhoGamma/jTheta/jGamma planes
+            from ..render.polarization import render_polstat_healpix
+            nside_p = int(cfg.npix[0])
+            intobs = cfg.intobs if cfg.intobs[0] > -1e7 else centre
+            stats = render_polstat_healpix(
+                grid, emit_map, ext_gl, bfield,
+                jnp.asarray(intobs, jnp.float32), nside_p, polred=polred,
+                maxlos=cfg.maxlos,
+                use_shear=cfg.y_shear != 0.0, y_shear=cfg.y_shear)
+            nf = len(freq)
+            npx = 12 * nside_p * nside_p
+            stack = np.stack([
+                np.broadcast_to(np.asarray(stats["rT"])[None], (nf, npx)),
+                np.broadcast_to(np.asarray(stats["rI"])[None], (nf, npx)),
+                np.asarray(stats["jT"]), np.asarray(stats["jI"])])
+            res.maps[("polstat_hp", 0)] = stack
+            if write_files:
+                with open("pol_healpix.bin", "wb") as fp:
+                    np.asarray([nside_p, nf], np.int32).tofile(fp)
+                    stack.astype(np.float32).tofile(fp)
+                from ..io.fits import write_healpix_map
+                band = map_freq_mask(cfg, freq)
+                for ifq in np.nonzero(band)[0]:
+                    write_healpix_map(
+                        "pol_healpix.fits.%d" % ifq,
+                        tuple(stack[k, ifq] for k in range(4)), nside_p,
+                        column_names=("rhoTheta", "rhoGamma", "jTheta",
+                                      "jGamma"))
+            timings["maps"] = time.time() - t0
+            return
         if cfg.intobs[0] > -1e7 or cfg.npix[1] <= 0:
             # internal observer: all-sky polarization healpix maps
             # (PolHealpixMapping, kernel_ASOC_map_H.c:576-867); written as
@@ -2040,25 +2110,36 @@ def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
                     _write_polmap_fits(cfg, freq, stack, idir)
                 continue
             if cfg.polstat > 0:
-                # POLSTAT 1: density-weighted (rT, rI) angle/inclination
-                # statistics; POLSTAT 3: <B>, <B_LOS>, <B_POS>, tau
-                # (ASOC.py:3906-3914). Both stat sets come from one pass;
-                # written as polstat_dir_XX.bin: [NX, NY] int32 +
-                # float32 [7, NY, NX] = rT, rI, B, B_LOS, B_POS, tau, N.
+                # POLSTAT 1: rT, rI, jT, jI -- BOTH weighting families
+                # (density- and emission-weighted angle dispersion /
+                # inclination) in one run, written per map-band frequency
+                # as the reference's polmap FITS planes (ASOC.py:3659,
+                # kernel_ASOC_map.c:1164-1384). POLSTAT 3: <B>, <B_LOS>,
+                # <B_POS>, tau from the same march (:1594-1693); the
+                # legacy polstat_dir_XX.bin keeps [7, NY, NX] =
+                # rT, rI, B, B_LOS, B_POS, tau, N.
                 stats = render_polstat(
                     grid, emit_map, ext_gl, bfield, jnp.asarray(odir),
                     jnp.asarray(ra), jnp.asarray(de), centre, cfg.map_dx,
-                    tuple(cfg.npix),
-                    rho_weight=not cfg.has_key("polemweight"))
+                    tuple(cfg.npix), polred=polred, cell_w=thr_cell_w)
                 order = ("rT", "rI", "B", "B_LOS", "B_POS", "tau",
                          "colden")
                 stack = np.stack([np.asarray(stats[k]) for k in order])
                 stack[6] *= gl_cm
                 res.maps[("polstat", idir)] = stack
+                four = np.stack([
+                    np.broadcast_to(np.asarray(stats["rT"])[None],
+                                    np.asarray(stats["jT"]).shape),
+                    np.broadcast_to(np.asarray(stats["rI"])[None],
+                                    np.asarray(stats["jI"]).shape),
+                    np.asarray(stats["jT"]), np.asarray(stats["jI"])])
+                res.maps[("polstat4", idir)] = four
                 if write_files:
                     with open("polstat_dir_%02d.bin" % idir, "wb") as fp:
                         np.asarray(cfg.npix, np.int32).tofile(fp)
                         stack.astype(np.float32).tofile(fp)
+                    if cfg.polstat == 1:
+                        _write_polmap_fits(cfg, freq, four, idir)
                 continue
             s_i, s_q, s_u, colden = render_pol(
                 grid, emit_map, ext_gl, bfield, cfg.p0, jnp.asarray(odir),

@@ -543,3 +543,70 @@ def render_ortho_hier(grid, emit_map, ext_gl, odir, ra, de, centre, map_dx,
     state = (jnp.int32(0), pos, level, ind, anc, tau, phot)
     _, _, _, _, _, tau, phot = lax.while_loop(cond, body, state)
     return jnp.transpose(phot, (1, 2, 0)).reshape(nlev, nf, nyp, nxp)
+
+
+@partial(jax.jit, static_argnames=("nside", "max_steps"))
+def render_healpix_hier(grid, emit_map, ext_gl, intobs, nside,
+                        max_steps=100000):
+    """All-sky maps separated by hierarchy level: the MAP_HIER + healpix
+    combination (`mapping NSIDE -1 dx` with FAST_MAP>=999,
+    ASOC.py:3323-3438 selecting kernel_ASOC_map_H.c:507 HealpixMapping).
+    Rays march from INTOBS exactly like render_healpix; each step's
+    contribution is binned by the emitting cell's level like
+    render_ortho_hier. NOTE the reference kernel collapses the levels
+    into a single plane (MAP[id] = PHOTONS, :571) although the driver
+    sizes the file for LEVELS planes -- we actually perform the split,
+    so summing our level planes reproduces the reference's one filled
+    plane.
+
+    Returns (photons [LEVELS, NF, NPIX], tau [NF, NPIX], colden [NPIX]).
+    """
+    from . import healpix as hp
+    npix = 12 * nside * nside
+    nf = emit_map.shape[1]
+    nlev = grid.levels
+    theta, phi = hp.pix2ang_ring(nside, jnp.arange(npix))
+    step_dir = jnp.stack([-jnp.sin(theta) * jnp.cos(phi),
+                          -jnp.sin(theta) * jnp.sin(phi),
+                          jnp.cos(theta)], -1)
+    step_dir = jnp.where(jnp.abs(step_dir) < 1e-5, 1e-5, step_dir)
+    pos = jnp.broadcast_to(jnp.asarray(intobs, jnp.float32),
+                           (npix, 3)) + 2.0e-5
+    pos, level, ind, anc = traverse.index_global_stack(grid, pos)
+    tau = jnp.zeros((npix, nf), jnp.float32)
+    phot = jnp.zeros((npix, nlev, nf), jnp.float32)
+    colden = jnp.zeros(npix, jnp.float32)
+
+    def cond(state):
+        it = state[0]
+        return (it < max_steps) & jnp.any(state[3] >= 0)
+
+    def body(state):
+        it, pos, level, ind, anc, tau, phot, colden = state
+        active = ind >= 0
+        olevel = level
+        gidx = jnp.clip(grid.off[jnp.clip(level, 0, grid.levels - 1)]
+                        + jnp.maximum(ind, 0), 0, grid.cells - 1)
+        dens = grid.dens[gidx]
+        ds, npos, nlevel, nind, anc = traverse.get_step_stack(
+            grid, pos, step_dir, level, ind, anc, active)
+        failed = active & (nlevel == level) & (nind == ind)
+        npos = jnp.where(failed[:, None], npos + 1e-4 * step_dir, npos)
+        w = jnp.where(active, ds, 0.0)
+        ext_row = ext_gl[gidx, :] if ext_gl.ndim == 2 else ext_gl[None, :]
+        dtau = (w * dens)[:, None] * ext_row
+        emit = emit_map[gidx, :]
+        attw = jnp.where(dtau < 1.0e-3, 1.0 - 0.5 * dtau,
+                         (1.0 - jnp.exp(-dtau)) / jnp.maximum(dtau, 1e-30))
+        contrib = jnp.exp(-tau) * attw * (w * dens)[:, None] * emit
+        onehot = (olevel[:, None]
+                  == jnp.arange(nlev, dtype=jnp.int32)[None, :])
+        phot = phot + onehot.astype(jnp.float32)[:, :, None] \
+            * contrib[:, None, :]
+        tau = tau + dtau
+        colden = colden + w * dens
+        return it + 1, npos, nlevel, nind, anc, tau, phot, colden
+
+    state = (jnp.int32(0), pos, level, ind, anc, tau, phot, colden)
+    _, _, _, _, _, tau, phot, colden = lax.while_loop(cond, body, state)
+    return jnp.transpose(phot, (1, 2, 0)), tau.T, colden

@@ -270,21 +270,43 @@ def render_pol_healpix(grid, emit_map, ext_gl, bfield, p0, intobs, nside,
     return s_i.T, s_q.T, s_u.T, colden
 
 
-@partial(jax.jit, static_argnames=("npix", "rho_weight", "max_steps"))
+def _wrap_psi_dev(mean_psi, psi):
+    """Angle difference folded to [0, pi/2] as the reference does
+    (kernel_ASOC_map.c:1330-1340): d = fmod(|2 pi + <Psi> - Psi|, pi),
+    then d -> pi - d when d > pi/2 (Psi is a 2 pi angle but the
+    polarisation pseudo-vector has period pi)."""
+    d = jnp.mod(jnp.abs(2.0 * np.pi + mean_psi - psi), np.pi)
+    return jnp.where(d > 0.5 * np.pi, np.pi - d, d)
+
+
+@partial(jax.jit, static_argnames=("npix", "polred", "max_steps"))
 def render_polstat(grid, emit_map, ext_gl, bfield, odir, ra, de, centre,
-                   map_dx, npix, rho_weight=True, max_steps=100000):
-    """Polarization-statistics maps (POLSTAT modes 1 & 3,
-    kernel_ASOC_map.c:1164+): along each LOS, weighted by density (or by
-    attenuated emission at the first frequency when rho_weight=False),
-    accumulate
+                   map_dx, npix, polred=False, max_steps=100000,
+                   cell_w=None):
+    """Polarization-statistics maps (POLSTAT modes 1 & 3): the reference's
+    two-pass PolMapping (kernel_ASOC_map.c:1164-1384) writing all four
+    planes of one run -- BOTH weighting families together
+    (ASOC.py:3659-3661):
 
-      rT = sqrt(<(Psi - <Psi>)^2>)   dispersion of the polarisation angle
-      rI = arccos(sqrt(<cos^2 gamma>))  mean inclination (Chen+ 2016)
-      <|B|>, <|B_LOS|>, <|B_POS|>    field-strength statistics (POLSTAT 3)
+      rT = sqrt(sum(w (Psi-<Psi>)^2) / sum(w))   angle dispersion
+      rI = arccos(sqrt(sum(w cos^2 gamma)/sum(w)))  mean inclination
+           with w = rho ds (density weighting), and jT/jI the same with
+           w = the attenuated emission contribution (per frequency).
+      <Psi> comes from the Q/U sums (0.5 atan2(sum w sin 2Psi cc,
+      sum w cos 2Psi cc)), evaluated in a first pass; the second pass
+      accumulates the folded (Psi - <Psi>)^2 sums (Chen et al. 2016
+      Eqs. 11-14). polred encodes the polarisation-reduction factor in
+      |B| exactly like render_pol.
 
-    Returns dict of [NY, NX] maps + colden.
+    Also returns the density-weighted field statistics <|B|>, <|B_LOS|>,
+    <|B_POS|> (POLSTAT 3, kernel_ASOC_map.c:1594-1693) plus the
+    first-frequency tau and colden from the same march.
+
+    Returns dict: rT, rI, B, B_LOS, B_POS, tau, colden [NY, NX];
+    jT, jI [NF, NY, NX].
     """
     nxp, nyp = npix
+    nf = emit_map.shape[1]
     i = jnp.arange(nxp, dtype=jnp.float32)
     j = jnp.arange(nyp, dtype=jnp.float32)
     ii, jj = jnp.meshgrid(i, j, indexing="xy")
@@ -299,68 +321,283 @@ def render_polstat(grid, emit_map, ext_gl, bfield, odir, ra, de, centre,
     step_dir = -odir
     step_dir = jnp.where(jnp.abs(step_dir) < 1e-5, 1e-5, step_dir)
     step_dir = jnp.broadcast_to(step_dir, pos.shape)
-    pos, level, ind, anc = traverse.index_global_stack(grid, pos)
-    npixels = pos.shape[0]
+    pos0, level0, ind0, anc0 = traverse.index_global_stack(grid, pos)
+    npixels = pos0.shape[0]
 
-    acc = {k: jnp.zeros(npixels, jnp.float32)
-           for k in ("w", "psi", "psi2", "cc", "b", "blos", "bpos", "tau",
-                     "colden")}
-
-    def cond(state):
-        it = state[0]
-        ind = state[3]
-        return (it < max_steps) & jnp.any(ind >= 0)
-
-    def body(state):
-        it, pos, level, ind, anc, acc = state
-        active = ind >= 0
-        gidx = jnp.clip(grid.off[jnp.clip(level, 0, grid.levels - 1)]
-                        + jnp.maximum(ind, 0), 0, grid.cells - 1)
-        dens = grid.dens[gidx]
+    def geom(gidx):
+        """Per-cell polarisation geometry shared by both passes."""
         b = bfield[gidx]
-        ds, npos, nlevel, nind, anc = traverse.get_step_stack(
-            grid, pos, step_dir, level, ind, anc, active)
-        failed = active & (nlevel == level) & (nind == ind)
-        npos = jnp.where(failed[:, None], npos + 1e-4 * step_dir, npos)
-        sx = jnp.where(active, ds, 0.0)
-        dtau = sx * dens * ext_gl[0]
         bnorm = jnp.linalg.norm(b, axis=-1)
+        pr = bnorm if polred else jnp.ones_like(bnorm)
         bn = b / jnp.maximum(bnorm, 1e-30)[:, None]
         psi = (0.5 * np.pi
                + jnp.arctan2(jnp.sum(bn * (-ra)[None, :], axis=-1),
                              jnp.sum(bn * de[None, :], axis=-1)))
-        blos = jnp.abs(jnp.sum(b * odir[None, :], axis=-1))
-        bpos = jnp.sqrt(jnp.maximum(bnorm**2 - blos**2, 0.0))
-        cc = 0.99999 - 0.99998 * (jnp.sum(bn * odir[None, :], axis=-1)) ** 2
-        if rho_weight:
-            w = sx * dens
-        else:
-            emit = emit_map[gidx, 0]
-            w = jnp.exp(-acc["tau"]) * sx * emit * dens
-        acc2 = dict(acc)
-        acc2["w"] = acc["w"] + w
-        acc2["psi"] = acc["psi"] + w * psi
-        acc2["psi2"] = acc["psi2"] + w * psi * psi
-        acc2["cc"] = acc["cc"] + w * cc
-        acc2["b"] = acc["b"] + w * bnorm
-        acc2["blos"] = acc["blos"] + w * blos
-        acc2["bpos"] = acc["bpos"] + w * bpos
-        acc2["tau"] = acc["tau"] + dtau
-        acc2["colden"] = acc["colden"] + sx * dens
-        return it + 1, npos, nlevel, nind, anc, acc2
+        cc = (0.99999
+              - 0.99998 * (jnp.sum(bn * odir[None, :], axis=-1)) ** 2)
+        return b, bnorm, pr, psi, cc
 
-    state = (jnp.int32(0), pos, level, ind, anc, acc)
-    _, _, _, _, _, acc = lax.while_loop(cond, body, state)
-    w = jnp.maximum(acc["w"], 1e-30)
-    mean_psi = acc["psi"] / w
-    var_psi = jnp.maximum(acc["psi2"] / w - mean_psi**2, 0.0)
-    out = {
-        "rT": jnp.sqrt(var_psi),
-        "rI": jnp.arccos(jnp.sqrt(jnp.clip(acc["cc"] / w, 0.0, 1.0))),
-        "B": acc["b"] / w,
-        "B_LOS": acc["blos"] / w,
-        "B_POS": acc["bpos"] / w,
-        "tau": acc["tau"],
-        "colden": acc["colden"],
+    def march(body_extra, acc):
+        """while_loop skeleton: step rays, hand (cell, weights) to
+        body_extra which updates the accumulator dict."""
+        def cond(state):
+            it = state[0]
+            return (it < max_steps) & jnp.any(state[3] >= 0)
+
+        def body(state):
+            it, pos, level, ind, anc, acc = state
+            active = ind >= 0
+            gidx = jnp.clip(grid.off[jnp.clip(level, 0, grid.levels - 1)]
+                            + jnp.maximum(ind, 0), 0, grid.cells - 1)
+            dens = grid.dens[gidx]
+            ds, npos, nlevel, nind, anc = traverse.get_step_stack(
+                grid, pos, step_dir, level, ind, anc, active)
+            failed = active & (nlevel == level) & (nind == ind)
+            npos = jnp.where(failed[:, None], npos + 1e-4 * step_dir,
+                             npos)
+            sx = jnp.where(active, ds, 0.0)
+            ext_row = (ext_gl[gidx, :] if ext_gl.ndim == 2
+                       else ext_gl[None, :])
+            dtau = (sx * dens)[:, None] * ext_row           # [P, NF]
+            emit = emit_map[gidx, :]
+            attw = jnp.where(dtau < 1.0e-3, 1.0 - 0.5 * dtau,
+                             (1.0 - jnp.exp(-dtau))
+                             / jnp.maximum(dtau, 1e-30))
+            sz = (jnp.exp(-acc["tau"]) * attw
+                  * (sx * dens)[:, None] * emit)            # [P, NF]
+            acc = body_extra(acc, gidx, sx * dens, sz)
+            acc = dict(acc)
+            acc["tau"] = acc["tau"] + dtau
+            return it + 1, npos, nlevel, nind, anc, acc
+
+        acc = dict(acc)
+        acc["tau"] = jnp.zeros((npixels, nf), jnp.float32)
+        state = (jnp.int32(0), pos0, level0, ind0, anc0, acc)
+        return lax.while_loop(cond, body, state)[5]
+
+    def rho_w(gidx, wrho):
+        # LEVEL_THRESHOLD zeroes the density weight too, not only the
+        # emission (kernel_ASOC_map.c:1262-1266) -- cell_w carries the
+        # per-cell 0/1 mask when `threshold` is set
+        return wrho if cell_w is None else wrho * cell_w[gidx]
+
+    # ---- pass 1: weighted cos^2 gamma and Q/U sums -> <Psi>, *I planes
+    def pass1(acc, gidx, wrho, sz):
+        raw_w = wrho                       # colden stays unmasked
+        wrho = rho_w(gidx, wrho)
+        b, bnorm, pr, psi, cc = geom(gidx)
+        wr = wrho * pr
+        wj = sz * pr[:, None]
+        acc = dict(acc)
+        acc["sR"] = acc["sR"] + wr
+        acc["sRG"] = acc["sRG"] + wr * cc
+        acc["RQ"] = acc["RQ"] + wr * jnp.cos(2.0 * psi) * cc
+        acc["RU"] = acc["RU"] + wr * jnp.sin(2.0 * psi) * cc
+        acc["sJ"] = acc["sJ"] + wj
+        acc["sJG"] = acc["sJG"] + wj * cc[:, None]
+        acc["JQ"] = acc["JQ"] + wj * (jnp.cos(2.0 * psi) * cc)[:, None]
+        acc["JU"] = acc["JU"] + wj * (jnp.sin(2.0 * psi) * cc)[:, None]
+        # density-weighted field statistics (POLSTAT 3 -- no polred there)
+        acc["b"] = acc["b"] + wrho * bnorm
+        blos = jnp.abs(jnp.sum(b * odir[None, :], axis=-1))
+        acc["blos"] = acc["blos"] + wrho * blos
+        acc["bpos"] = acc["bpos"] + wrho * jnp.sqrt(
+            jnp.maximum(bnorm**2 - blos**2, 0.0))
+        acc["wB"] = acc["wB"] + wrho
+        acc["colden"] = acc["colden"] + raw_w
+        return acc
+
+    zp = jnp.zeros(npixels, jnp.float32)
+    zf = jnp.zeros((npixels, nf), jnp.float32)
+    a1 = march(pass1, dict(sR=zp, sRG=zp, RQ=zp, RU=zp, b=zp, blos=zp,
+                           bpos=zp, wB=zp, colden=zp, sJ=zf, sJG=zf,
+                           JQ=zf, JU=zf))
+    s_r = jnp.maximum(a1["sR"], 1e-30)
+    s_j = jnp.maximum(a1["sJ"], 1e-30)
+    rpsi = 0.5 * jnp.arctan2(a1["RU"], a1["RQ"])
+    jpsi = 0.5 * jnp.arctan2(a1["JU"], a1["JQ"])
+
+    # ---- pass 2: folded (Psi - <Psi>)^2 sums -> *T planes
+    def pass2(acc, gidx, wrho, sz):
+        wrho = rho_w(gidx, wrho)
+        _, _, pr, psi, _ = geom(gidx)
+        d = _wrap_psi_dev(rpsi, psi)
+        dj = _wrap_psi_dev(jpsi, psi[:, None])
+        acc = dict(acc)
+        acc["sRP"] = acc["sRP"] + wrho * pr * d * d
+        acc["sJP"] = acc["sJP"] + sz * pr[:, None] * dj * dj
+        return acc
+
+    a2 = march(pass2, dict(sRP=zp, sJP=zf))
+
+    def shp(v):
+        return (v.T.reshape(nf, nyp, nxp) if v.ndim == 2
+                else v.reshape(nyp, nxp))
+
+    return {
+        "rT": shp(jnp.sqrt(a2["sRP"] / s_r)),
+        "rI": shp(jnp.arccos(jnp.sqrt(jnp.clip(a1["sRG"] / s_r,
+                                               0.0, 1.0)))),
+        "jT": shp(jnp.sqrt(a2["sJP"] / s_j)),
+        "jI": shp(jnp.arccos(jnp.sqrt(jnp.clip(a1["sJG"] / s_j,
+                                               0.0, 1.0)))),
+        "B": shp(a1["b"] / jnp.maximum(a1["wB"], 1e-30)),
+        "B_LOS": shp(a1["blos"] / jnp.maximum(a1["wB"], 1e-30)),
+        "B_POS": shp(a1["bpos"] / jnp.maximum(a1["wB"], 1e-30)),
+        "tau": shp(a1["tau"][:, 0]),
+        "colden": shp(a1["colden"]),
     }
-    return {k: v.reshape(nyp, nxp) for k, v in out.items()}
+
+
+@partial(jax.jit, static_argnames=("nside", "polred", "max_steps",
+                                   "use_shear"))
+def render_polstat_healpix(grid, emit_map, ext_gl, bfield, intobs, nside,
+                           polred=False, max_steps=100000, maxlos=1e10,
+                           use_shear=False, y_shear=0.0):
+    """All-sky polarization-statistics maps around an internal observer:
+    the reference's healpix POLSTAT PolHealpixMapping
+    (kernel_ASOC_map_H.c:867-1143, reached via polmap + polstat>0 +
+    NPIX.y<0, ASOC.py:3807-3894). Same two-pass rT/rI/jT/jI algorithm as
+    render_polstat but along one ray per RING pixel from INTOBS, with the
+    per-pixel tangent basis and Psi = atan2(B.RA, B.DE) (the healpix
+    kernel's convention, :949 -- the constant offset vs the ortho variant
+    cancels in the dispersion). Rays stop at maxlos; use_shear wraps
+    X/Y-face exits with the shearing-box shift like render_pol.
+
+    Returns dict: rT, rI [NPIX]; jT, jI [NF, NPIX] (reference plane
+    order rhoTheta, rhoGamma, jTheta, jGamma).
+    """
+    from . import healpix as hp
+    npix = 12 * nside * nside
+    nf = emit_map.shape[1]
+    theta, phi = hp.pix2ang_ring(nside, jnp.arange(npix))
+    step_dir = jnp.stack([-jnp.sin(theta) * jnp.cos(phi),
+                          -jnp.sin(theta) * jnp.sin(phi),
+                          jnp.cos(theta)], -1)
+    step_dir = jnp.where(jnp.abs(step_dir) < 1e-5, 1e-5, step_dir)
+    # orthonormal tangent basis of each LOS (render_pol_healpix docstring
+    # records the deviation from the reference's non-orthogonal HRA/HDE)
+    ra = jnp.stack([jnp.sin(phi), -jnp.cos(phi),
+                    jnp.zeros_like(phi)], -1)
+    de = jnp.stack([jnp.cos(theta) * jnp.cos(phi),
+                    jnp.cos(theta) * jnp.sin(phi),
+                    jnp.sin(theta)], -1)
+    odir = -step_dir
+    pos = jnp.broadcast_to(jnp.asarray(intobs, jnp.float32),
+                           (npix, 3)) + 2.0e-5
+    pos0, level0, ind0, anc0 = traverse.index_global_stack(grid, pos)
+
+    def geom(gidx):
+        b = bfield[gidx]
+        bnorm = jnp.linalg.norm(b, axis=-1)
+        pr = bnorm if polred else jnp.ones_like(bnorm)
+        bn = b / jnp.maximum(bnorm, 1e-30)[:, None]
+        psi = jnp.arctan2(jnp.sum(bn * ra, axis=-1),
+                          jnp.sum(bn * de, axis=-1))
+        cc = 0.99999 - 0.99998 * jnp.sum(bn * odir, axis=-1) ** 2
+        return pr, psi, cc
+
+    def march(body_extra, acc):
+        def cond(state):
+            it = state[0]
+            return (it < max_steps) & jnp.any(state[3] >= 0)
+
+        def body(state):
+            it, pos, level, ind, anc, los, acc = state
+            active = ind >= 0
+            gidx = jnp.clip(grid.off[jnp.clip(level, 0, grid.levels - 1)]
+                            + jnp.maximum(ind, 0), 0, grid.cells - 1)
+            dens = grid.dens[gidx]
+            ds, npos, nlevel, nind, anc = traverse.get_step_stack(
+                grid, pos, step_dir, level, ind, anc, active)
+            failed = active & (nlevel == level) & (nind == ind)
+            npos = jnp.where(failed[:, None], npos + 1e-4 * step_dir,
+                             npos)
+            # truncate the final step at maxlos (kernel_ASOC_map_H.c:925)
+            sx = jnp.where(active, ds, 0.0)
+            sx = jnp.minimum(sx, jnp.maximum(maxlos - los, 0.0))
+            ext_row = (ext_gl[gidx, :] if ext_gl.ndim == 2
+                       else ext_gl[None, :])
+            dtau = (sx * dens)[:, None] * ext_row
+            emit = emit_map[gidx, :]
+            attw = jnp.where(dtau < 1.0e-3, 1.0 - 0.5 * dtau,
+                             (1.0 - jnp.exp(-dtau))
+                             / jnp.maximum(dtau, 1e-30))
+            sz = (jnp.exp(-acc["tau"]) * attw
+                  * (sx * dens)[:, None] * emit)
+            acc = body_extra(acc, gidx, sx * dens, sz)
+            acc = dict(acc)
+            acc["tau"] = acc["tau"] + dtau
+            los = los + jnp.where(active, ds, 0.0)
+            if use_shear:
+                nx_, ny_, nz_ = (jnp.float32(grid.nx),
+                                 jnp.float32(grid.ny),
+                                 jnp.float32(grid.nz))
+                exited = active & (nind < 0)
+                zin = (npos[:, 2] > 0.0) & (npos[:, 2] < nz_)
+                cont = exited & zin & (los < maxlos)
+                xlo = npos[:, 0] <= 0.0
+                xhi = npos[:, 0] >= nx_
+                newx = jnp.where(xlo, nx_ - 1e-3,
+                                 jnp.where(xhi, 1e-3, npos[:, 0]))
+                yshift = jnp.where(
+                    xlo, -jnp.float32(y_shear),
+                    jnp.where(xhi, jnp.float32(y_shear), 0.0))
+                newy = jnp.clip(jnp.mod(npos[:, 1] + ny_ + yshift, ny_),
+                                1e-3, ny_ - 1e-3)
+                wpos = jnp.stack([newx, newy, npos[:, 2]], axis=1)
+                wp, wl, wi, wa = traverse.index_global_stack(grid, wpos)
+                npos = jnp.where(cont[:, None], wp, npos)
+                nlevel = jnp.where(cont, wl, nlevel)
+                nind = jnp.where(cont, wi, nind)
+                anc = jnp.where(cont[:, None], wa, anc)
+            nind = jnp.where(los >= maxlos, jnp.int32(-1), nind)
+            return it + 1, npos, nlevel, nind, anc, los, acc
+
+        acc = dict(acc)
+        acc["tau"] = jnp.zeros((npix, nf), jnp.float32)
+        los = jnp.zeros(npix, jnp.float32)
+        state = (jnp.int32(0), pos0, level0, ind0, anc0, los, acc)
+        return lax.while_loop(cond, body, state)[6]
+
+    def pass1(acc, gidx, wrho, sz):
+        pr, psi, cc = geom(gidx)
+        wr = wrho * pr
+        wj = sz * pr[:, None]
+        acc = dict(acc)
+        acc["sR"] = acc["sR"] + wr
+        acc["sRG"] = acc["sRG"] + wr * cc
+        acc["RQ"] = acc["RQ"] + wr * jnp.cos(2.0 * psi) * cc
+        acc["RU"] = acc["RU"] + wr * jnp.sin(2.0 * psi) * cc
+        acc["sJ"] = acc["sJ"] + wj
+        acc["sJG"] = acc["sJG"] + wj * cc[:, None]
+        acc["JQ"] = acc["JQ"] + wj * (jnp.cos(2.0 * psi) * cc)[:, None]
+        acc["JU"] = acc["JU"] + wj * (jnp.sin(2.0 * psi) * cc)[:, None]
+        return acc
+
+    zp = jnp.zeros(npix, jnp.float32)
+    zf = jnp.zeros((npix, nf), jnp.float32)
+    a1 = march(pass1, dict(sR=zp, sRG=zp, RQ=zp, RU=zp,
+                           sJ=zf, sJG=zf, JQ=zf, JU=zf))
+    s_r = jnp.maximum(a1["sR"], 1e-30)
+    s_j = jnp.maximum(a1["sJ"], 1e-30)
+    rpsi = 0.5 * jnp.arctan2(a1["RU"], a1["RQ"])
+    jpsi = 0.5 * jnp.arctan2(a1["JU"], a1["JQ"])
+
+    def pass2(acc, gidx, wrho, sz):
+        pr, psi, _ = geom(gidx)
+        d = _wrap_psi_dev(rpsi, psi)
+        dj = _wrap_psi_dev(jpsi, psi[:, None])
+        acc = dict(acc)
+        acc["sRP"] = acc["sRP"] + wrho * pr * d * d
+        acc["sJP"] = acc["sJP"] + sz * pr[:, None] * dj * dj
+        return acc
+
+    a2 = march(pass2, dict(sRP=zp, sJP=zf))
+    return {
+        "rT": jnp.sqrt(a2["sRP"] / s_r),
+        "rI": jnp.arccos(jnp.sqrt(jnp.clip(a1["sRG"] / s_r, 0.0, 1.0))),
+        "jT": jnp.sqrt(a2["sJP"] / s_j).T,
+        "jI": jnp.arccos(jnp.sqrt(jnp.clip(a1["sJG"] / s_j,
+                                           0.0, 1.0))).T,
+    }

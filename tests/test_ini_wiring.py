@@ -690,3 +690,104 @@ def test_mmapabs_with_ali_and_emweight(model_dir):
                                atol=1e-30)
     np.testing.assert_allclose(r_mm.temperature, r_dev.temperature,
                                rtol=1e-6)
+
+
+def test_maphier_healpix_allsky(model_dir):
+    # `mapping NSIDE -1 dx 999`: MAP_HIER + healpix = per-level all-sky
+    # maps (ASOC.py:3332 -> kernel_ASOC_map_H.c:507). Summing the level
+    # planes must reproduce the plain all-sky map of the same model.
+    base_h = BASE_INI.replace("mapping         8 8 1.0",
+                              "mapping         4 -1 1.0 999")
+    res_h = run_ini(model_dir, base=base_h)
+    hier = res_h.maps[("hier_hp", 0)]           # [NF, LEVELS, NPIX]
+    assert hier.shape[1:] == (1, 12 * 16)
+    base_p = BASE_INI.replace("mapping         8 8 1.0",
+                              "mapping         4 -1 1.0")
+    res_p = run_ini(model_dir, base=base_p)
+    np.testing.assert_allclose(hier[:, 0], res_p.maps[0], rtol=1e-5)
+    raw = np.fromfile(model_dir / "map_dir_00_H.bin", np.float32)
+    nside, ny, nf, lev = raw[:4].view(np.int32)
+    assert (nside, ny, lev) == (4, -1, 1)
+    assert nf == hier.shape[0]
+
+
+def test_polstat1_writes_all_four_planes(model_dir):
+    cells = N ** 3
+    for name, val in (("Bx", 0.0), ("By", 0.0), ("Bz", 1.0)):
+        write_hierarchy(model_dir / (name + ".bin"), N, N, N, [cells],
+                        [np.full(cells, val, np.float32)])
+    res = run_ini(model_dir,
+                  "polmap 1\npolstat 1\nBfiles Bx.bin By.bin Bz.bin\n")
+    four = res.maps[("polstat4", 0)]            # [4, NF, NY, NX]
+    assert four.shape[0] == 4 and four.shape[2:] == (8, 8)
+    rT, rI, jT, jI = four
+    # B parallel to the LOS (observer at theta=0 looks along +Z):
+    # both weighting families see gamma = 90 deg and zero dispersion
+    np.testing.assert_allclose(rT, 0.0, atol=5e-3)
+    np.testing.assert_allclose(jT, 0.0, atol=5e-3)
+    np.testing.assert_allclose(rI, np.pi / 2, atol=0.05)
+    np.testing.assert_allclose(jI, np.pi / 2, atol=0.05)
+    # the reference product: one polmap FITS per map-band frequency
+    import glob
+    assert glob.glob(str(model_dir / "polmap_*_00.fits"))
+
+
+def test_polstat1_families_differ_with_structure(model_dir):
+    # emission weighting must actually differ from density weighting
+    # when the field is tangled: j weights concentrate on the warm
+    # (attenuation-weighted) part of each LOS
+    cells = N ** 3
+    rng = np.random.default_rng(7)
+    for name in ("Bx", "By", "Bz"):
+        write_hierarchy(model_dir / (name + ".bin"), N, N, N, [cells],
+                        [rng.normal(size=cells).astype(np.float32)])
+    res = run_ini(model_dir,
+                  "polmap 1\npolstat 1\nBfiles Bx.bin By.bin Bz.bin\n")
+    rT, rI, jT, jI = res.maps[("polstat4", 0)]
+    assert float(rT.mean()) > 0.3               # tangled -> dispersed
+    assert float(jT.mean()) > 0.3
+    # families are not copies of one another
+    assert not np.allclose(rT[0], jT[0], rtol=1e-3)
+
+
+def test_polstat_healpix_stats_maps(model_dir):
+    cells = N ** 3
+    for name, val in (("Bx", 0.0), ("By", 0.0), ("Bz", 1.0)):
+        write_hierarchy(model_dir / (name + ".bin"), N, N, N, [cells],
+                        [np.full(cells, val, np.float32)])
+    base = BASE_INI.replace("mapping         8 8 1.0",
+                            "mapping         4 -1 1.0")
+    res = run_ini(model_dir, base=base,
+                  extra="polmap 1\npolstat 1\n"
+                        "Bfiles Bx.bin By.bin Bz.bin\n")
+    stack = res.maps[("polstat_hp", 0)]         # [4, NF, NPIX]
+    npix = 12 * 16
+    assert stack.shape[0] == 4 and stack.shape[2] == npix
+    rI = stack[1, 0]
+    # uniform B along +Z: polar pixels look along B (gamma = 90 deg ->
+    # rhoGamma ~ pi/2), equatorial pixels look across it (rhoGamma ~ 0)
+    assert rI[0] > 1.3                          # RING pixel 0 ~ north pole
+    eq = rI[npix // 2 - 8: npix // 2 + 8]       # equatorial ring
+    assert eq.max() < 0.3
+    raw = np.fromfile(model_dir / "pol_healpix.bin", np.float32)
+    nside, nf = raw[:2].view(np.int32)
+    assert nside == 4 and nf == stack.shape[1]
+    import glob
+    assert glob.glob(str(model_dir / "pol_healpix.fits.*"))
+
+
+def test_roimap_restricts_map_emission(model_dir):
+    # roimap: maps include only emission from inside the ROI box
+    # (extinction unchanged) -- kernel_ASOC_map.c InRoi gate
+    res_all = run_ini(model_dir)
+    res_roi = run_ini(model_dir, "roi 0 5 0 11 0 11\nroimap\n")
+    m_all, m_roi = res_all.maps[0], res_roi.maps[0]
+    assert 0 < m_roi.sum() < 0.75 * m_all.sum()
+    # a ROI covering the whole cloud must change nothing
+    res_full = run_ini(model_dir,
+                       "roi 0 %d 0 %d 0 %d\nroimap\n" % (N - 1, N - 1,
+                                                         N - 1))
+    np.testing.assert_allclose(res_full.maps[0], m_all, rtol=1e-6)
+    # tau maps identical: ROI masks emission only
+    np.testing.assert_allclose(res_roi.tau_maps[0], res_all.tau_maps[0],
+                               rtol=1e-6)
