@@ -257,36 +257,36 @@ def index_update_stack(grid, pos, level, ind, anc, active, descend=True):
     for _ in range(grid.levels - 1):
         plevel = level - 1
         parent = _anc_read(anc, jnp.maximum(plevel, 0))
-        # case A: parent is at root
-        posA = 0.5 * pos
-        posA = posA.at[..., 0].add((parent % grid.nx).astype(pos.dtype))
-        posA = posA.at[..., 1].add(((parent // grid.nx)
-                                    % grid.ny).astype(pos.dtype))
-        posA = posA.at[..., 2].add((parent
-                                    // (grid.nx * grid.ny)).astype(pos.dtype))
-        outsideA = _outside_root(posA, grid.nx, grid.ny, grid.nz)
-        indA = jnp.where(outsideA, INVALID,
-                         _root_index(posA, grid.nx, grid.ny, grid.nz))
-        # case B: parent inside an octet at plevel > 0
+        rootcase = plevel == 0
+        # integer parent-cell coordinates in the parent frame, selected
+        # BEFORE the float work (root: decoded root index; octet: sub-id
+        # bits) -- one position update instead of the posA/posB pair
         sid = parent % 8
-        posB = 0.5 * pos
-        posB = posB.at[..., 0].add((sid % 2).astype(pos.dtype))
-        posB = posB.at[..., 1].add(((sid // 2) % 2).astype(pos.dtype))
-        posB = posB.at[..., 2].add((sid // 4).astype(pos.dtype))
-        insideB = ((posB[..., 0] >= 0.0) & (posB[..., 0] <= 2.0)
-                   & (posB[..., 1] >= 0.0) & (posB[..., 1] <= 2.0)
-                   & (posB[..., 2] >= 0.0) & (posB[..., 2] <= 2.0))
-        indB = parent - sid + _suboct(posB)
-
-        rootcase = up & (plevel == 0)
-        octcase = up & (plevel > 0)
-        pos = jnp.where(rootcase[..., None], posA,
-                        jnp.where(octcase[..., None], posB, pos))
-        ind = jnp.where(rootcase, indA,
-                        jnp.where(octcase,
-                                  jnp.where(insideB, indB, parent), ind))
+        px = jnp.where(rootcase, parent % grid.nx, sid % 2)
+        py = jnp.where(rootcase, (parent // grid.nx) % grid.ny,
+                       (sid // 2) % 2)
+        pz = jnp.where(rootcase, parent // (grid.nx * grid.ny), sid // 4)
+        coords = jnp.stack([px, py, pz], -1).astype(pos.dtype)
+        npos = 0.5 * pos + coords
+        hi = jnp.where(rootcase[..., None],
+                       jnp.asarray([grid.nx, grid.ny, grid.nz],
+                                   pos.dtype)[None, :],
+                       jnp.asarray(2.0, pos.dtype))
+        # bit-exact bounds of the two original tests: the root test is
+        # exclusive (outside at == 0 / == n), the octet test inclusive
+        ge = jnp.where(rootcase[..., None], npos > 0.0, npos >= 0.0)
+        le = jnp.where(rootcase[..., None], npos < hi, npos <= hi)
+        inside = jnp.all(ge & le, axis=-1)
+        nind = jnp.where(rootcase,
+                         jnp.where(inside,
+                                   _root_index(npos, grid.nx, grid.ny,
+                                               grid.nz), INVALID),
+                         jnp.where(inside,
+                                   parent - sid + _suboct(npos), parent))
+        pos = jnp.where(up[..., None], npos, pos)
+        ind = jnp.where(up, nind, ind)
         level = jnp.where(up, plevel, level)
-        nowdone = rootcase | (octcase & insideB)
+        nowdone = up & (rootcase | inside)
         up = up & ~nowdone & (level > 0)
 
     if descend:

@@ -626,7 +626,8 @@ def _build_domain_runner(slabs, mesh, nlanes, k_inner, max_super,
 
             # ---- serve pending split-clone requests into dead lanes
             if do_split:
-                b, pending, free_path, tau, sp, dead = serve_clones(
+                # anc=None: the superstep rebuilds stacks wholesale below
+                b, pending, free_path, tau, sp, dead, _ = serve_clones(
                     seed, b, pending, free_path, tau, sp,
                     dead & (emig == 0))
                 dead = (b.ind < 0) & (emig == 0)
@@ -781,7 +782,7 @@ def _build_domain_runner(slabs, mesh, nlanes, k_inner, max_super,
                  jnp.zeros(n, jnp.float32),                       # free_path
                  jnp.zeros(n, jnp.float32),                       # tau
                  jnp.zeros(n, jnp.int32),                         # emig
-                 init_split_state(n) if do_split else {},         # sp
+                 init_split_state(n, grid.levels) if do_split else {},
                  jnp.zeros((PCAP, _PK), jnp.float32),             # pend
                  jnp.int32(0),                                    # pend_n
                  jnp.int32(0),                                    # next_id

@@ -73,6 +73,10 @@ class PacketBatch:
     counter: jax.Array    # [N] uint32 RNG draw counter
     scatterings: jax.Array  # [N] int32
     e_cell: jax.Array     # [N] int32 emitting cell (ALI); -1 otherwise
+    # [N, levels-1] ancestor stack of the birth cell, set by the source
+    # generators (the leaf walk they already do records it for free) so
+    # the refill step needs no PAR gathers; None outside the refill path
+    anc: jax.Array | None = None
 
     @property
     def lanes(self):
@@ -124,9 +128,10 @@ def make_dead(n):
         e_cell=jnp.full(n, -1, jnp.int32))
 
 
-def init_split_state(nlanes):
+def init_split_state(nlanes, levels=1):
     """Fresh per-lane split/clone bookkeeping (see transport_run split_max)."""
-    return dict(pos=jnp.zeros((nlanes, 3), jnp.float32),
+    return dict(anc=jnp.zeros((nlanes, max(levels - 1, 1)), jnp.int32),
+                pos=jnp.zeros((nlanes, 3), jnp.float32),
                 dir=jnp.zeros((nlanes, 3), jnp.float32),
                 level=jnp.zeros(nlanes, jnp.int32),
                 ind=jnp.zeros(nlanes, jnp.int32),
@@ -143,10 +148,12 @@ def init_split_state(nlanes):
                 clones=jnp.uint32(0))
 
 
-def serve_clones(seed, b, pending, free_path, tau, sp, dead):
+def serve_clones(seed, b, pending, free_path, tau, sp, dead, anc=None):
     """Serve pending split-clone requests into dead lanes (shared by the
     single-device refill and the domain superstep). Returns the updated
-    (b, pending, free_path, tau, sp, dead)."""
+    (b, pending, free_path, tau, sp, dead, anc); adopted lanes inherit
+    the donor's ancestor stack recorded at split time (pass anc=None to
+    skip -- the domain superstep rebuilds stacks wholesale instead)."""
     nlanes = b.lanes
     di = dead.astype(jnp.int32)
     drank = jnp.cumsum(di) - di
@@ -214,7 +221,9 @@ def serve_clones(seed, b, pending, free_path, tau, sp, dead):
           "pending": pend & ~(prank < n_dead),
           "clones": sp["clones"]
           + jnp.sum(adopt.astype(jnp.uint32))}
-    return b, pending, free_path, tau, sp, b.ind < 0
+    if anc is not None:
+        anc = jnp.where(al, sp["anc"][donor], anc)
+    return b, pending, free_path, tau, sp, b.ind < 0, anc
 
 
 class StepKit:
@@ -611,6 +620,7 @@ def make_step_fns(grid, physics, seed, *, per_freq_tally=False,
                   "path": jnp.where(want, clone_path, sp["path"]),
                   "depth": jnp.where(want, depth_new, sp["depth"]),
                   "face": jnp.where(want, face, sp["face"]),
+                  "anc": jnp.where(wl, anc, sp["anc"]),
                   "pending": sp["pending"] | want,
                   "lane_depth": depth_new}
         scat = b.scatterings + scatter_now.astype(jnp.int32)
@@ -740,8 +750,8 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
 
         # ---- serve pending split-clone requests into dead lanes first
         if do_split:
-            b, pending, free_path, tau, sp, dead = serve_clones(
-                seed, b, pending, free_path, tau, sp, dead)
+            b, pending, free_path, tau, sp, dead, anc = serve_clones(
+                seed, b, pending, free_path, tau, sp, dead, anc)
 
         # ---- refill dead lanes from the remaining packet budget
         deadi = dead.astype(jnp.int32)
@@ -781,10 +791,11 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
         next_id = next_id + jnp.sum(can.astype(jnp.int32))
 
         # ---- ancestor stack for the PAR-free up-walk in the march steps:
-        # derivable from (level, ind) at any time, so one rebuild per
-        # refill body covers freshly refilled lanes and split clones alike
-        # (the march maintains it incrementally in between)
-        anc = traverse.stack_from_par(grid, b.level, b.ind)
+        # refilled lanes get theirs from the generator (whose leaf walk
+        # records it for free); the march and serve_clones maintain it
+        # incrementally in between -- NO PAR gathers in the refill body
+        if grid.levels > 1:
+            anc = jnp.where(can[:, None], nb.anc, anc)
 
         # ---- per-lane physics constants, refreshed once per refill body
         # (amortized over the refill_period inner steps)
@@ -812,7 +823,7 @@ def transport_run(grid, physics, source_params, total_packets, tabs, intf,
     if roi_tally is None:
         roi_tally = jnp.zeros(1, jnp.float32)
     b0 = make_dead(nlanes)
-    sp0 = init_split_state(nlanes) if do_split else {}
+    sp0 = init_split_state(nlanes, grid.levels) if do_split else {}
     state = (jnp.int32(0), b0, jnp.zeros(nlanes, bool),
              jnp.zeros(nlanes, jnp.float32),
              jnp.zeros(nlanes, jnp.float32), jnp.int32(0), tabs, intf,

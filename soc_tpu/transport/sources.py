@@ -108,7 +108,10 @@ def _photons_of(ifreq, params):
 
 
 def _finish(grid, pos_global, dir, photons, ifreq, stream, hi):
-    pos, level, ind = traverse.index_global(grid, pos_global)
+    # the leaf walk records the ancestor stack as it descends -- handing
+    # it to the refill step removes the per-refill stack_from_par PAR
+    # gathers from transport_run's hot loop
+    pos, level, ind, anc = traverse.index_global_stack(grid, pos_global)
     return PacketBatch(
         pos=pos, dir=dir.astype(jnp.float32), level=level, ind=ind,
         photons=photons.astype(jnp.float32), ifreq=ifreq.astype(jnp.int32),
@@ -116,6 +119,7 @@ def _finish(grid, pos_global, dir, photons, ifreq, stream, hi):
         counter=jnp.full_like(stream, BIRTH_COUNTER),
         scatterings=jnp.zeros_like(ind),
         e_cell=jnp.full_like(ind, -1),
+        anc=anc,
     )
 
 
@@ -488,6 +492,11 @@ def gen_cell(grid, ids_local, seed, params):
     else:
         photons = emit[cell_gidx]
 
+    # emitting cells sit anywhere in the hierarchy: PAR walk builds the
+    # birth ancestor stack (cell source only -- surface sources get it
+    # free from the leaf descent in _finish)
+    anc = traverse.stack_from_par(grid, lev.astype(jnp.int32),
+                                  loc.astype(jnp.int32))
     return PacketBatch(
         pos=pos, dir=dir.astype(jnp.float32),
         level=lev.astype(jnp.int32), ind=loc.astype(jnp.int32),
@@ -496,6 +505,7 @@ def gen_cell(grid, ids_local, seed, params):
         counter=jnp.full_like(stream, BIRTH_COUNTER),
         scatterings=jnp.zeros_like(loc.astype(jnp.int32)),
         e_cell=cell_gidx.astype(jnp.int32),
+        anc=anc,
     )
 
 
