@@ -50,14 +50,25 @@ class ScatterEvents:
     valid: jax.Array      # [E] bool
 
 
+# Peel-off rays and FFS chords stop once the accumulated optical depth
+# exceeds this: exp(-30) ~ 9e-14, below the float32 resolution of any
+# map pixel. The reference marches to the surface unconditionally
+# (kernel_ASOC_sca.c:310-412) -- the truncation changes results by a
+# bounded < 1e-13 relative amount while skipping the optically-dead
+# tail of every sightline in thick models.
+TAU_PEEL_CUT = 30.0
+
+
 def _march_tau(grid, pos, level, ind, dir, ext, active, max_steps=None,
-               max_dist=None):
+               max_dist=None, tau_cut=None):
     """Vectorized LOS march to the surface accumulating ext optical depth.
 
     Returns (tau, exit_pos). ext is k_abs+k_sca (peel-off) or k_sca (FFS),
     a scalar for the uniform-frequency path. max_dist (per-ray, GL units)
     stops the march at the observer (the reference's min(dx, GetStep) in
-    the internal-observer peel-off, kernel_ASOC_sca.c:300-312).
+    the internal-observer peel-off, kernel_ASOC_sca.c:300-312). tau_cut
+    terminates rays whose attenuation is already numerically zero
+    (TAU_PEEL_CUT above).
 
     max_steps defaults to a bound no straight ray can exceed -- a diagonal
     crossing at the deepest refinement plus slack -- so long sightlines on
@@ -89,6 +100,8 @@ def _march_tau(grid, pos, level, ind, dir, ext, active, max_steps=None,
         tau = tau + jnp.where(live, w * dens * ext, 0.0)
         left = jnp.where(live, left - w, left)
         nind = jnp.where(left <= 0.0, -1, nind)
+        if tau_cut is not None:
+            nind = jnp.where(tau > tau_cut, -1, nind)
         return it + 1, npos, nlevel, nind, anc, tau, left
 
     ind = jnp.where(active, ind, -1)
@@ -100,10 +113,130 @@ def _march_tau(grid, pos, level, ind, dir, ext, active, max_steps=None,
     return tau, pos
 
 
+def _ffs_hash2(seed, stream, hi, k):
+    """Two deterministic uniforms in [0, 1) for the reservoir FFS: a
+    murmur3-style integer finalizer of (seed, stream id, segment index).
+
+    Selection-only randomness -- the FFS weight w and the per-segment
+    probabilities stay exact, the hash only picks WHICH segment wins the
+    reservoir -- so a full 13-round counter RNG per march step would buy
+    nothing measurable; reproducibility is the same (pure function of the
+    packet identity and segment index)."""
+    x = (stream ^ (hi * jnp.uint32(0x9E3779B9))
+         ^ (k * jnp.uint32(0x85EBCA6B)) ^ seed)
+    # one murmur3 finalizer for the selection uniform; the within-segment
+    # offset uniform gets a cheap decorrelating mix of the same state
+    # (it only shapes the sub-cell position, not the segment weights)
+    a = x ^ (x >> jnp.uint32(16))
+    a = a * jnp.uint32(0x7FEB352D)
+    a = a ^ (a >> jnp.uint32(15))
+    a = a * jnp.uint32(0x846CA68B)
+    a = a ^ (a >> jnp.uint32(16))
+    c = a * jnp.uint32(0x9E3779B9)
+    c = c ^ (c >> jnp.uint32(16))
+    scale = jnp.float32(1.0 / (1 << 24))
+    return ((a >> jnp.uint32(8)).astype(jnp.float32) * scale,
+            (c >> jnp.uint32(8)).astype(jnp.float32) * scale)
+
+
+def _reservoir_update(ksca, seed, stream, hi, rk, pos, dir, level, ind,
+                      dens, tau, dtau, update, res):
+    """One segment of the single-pass FFS reservoir.
+
+    The forced first scattering samples the first-interaction law
+    p(s) ds = ksca rho(s) exp(-tau(s)) ds / w along the entry chord
+    (kernel_ASOC_sca.c:227-244 draws the quantile AFTER a full tau
+    march and re-marches to it -- two chords). Reservoir sampling picks
+    the same distribution in ONE pass: with A_k = 1-exp(-tau_k) the
+    running unnormalized CDF, segment k replaces the candidate with
+    probability (A_k - A_{k-1})/A_k, and the within-segment offset is the
+    truncated exponential -log1p(-v (1-exp(-dtau))). Exact for ideal
+    uniforms regardless of the hash; the FFS weight is A_N = w as before.
+
+    res: dict(pos, level, ind, tau, A) -- candidate state + running CDF.
+    """
+    a_new = -jnp.expm1(-(tau + dtau))
+    u1, u2 = _ffs_hash2(seed, stream, hi, rk)
+    # u1 < (a_new - A)/a_new, division-free (a_new == 0 -> no replace)
+    rep = update & (u1 * a_new < a_new - res["A"])
+    t_in = -jnp.log1p(-u2 * (-jnp.expm1(-dtau)))
+    dxl = jnp.maximum(
+        0.0, t_in / jnp.maximum(ksca * dens, 1e-30)
+        * jnp.exp2(level.astype(jnp.float32)) - 2.0 * PEPS)
+    return {
+        "pos": jnp.where(rep[:, None], pos + dxl[:, None] * dir,
+                         res["pos"]),
+        "level": jnp.where(rep, level, res["level"]),
+        "ind": jnp.where(rep, ind, res["ind"]),
+        "tau": jnp.where(rep, tau + t_in, res["tau"]),
+        "A": jnp.where(update, a_new, res["A"]),
+    }
+
+
+def _march_ffs(grid, ksca, seed, pos, level, ind, dir, stream, hi,
+               max_steps=None):
+    """Single-pass forced-first-scattering chord march: accumulate the
+    total scattering depth AND reservoir-sample the forced scattering
+    point in the same sweep (see _reservoir_update -- the two-march
+    chord+flight of the reference collapses to one chord).
+
+    Returns (w, cand_pos, cand_level, cand_ind, cand_tau)."""
+    if max_steps is None:
+        max_steps = 8 * (grid.nx + grid.ny + grid.nz) \
+            * (1 << (grid.levels - 1)) + 1024
+    n = pos.shape[0]
+    res = dict(pos=pos, level=level, ind=ind,
+               tau=jnp.zeros(n, jnp.float32), A=jnp.zeros(n, jnp.float32))
+
+    def cond(state):
+        it = state[0]
+        return (it < max_steps) & jnp.any(state[3] >= 0)
+
+    def body(state):
+        it, pos, level, ind, anc, tau, rk, res = state
+        live = ind >= 0
+        gidx = jnp.clip(grid.off[jnp.clip(level, 0, grid.levels - 1)]
+                        + jnp.maximum(ind, 0), 0, grid.cells - 1)
+        dens = grid.dens[gidx]
+        ds, npos, nlevel, nind, anc = traverse.get_step_stack(
+            grid, pos, dir, level, ind, anc, live)
+        failed = live & (nlevel == level) & (nind == ind)
+        npos = jnp.where(failed[:, None], npos + PEPS * dir, npos)
+        dtau = jnp.where(live, ds * dens * ksca, 0.0)
+        res = _reservoir_update(ksca, seed, stream, hi, rk, pos, dir,
+                                level, ind, dens, tau, dtau, live, res)
+        tau = tau + dtau
+        rk = rk + live.astype(jnp.uint32)
+        nind = jnp.where(tau > TAU_PEEL_CUT, -1, nind)
+        return it + 1, npos, nlevel, nind, anc, tau, rk, res
+
+    ind0 = ind
+    state = (jnp.int32(0), pos, level, ind,
+             traverse.stack_from_par(grid, level, ind),
+             jnp.zeros(n, jnp.float32), jnp.zeros(n, jnp.uint32), res)
+    _, _, _, _, _, tau, _, res = lax.while_loop(cond, body, state)
+    # dead-at-birth lanes never updated: keep their ind at -1
+    cind = jnp.where(ind0 >= 0, res["ind"], -1)
+    return res["A"], res["pos"], res["level"], cind, res["tau"]
+
+
 @partial(jax.jit, static_argnames=("source_kind", "nlanes", "ffs"))
 def spawn(grid, physics, source_params, total_packets, next_id, seed,
           source_kind="bg", nlanes=1 << 14, ffs=True):
-    """Phase A: fill the pool with fresh packets + forced first scattering."""
+    """Phase A: fill the pool with fresh packets + forced first scattering.
+
+    With ffs the returned batch is already FROZEN AT its forced
+    scattering point (pending=True): the single-pass reservoir march
+    (_march_ffs) samples the scattering location during the same chord
+    sweep that measures the FFS weight w, so the flight re-march of the
+    two-pass scheme never happens. The expm1/log1p forms guard the
+    optically thin channels (naive 1-exp(-tau) quantized the FFS weight
+    by ~10% and lost 62% of forced scatterings at 60um on the
+    soc_example dust).
+
+    Returns (b, free_path, pending, next_id); feed pending straight into
+    propagate_events, whose first service pass appends the forced events.
+    """
     from ..transport.sources import GENERATORS
     seed = jnp.uint32(seed)
     ids = next_id + jnp.arange(nlanes, dtype=jnp.int32)
@@ -112,32 +245,36 @@ def spawn(grid, physics, source_params, total_packets, next_id, seed,
     b = GENERATORS[source_kind](grid, ids_local, seed, source_params)
     ind = jnp.where(can, b.ind, -1)
 
-    # birth free path (counter slot 2, same as transport_run)
-    u = socrng.uniform1(seed, b.stream, jnp.full_like(b.stream, 2), b.hi)
     photons = b.photons
+    kabs = physics["kabs"]
+    ksca = physics["ksca"]
     if ffs:
-        tau_tot, _ = _march_tau(grid, b.pos, b.level, ind, b.dir,
-                                physics["ksca"], ind >= 0)
-        # expm1/log1p forms: on optically thin channels (tau ~ 1e-6) the
-        # naive 1-exp(-tau) and -log(1-w*u) round at the float32 epsilon,
-        # quantizing the FFS weight by ~10% and pushing a large fraction
-        # of free paths past the far boundary (measured: 62% of forced
-        # scatterings lost at 60um on the soc_example dust). The clamp
-        # guards the residual drift between _march_tau's tau and the
-        # step-accumulated tau of the walk.
-        w = -jnp.expm1(-tau_tot)
-        free_path = -jnp.log1p(-jnp.minimum(w * u, 1.0 - 1e-12))
-        free_path = jnp.minimum(free_path, tau_tot * (1.0 - 1.0e-5))
-        photons = photons * w
-        ind = jnp.where(tau_tot < 1.0e-22, -1, ind)
+        w, cpos, clevel, cind, ctau = _march_ffs(
+            grid, ksca, seed, b.pos, b.level, ind, b.dir, b.stream, b.hi)
+        # weight = w (the FFS bias) times the absorption attenuation up
+        # to the scattering depth (applied at the scattering in the
+        # two-pass scheme, kernel_ASOC_sca.c:296-300)
+        photons = photons * w * jnp.exp(-ctau * kabs
+                                        / jnp.maximum(ksca, 1e-30))
+        ind = jnp.where(w < 1.0e-22, -1, cind)
+        pos, level = cpos, clevel
+        pending = ind >= 0
+        scat = jnp.where(pending, 1, 0)
+        free_path = jnp.zeros(nlanes, jnp.float32)
     else:
+        # birth free path (counter slot 2, same as transport_run)
+        u = socrng.uniform1(seed, b.stream,
+                            jnp.full_like(b.stream, 2), b.hi)
         free_path = -jnp.log(u)
+        pos, level = b.pos, b.level
+        pending = jnp.zeros(nlanes, bool)
+        scat = b.scatterings
 
-    b = PacketBatch(pos=b.pos, dir=b.dir, level=b.level, ind=ind,
+    b = PacketBatch(pos=pos, dir=b.dir, level=level, ind=ind,
                     photons=photons, ifreq=b.ifreq, stream=b.stream,
                     hi=b.hi, counter=b.counter + jnp.uint32(1),
-                    scatterings=b.scatterings, e_cell=b.e_cell)
-    return b, free_path, next_id + jnp.int32(nlanes)
+                    scatterings=scat, e_cell=b.e_cell)
+    return b, free_path, pending, next_id + jnp.int32(nlanes)
 
 
 def _pack_event_rows(pos, dir, photons, level, ind):
@@ -361,7 +498,7 @@ def peel_off(grid, physics, events, odirs, ra, de, centre, map_dx, npix,
         tau, exit_pos = _march_tau(
             grid, events.pos, events.level, events.ind,
             jnp.broadcast_to(odir, events.pos.shape),
-            kabs + ksca, events.valid)
+            kabs + ksca, events.valid, tau_cut=TAU_PEEL_CUT)
         cos_theta = jnp.clip(jnp.sum(events.dir * odir[None, :], axis=-1),
                              -0.9999, 0.9999)
         delta = events.photons * jnp.exp(-tau) \
@@ -403,7 +540,8 @@ def peel_off_healpix(grid, physics, events, obs_pos, nside, out):
     odir = vec / jnp.maximum(dist, 1e-6)[:, None]
     odir = jnp.where(jnp.abs(odir) < 1e-5, 1e-5, odir)
     tau, _ = _march_tau(grid, events.pos, events.level, events.ind,
-                        odir, kabs + ksca, events.valid, max_dist=dist)
+                        odir, kabs + ksca, events.valid, max_dist=dist,
+                        tau_cut=TAU_PEEL_CUT)
     cos_theta = jnp.clip(jnp.sum(events.dir * odir, axis=-1),
                          -0.9999, 0.9999)
     delta = (events.photons * jnp.exp(-tau)
@@ -431,8 +569,11 @@ def sca_pool_init(grid, nlanes):
         e_cell=jnp.full(n, -1, jnp.int32))
     return dict(
         b=b, stage=jnp.ones(n, jnp.int32),
-        epos=z3, elevel=jnp.zeros(n, jnp.int32),
-        eind=jnp.full(n, -1, jnp.int32),
+        rpos=z3, rlevel=jnp.zeros(n, jnp.int32),
+        rind=jnp.full(n, -1, jnp.int32),
+        rtau=jnp.zeros(n, jnp.float32),
+        rA=jnp.zeros(n, jnp.float32),
+        rk=jnp.zeros(n, jnp.uint32),
         free_path=jnp.zeros(n, jnp.float32),
         tau=jnp.zeros(n, jnp.float32),
         pend_s=jnp.zeros(n, bool), pend_r=jnp.zeros(n, bool),
@@ -444,8 +585,8 @@ def sca_pool_init(grid, nlanes):
                                    "service_period"))
 def sca_run(grid, physics, source_params, total_packets, carry, events,
             ecount, seed, source_kind="bg", nlanes=1 << 14, ffs=True,
-            capacity=1 << 16, max_iters=1 << 30, refill_period=16,
-            service_period=16):
+            capacity=1 << 16, max_iters=1 << 30, refill_period=32,
+            service_period=32):
     """Unified scattered-light transport: spawn + FFS + flight in ONE
     lane-refill loop (the transport_run pattern).
 
@@ -455,18 +596,22 @@ def sca_run(grid, physics, source_params, total_packets, carry, events,
     lane cycles through stages at ~100% occupancy:
 
       stage 0 (ffs): march the entry ray to the far boundary accumulating
-        the total scattering depth tau_tot (forced-first-scattering needs
-        it, kernel_ASOC_sca.c:227-244); at the boundary the lane freezes
-        (pending reset) and a service pass resets it to its recorded entry
-        state with free_path = -log1p(-w u), photons *= w.
+        the total scattering depth tau_tot AND reservoir-sampling the
+        forced scattering point in the same sweep (_reservoir_update;
+        the reference's quantile-then-re-march scheme costs two chords,
+        kernel_ASOC_sca.c:227-244). At the boundary the lane freezes and
+        the next service pass jumps it to the candidate, applies
+        photons *= w = 1-exp(-tau_tot) and the absorption attenuation,
+        and appends the forced event in the same pass.
       stage 1: normal flight -- march, freeze at the scattering point,
         service appends the peel-off event + draws the new direction
         (identical to propagate_events), die on exit.
       dead lanes are refilled from the packet budget by prefix-sum.
 
-    The per-packet RNG sequence (slot-2 FFS/birth uniform, one uniform4
-    per scattering) is identical to the spawn/propagate_events pair, so
-    the physics is unchanged -- only the scheduling differs.
+    The per-packet RNG sequence (one uniform4 per scattering, reservoir
+    hashes indexed by birth-relative segment number) is identical to the
+    spawn/propagate_events pair, so the physics is unchanged -- only the
+    scheduling differs.
 
     Returns (carry, events, ecount); call again with the returned carry
     (flushing the event buffer in between) until the pool is dead and the
@@ -489,38 +634,48 @@ def sca_run(grid, physics, source_params, total_packets, carry, events,
 
     def service(c, evbuf, ecount, anc):
         b = c["b"]
-        # ---- scattering events: the shared append + redirect
-        act = c["pend_s"] & (b.ind >= 0)
-        evbuf, ecount, dirx, ind, counter, free_path, tau = \
-            _service_scatter(grid, physics, seed, capacity, b, act,
-                             evbuf, ecount, c["free_path"], c["tau"])
-
-        # ---- FFS resets: the stage-0 march finished with tau = tau_tot
-        actr = c["pend_r"] & (ind >= 0)
-        tau_tot = c["tau"]
-        u2 = socrng.uniform1(seed, b.stream,
-                             jnp.full_like(b.stream, 2), b.hi)
-        w = -jnp.expm1(-tau_tot)
-        fp_ffs = -jnp.log1p(-jnp.minimum(w * u2, 1.0 - 1e-12))
-        fp_ffs = jnp.minimum(fp_ffs, tau_tot * (1.0 - 1.0e-5))
-        die = tau_tot < 1.0e-22
-        pos = jnp.where(actr[:, None], c["epos"], b.pos)
-        level = jnp.where(actr, c["elevel"], b.level)
-        ind = jnp.where(actr, jnp.where(die, -1, c["eind"]), ind)
-        photons = jnp.where(actr, b.photons * w, b.photons)
-        free_path = jnp.where(actr, fp_ffs, free_path)
-        tau = jnp.where(actr, 0.0, tau)
+        # ---- FFS resets FIRST: the stage-0 reservoir march finished
+        # with the candidate scattering point in c["rpos"/"rlevel"/
+        # "rind"/"rtau"] and the FFS weight w = c["rA"] = 1-exp(-tau_tot).
+        # Jump straight to the candidate (no flight re-march), apply w
+        # and the absorption attenuation to the scattering depth, and
+        # hand the lane to the scatter service of the SAME pass -- the
+        # forced event appends immediately, no idle service round.
+        actr = c["pend_r"] & (b.ind >= 0)
+        w = c["rA"]
+        die = w < 1.0e-22
+        pos = jnp.where(actr[:, None], c["rpos"], b.pos)
+        level = jnp.where(actr, c["rlevel"], b.level)
+        ind = jnp.where(actr, jnp.where(die, -1, c["rind"]), b.ind)
+        photons = jnp.where(
+            actr,
+            b.photons * w * jnp.exp(-c["rtau"] * kabs
+                                    / jnp.maximum(ksca, 1e-30)),
+            b.photons)
+        scat = jnp.where(actr & ~die, b.scatterings + 1, b.scatterings)
         stage = jnp.where(actr, 1, c["stage"])
         if grid.levels > 1:
             anc = jnp.where(actr[:, None],
                             traverse.stack_from_par(grid, level, ind), anc)
+        b = PacketBatch(pos=pos, dir=b.dir, level=level, ind=ind,
+                        photons=photons, ifreq=b.ifreq, stream=b.stream,
+                        hi=b.hi, counter=b.counter,
+                        scatterings=scat, e_cell=b.e_cell)
 
-        nb = PacketBatch(pos=pos, dir=dirx, level=level, ind=ind,
-                         photons=photons, ifreq=b.ifreq, stream=b.stream,
+        # ---- scattering events: the shared append + redirect (includes
+        # the freshly forced lanes)
+        act = (c["pend_s"] | (actr & ~die)) & (b.ind >= 0)
+        evbuf, ecount, dirx, ind, counter, free_path, tau = \
+            _service_scatter(grid, physics, seed, capacity, b, act,
+                             evbuf, ecount, c["free_path"], c["tau"])
+
+        nb = PacketBatch(pos=b.pos, dir=dirx, level=b.level, ind=ind,
+                         photons=b.photons, ifreq=b.ifreq, stream=b.stream,
                          hi=b.hi, counter=counter,
                          scatterings=b.scatterings, e_cell=b.e_cell)
         c = {**c, "b": nb, "stage": stage, "free_path": free_path,
-             "tau": tau, "pend_s": c["pend_s"] & ~act,
+             "tau": tau,
+             "pend_s": (c["pend_s"] | (actr & ~die)) & ~act,
              "pend_r": c["pend_r"] & ~actr}
         return c, evbuf, ecount, anc
 
@@ -547,6 +702,19 @@ def sca_run(grid, physics, source_params, total_packets, carry, events,
         in_flight = active & (stage == 1)
         scatter_now = in_flight & (free_path < tau + dtau_sca)
 
+        # ---- stage-0 reservoir: sample the forced scattering point in
+        # the same pass that accumulates tau (see _reservoir_update);
+        # segment index rk matches _march_ffs so both engines make
+        # identical reservoir decisions
+        stage0 = active & (stage == 0)
+        res = dict(pos=c["rpos"], level=c["rlevel"], ind=c["rind"],
+                   tau=c["rtau"], A=c["rA"])
+        res = _reservoir_update(ksca, seed, b.stream, b.hi, c["rk"],
+                                b.pos, b.dir, b.level, b.ind, dens,
+                                tau, jnp.where(stage0, dtau_sca, 0.0),
+                                stage0, res)
+        rk = c["rk"] + stage0.astype(jnp.uint32)
+
         dx_gl = (free_path - tau) / jnp.maximum(ksca * dens, 1e-30)
         dx_local = jnp.maximum(
             0.0, dx_gl * jnp.exp2(b.level.astype(jnp.float32)) - 2.0 * PEPS)
@@ -564,9 +732,11 @@ def sca_run(grid, physics, source_params, total_packets, carry, events,
         failed = cross & (nlevel == b.level) & (nind == b.ind)
         npos = jnp.where(failed[:, None], npos + PEPS * b.dir, npos)
 
-        # stage-0 lanes that reached the far boundary freeze for the FFS
-        # reset instead of dying (their state is discarded at the reset)
-        exit0 = cross & (stage == 0) & (nind < 0)
+        # stage-0 lanes that reached the far boundary -- or the
+        # TAU_PEEL_CUT truncation depth (matching _march_ffs) -- freeze
+        # for the FFS reset (their march state is discarded at the reset)
+        exit0 = (cross & (stage == 0)
+                 & ((nind < 0) | (tau + dtau_sca > TAU_PEEL_CUT)))
         apply = cross & ~exit0
         pos = jnp.where(scatter_now[:, None], pos_scatter,
                         jnp.where(apply[:, None], npos, b.pos))
@@ -583,6 +753,9 @@ def sca_run(grid, physics, source_params, total_packets, carry, events,
                          hi=b.hi, counter=b.counter,
                          scatterings=scat, e_cell=b.e_cell)
         c = {**c, "b": nb, "free_path": free_path, "tau": tau,
+             "rpos": res["pos"], "rlevel": res["level"],
+             "rind": res["ind"], "rtau": res["tau"], "rA": res["A"],
+             "rk": rk,
              "pend_s": c["pend_s"] | scatter_now,
              "pend_r": c["pend_r"] | exit0}
         return c, evbuf, ecount, anc
@@ -621,9 +794,10 @@ def sca_run(grid, physics, source_params, total_packets, carry, events,
             e_cell=jnp.where(can, nb.e_cell, b.e_cell))
         c = {**c, "b": b,
              "stage": jnp.where(can, 0 if ffs else 1, c["stage"]),
-             "epos": jnp.where(canl, nb.pos, c["epos"]),
-             "elevel": jnp.where(can, nb.level, c["elevel"]),
-             "eind": jnp.where(can, nb.ind, c["eind"]),
+             "rind": jnp.where(can, -1, c["rind"]),
+             "rtau": jnp.where(can, 0.0, c["rtau"]),
+             "rA": jnp.where(can, 0.0, c["rA"]),
+             "rk": jnp.where(can, jnp.uint32(0), c["rk"]),
              "free_path": jnp.where(can,
                                     FP_FAR if ffs else -jnp.log(u2),
                                     c["free_path"]),
@@ -789,6 +963,8 @@ def peel_off_run(grid, physics, events, ecount, odirs, ra, de, centre,
             tau = c["tau"] + jnp.where(step_ok, w * dens * ext, 0.0)
             left = jnp.where(step_ok, c["left"] - w, c["left"])
             nind = jnp.where(step_ok & (left <= 0.0), -1, nind)
+            # optically dead rays stop early (see TAU_PEEL_CUT)
+            nind = jnp.where(tau > TAU_PEEL_CUT, -1, nind)
             if grid.levels > 1:
                 npos, nlevel, nind, anc = traverse.descend_one(
                     grid, npos, nlevel, nind, anc, dens, is_link)

@@ -90,10 +90,10 @@ def test_healpix_peeloff_internal_observer():
     event_weight = 0.0
     ndeltas = 0
     while int(next_id) < n:
-        b, fp, next_id = spawn(grid, physics, params, jnp.int32(n),
-                               next_id, 5, nlanes=1 << 12)
+        b, fp, pending, next_id = spawn(grid, physics, params,
+                                        jnp.int32(n), next_id, 5,
+                                        nlanes=1 << 12)
         tau = jnp.zeros(b.lanes, jnp.float32)
-        pending = jnp.zeros(b.lanes, bool)
         while True:
             ev = empty_events(1 << 14)
             b, fp, tau, pending, ev, ec = propagate_events(
@@ -128,12 +128,13 @@ def test_ffs_thin_channel_keeps_every_packet():
     n = 2048
     params = dict(photons=jnp.float32(1.0), ifreq=jnp.int32(0),
                   per_freq=jnp.int32(n))
-    b, fp, _ = spawn(grid, physics, params, jnp.int32(n), jnp.int32(0),
-                     np.uint32(3), source_kind="bg", nlanes=n, ffs=True)
+    b, fp, pending, _ = spawn(grid, physics, params, jnp.int32(n),
+                              jnp.int32(0), np.uint32(3),
+                              source_kind="bg", nlanes=n, ffs=True)
     ev = empty_events(1 << 13)
     b, fp, _, _, ev, ec = propagate_events(
         grid, physics, b, fp, jnp.zeros(b.lanes, jnp.float32),
-        jnp.zeros(b.lanes, bool), ev, jnp.int32(0), np.uint32(3),
+        pending, ev, jnp.int32(0), np.uint32(3),
         capacity=1 << 13)
     # every forced packet scatters at least once inside the cloud
     assert int(ec) >= n
@@ -175,10 +176,10 @@ def test_unified_engine_matches_phase_engine():
     w_old = 0.0
     ne_old = 0
     while int(next_id) < n:
-        b, fp, next_id = spawn(grid, physics, params, jnp.int32(n),
-                               next_id, seed, nlanes=1 << 10)
+        b, fp, pending, next_id = spawn(grid, physics, params,
+                                        jnp.int32(n), next_id, seed,
+                                        nlanes=1 << 10)
         tau = jnp.zeros(b.lanes, jnp.float32)
-        pending = jnp.zeros(b.lanes, bool)
         while True:
             ev = empty_events(cap)
             b, fp, tau, pending, ev, ec = propagate_events(
@@ -216,3 +217,43 @@ def test_unified_engine_matches_phase_engine():
     np.testing.assert_allclose(w_new, w_old, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(out_new).reshape(1, 16, 16),
                                np.asarray(out_old), rtol=2e-4, atol=1e-10)
+
+
+def test_reservoir_ffs_samples_first_interaction_law():
+    """The single-pass reservoir FFS must sample the scattering depth from
+    the truncated-exponential first-interaction law (what the reference's
+    two-march quantile scheme samples, kernel_ASOC_sca.c:227-244)."""
+    import jax.numpy as jnp
+    from soc_tpu.render.scattered import _march_ffs
+    nx = 16
+    grid = uniform_grid(nx, nx, nx, density=1.0)
+    tau_tot = 2.0
+    ksca = tau_tot / nx
+    n = 1 << 14
+    rng = np.random.default_rng(1)
+    # rays entering the z=0 face straight along +Z: chord length = nx
+    pos = jnp.asarray(np.stack([
+        rng.uniform(0.5, nx - 0.5, n), rng.uniform(0.5, nx - 0.5, n),
+        np.full(n, 1e-3)], -1).astype(np.float32))
+    dirv = jnp.asarray(np.tile(np.asarray([1e-5, 1e-5, 1.0], np.float32),
+                               (n, 1)))
+    from soc_tpu.ops import traverse
+    p0, lev, ind, _ = traverse.index_global_stack(grid, pos)
+    stream = jnp.arange(n, dtype=jnp.uint32)
+    hi = jnp.full(n, np.uint32(77), jnp.uint32)
+    w, cpos, clev, cind, ctau = _march_ffs(
+        grid, jnp.float32(ksca), jnp.uint32(3), p0, lev, ind, dirv,
+        stream, hi)
+    w = np.asarray(w)
+    ctau = np.asarray(ctau)
+    np.testing.assert_allclose(w, -np.expm1(-tau_tot), rtol=1e-3)
+    # truncated exponential on [0, tau_tot]: E[tau*] and the CDF quartiles
+    e_analytic = 1.0 - tau_tot * np.exp(-tau_tot) / -np.expm1(-tau_tot)
+    assert abs(ctau.mean() - e_analytic) < 0.02 * tau_tot
+    # quartile check: P(tau* < t) = (1-exp(-t))/(1-exp(-tau_tot))
+    for q in (0.25, 0.5, 0.75):
+        t_q = -np.log1p(q * np.expm1(-tau_tot))
+        frac = (ctau < t_q).mean()
+        assert abs(frac - q) < 0.02, (q, frac)
+    # every candidate is inside the grid
+    assert int((np.asarray(cind) >= 0).sum()) == n
