@@ -402,9 +402,31 @@ def bench_scaling(lanes, total=1 << 18):
                 efficiency=round(rn / (n * r1), 3))
 
 
+def warm_device_link():
+    """Pay the one-time tunnel costs OUTSIDE every timed region.
+
+    Measured on the axon tunnel (fresh process): the FIRST device->host
+    readback stalls ~300 s regardless of payload size (16 bytes!) -- a
+    lazy channel-setup cost of the tunnel infrastructure, not of this
+    framework or of XLA. It was the dominant term of BENCH_r03's 1136 s
+    first transport rep. One throwaway tiny round trip here moves it out
+    of the benchmark numbers; on real local TPUs this is a no-op
+    (milliseconds)."""
+    import jax
+    import jax.numpy as jnp
+    t0 = time.time()
+    _ = np.asarray(jnp.zeros(4, jnp.float32) + 1)
+    _ = np.asarray(jax.device_put(np.zeros((256, 256), np.float32)))
+    dt = time.time() - t0
+    if dt > 1.0:
+        print("# warm_device_link: first round trip took %.1f s "
+              "(tunnel channel setup)" % dt, file=sys.stderr)
+
+
 def main():
     from soc_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()
+    warm_device_link()
     from soc_tpu.pipeline import driver
 
     workdir = os.environ.get("SOC_BENCH_DIR", "/tmp/soc_bench")

@@ -333,3 +333,155 @@ def test_parity_with_scattering():
     tt_ops = np.asarray(solve_temperature(
         grid, table, jnp.asarray(t_ops.astype(np.float32)), 3.1e16))
     np.testing.assert_allclose(tt_ops, tt_ref, rtol=1e-3)
+
+
+def _simulate_ps(grid, kabs, ksca, csc, seed, batch, use_ops, ps_pos,
+                 max_scat=20):
+    """Point-source twin (PS inside the volume, SOURCE==0 birth,
+    kernel_ASOC.c:200-213: phi = 2 pi Rand, cos_theta =
+    0.999997 - 1.999995 Rand, POS = PSPOS): the same propagation loop as
+    _simulate driven by the same MWC64X streams, float64 oracle vs the
+    framework's float32 geometry ops."""
+    nx, ny, nz = grid.nx, grid.ny, grid.nz
+    dens = np.asarray(grid.dens, np.float64)
+    cells = grid.cells
+    n = 2048
+    rng = MWC64X(seed, n)
+    dtype = np.float32 if use_ops else np.float64
+    bins = len(csc)
+    csc = np.asarray(csc, dtype)
+    tabs = np.zeros(cells, np.float64)
+    escaped = 0.0
+    injected = float(n * batch)
+    tw = 1.0
+
+    def index_of(pos):
+        if use_ops:
+            _, _, ind = traverse.index_global(grid, jnp.asarray(
+                pos.astype(np.float32)))
+            return np.asarray(ind)
+        inside = ((pos[:, 0] > 0) & (pos[:, 0] < nx)
+                  & (pos[:, 1] > 0) & (pos[:, 1] < ny)
+                  & (pos[:, 2] > 0) & (pos[:, 2] < nz))
+        ind = (np.floor(pos[:, 2]).astype(np.int64) * nx * ny
+               + np.floor(pos[:, 1]).astype(np.int64) * nx
+               + np.floor(pos[:, 0]).astype(np.int64))
+        return np.where(inside, ind, -1).astype(np.int32)
+
+    def boundary(pos, dirv):
+        if use_ops:
+            ds, npos = traverse.boundary_step(
+                jnp.asarray(pos.astype(np.float32)),
+                jnp.asarray(dirv.astype(np.float32)))
+            return np.asarray(ds), np.asarray(npos)
+        frac = np.mod(pos, 1.0)
+        sp = (1.0 + PEPS - frac) / dirv
+        sn = (-PEPS - frac) / dirv
+        per = np.where(dirv > 0.0, sp, sn)
+        ds = per.min(axis=1)
+        return ds, pos + ds[:, None] * dirv
+
+    for _ in range(batch):
+        phi = dtype(2.0 * np.pi) * rng.rand().astype(dtype)
+        ct = (dtype(0.999997)
+              - dtype(1.999995) * rng.rand().astype(dtype))
+        st = np.sqrt(np.maximum(dtype(0.0), 1.0 - ct * ct))
+        dirv = np.stack([st * np.cos(phi), st * np.sin(phi), ct],
+                        1).astype(dtype)
+        dirv = np.where(np.abs(dirv) < DEPS, DEPS, dirv)
+        dirv /= np.linalg.norm(dirv, axis=1, keepdims=True)
+        pos = np.broadcast_to(np.asarray(ps_pos, dtype),
+                              (n, 3)).copy()
+        photons = np.ones(n, np.float64)
+        free_path = -np.log(rng.rand().astype(np.float64))
+        ind = index_of(pos)
+        tau = np.zeros(n, np.float64)
+        scat = np.zeros(n, np.int32)
+        alive = ind >= 0
+        guard = 0
+        while alive.any() and guard < 50000:
+            guard += 1
+            ds, npos = boundary(pos, dirv)
+            ds64 = ds.astype(np.float64)
+            d = dens[np.maximum(ind, 0)]
+            tau_a = ds64 * d * kabs
+            dtau = ds64 * d * ksca
+            scat_now = alive & (free_path < tau + dtau)
+            crossing = alive & ~scat_now
+            delta = np.where(tau_a > TAULIM,
+                             photons * (1.0 - np.exp(-tau_a)),
+                             photons * tau_a * (1.0 - 0.5 * tau_a))
+            np.add.at(tabs, np.maximum(ind, 0),
+                      np.where(crossing, delta * tw * ADHOC, 0.0))
+            photons = np.where(crossing, photons * np.exp(-tau_a),
+                               photons)
+            tau = np.where(crossing, tau + dtau, tau)
+            nind = index_of(npos)
+            failed = crossing & (nind == ind)
+            npos2 = np.where(failed[:, None],
+                             npos + dtype(PEPS) * dirv, npos)
+            exited = crossing & (nind < 0)
+            escaped += photons[exited].sum()
+            pos = np.where(crossing[:, None], npos2, pos)
+            ind = np.where(crossing, np.where(failed, ind, nind), ind)
+            dxs = np.where(scat_now,
+                           (free_path - tau)
+                           / np.maximum(ksca * d, 1e-300), 0.0)
+            tau_ap = dxs * d * kabs
+            delta_p = np.where(tau_ap > TAULIM,
+                               photons * (1.0 - np.exp(-tau_ap)),
+                               photons * tau_ap * (1.0 - 0.5 * tau_ap))
+            np.add.at(tabs, np.maximum(ind, 0),
+                      np.where(scat_now, delta_p * tw * ADHOC, 0.0))
+            dx_local = np.maximum(dtype(0.0),
+                                  dxs.astype(dtype) - dtype(2.0 * PEPS))
+            pos = np.where(scat_now[:, None],
+                           pos + dx_local[:, None] * dirv, pos)
+            photons = np.where(scat_now, photons * np.exp(-tau_ap),
+                               photons)
+            u_fp = rng.rand(scat_now)
+            u_bin = rng.rand(scat_now)
+            u_phi = rng.rand(scat_now)
+            free_path = np.where(scat_now,
+                                 -np.log(u_fp.astype(np.float64)),
+                                 free_path)
+            bidx = np.clip(np.floor(u_bin.astype(dtype) * bins
+                                    ).astype(np.int64), 0, bins - 1)
+            ctv = csc[bidx]
+            new_dir = reference_deflect(dirv, ctv,
+                                        dtype(2.0 * np.pi)
+                                        * u_phi.astype(dtype), dtype)
+            dirv = np.where(scat_now[:, None], new_dir.astype(dtype),
+                            dirv)
+            scat = scat + scat_now.astype(np.int32)
+            over = scat_now & (scat > max_scat)
+            tau = np.where(scat_now, 0.0, tau)
+            alive = alive & (ind >= 0) & ~exited & ~over
+        assert guard < 50000, "simulator did not drain"
+    return tabs, float(escaped), injected
+
+
+def test_parity_point_source():
+    """PS_METHOD 0 point source inside the volume: packets born mid-cell
+    (the other epsilon-sensitive entry path) agree per cell between the
+    float64 oracle and the float32 framework ops under the same
+    streams."""
+    grid = uniform_grid(8, 8, 8, density=1.0)
+    rng = np.random.default_rng(9)
+    dens = (1.0 + 0.5 * rng.random(512)).astype(np.float32)
+    grid = grid_from_arrays(8, 8, 8, [512], [dens])
+    csc = _hg_csc(0.5)
+    ps = (3.3, 4.1, 4.7)
+    t_ref, e_ref, inj = _simulate_ps(grid, kabs=0.2, ksca=0.15, csc=csc,
+                                     seed=2.0, batch=2, use_ops=False,
+                                     ps_pos=ps)
+    t_ops, e_ops, _ = _simulate_ps(grid, kabs=0.2, ksca=0.15, csc=csc,
+                                   seed=2.0, batch=2, use_ops=True,
+                                   ps_pos=ps)
+    assert t_ref.sum() > 0
+    np.testing.assert_allclose(t_ops.sum(), t_ref.sum(), rtol=1e-5)
+    np.testing.assert_allclose(e_ops, e_ref, rtol=1e-5)
+    rel = np.abs(t_ops - t_ref) / np.maximum(t_ref, 1e-3 * t_ref.max())
+    assert np.quantile(rel, 0.99) < 1e-4, np.quantile(rel, 0.99)
+    assert rel.max() < 5e-3, rel.max()
+    np.testing.assert_allclose(t_ref.sum() + e_ref, inj, rtol=1e-10)
