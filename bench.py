@@ -448,10 +448,16 @@ def main():
     freq = np.loadtxt(os.path.join(workdir, "freq.dat"))
     map_s = bench_map(grid, medium, freq)
 
-    # end-to-end pipeline wall time (the full soc_example run)
-    t0 = time.time()
-    res = driver.run(ini, lanes=lanes)
-    e2e = time.time() - t0
+    # end-to-end pipeline wall time (the full soc_example run); two reps
+    # like the transport metric -- the first rep after a code change pays
+    # one-off XLA compiles (cache misses land in the timed region), the
+    # second is the steady state a user sees on every later run
+    e2e_all = []
+    for _ in range(2):
+        t0 = time.time()
+        res = driver.run(ini, lanes=lanes)
+        e2e_all.append(round(time.time() - t0, 2))
+    e2e = min(e2e_all)
 
     result = {
         "metric": "bg_transport_packets_per_sec",
@@ -484,6 +490,7 @@ def main():
             "scaling": scaling,     # null on a single-chip harness
             "map_render_s_512x512x44": round(map_s, 3),
             "pipeline_e2e_s": round(e2e, 2),
+            "pipeline_e2e_all": e2e_all,
             "sane": tr["sane"] and bool(
                 np.isfinite(res.temperature).all()),
         },

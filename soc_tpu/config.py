@@ -12,7 +12,11 @@ and retained in ``self.keys`` -- XLA owns those decisions here). Three
 reference keywords are parsed but never consumed by the reference itself
 (`bgmethod`: -D define no kernel reads; `dustfile`, `sourcemap`: assigned,
 never used -- ASOC_aux.py:320-322,336,403); they are likewise key-retained
-only.
+only. `polsim` (ASOC_aux.py:462) is an unfinished reference experiment:
+its only consumer switches read_dust to a 6-tuple return
+(ASOC_aux.py:1962) that every caller unpacks as 4 values (ASOC.py:112,
+ASOCS.py:21), so any ini setting it crashes the reference before
+simulating -- key-retained here, not implemented.
 """
 
 import os

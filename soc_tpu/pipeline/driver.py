@@ -1112,7 +1112,7 @@ def _run_inner(cfg, lanes, write_files, t_start):
 
     # step/direction weighting (STEP_WEIGHT 1, DIR_WEIGHT; per-frequency
     # transport path because physics gains run-specific entries)
-    sw_on = cfg.step_weight[0] == 1 and cfg.step_weight[1] > 0
+    sw_on = cfg.step_weight[0] in (1, 2) and cfg.step_weight[1] > 0
     dw_on = cfg.dir_weight[0] >= 0 and abs(cfg.dir_weight[1]) > 1e-6 \
         and abu is None
     physics_extra = None
@@ -1121,6 +1121,11 @@ def _run_inner(cfg, lanes, write_files, t_start):
             d = abu_extra(ifreq) if abu_extra is not None else {}
             if sw_on:
                 d["sw_a"] = jnp.float32(cfg.step_weight[1])
+                if cfg.step_weight[0] == 2:
+                    # two-exponential mixture (kernel_ASOC.c:529-541);
+                    # B must be < 1 or the quadratic degenerates (the
+                    # reference divides by 2-2B just the same)
+                    d["sw_b"] = jnp.float32(cfg.step_weight[2])
             if dw_on:
                 d["dw_a"] = jnp.float32(cfg.dir_weight[1])
                 d["dsc"] = medium.dsc[ifreq]

@@ -285,9 +285,15 @@ def make_step_fns(grid, physics, seed, *, per_freq_tally=False,
                   and "msf_csc" not in physics and "dw_a" not in physics)
     csc_flat = csc.reshape(-1) if lane_const else None
 
-    # STEP_WEIGHT==1 free-path stretching: p(tau) = A exp(-A tau), weight
-    # exp((A-1) tau)/A (kernel_ASOC.c:524-536). sw_a in physics enables it.
+    # STEP_WEIGHT free-path stretching (kernel_ASOC.c:516-541). sw_a in
+    # physics enables it; method 1 (sw_a alone): p(tau) = A exp(-A tau),
+    # weight exp((A-1) tau)/A. Method 2 (sw_a + sw_b): the two-exponential
+    # mixture p(tau) = A B exp(-A tau) + 2 A (1-B) exp(-2 A tau), sampled
+    # by the closed-form inverse CDF ((1-B) x^2 + B x = u with
+    # x = exp(-A tau)), weight exp(-tau)/p(tau) -- the exact quadratic and
+    # weight expressions of the reference kernel.
     sw_a = physics.get("sw_a", None)
+    sw_b = physics.get("sw_b", None)
     if sw_a is not None:
         split_max = 0          # splitting assumes memoryless free paths
     # clone RNG identity: a clone keeps the donor packet's (stream, hi)
@@ -313,8 +319,17 @@ def make_step_fns(grid, physics, seed, *, per_freq_tally=False,
     def draw_fp_weighted(u):
         if sw_a is None:
             return -jnp.log(u), 1.0
-        fp = -jnp.log(u) / sw_a
-        return fp, jnp.exp(sw_a * fp - fp) / sw_a
+        if sw_b is None:
+            fp = -jnp.log(u) / sw_a
+            return fp, jnp.exp(sw_a * fp - fp) / sw_a
+        # STEP_WEIGHT==2 (kernel_ASOC.c:529-541)
+        x = ((-sw_b + jnp.sqrt(sw_b * sw_b + 4.0 * u * (1.0 - sw_b)))
+             / (2.0 - 2.0 * sw_b))
+        fp = -jnp.log(jnp.maximum(x, 1e-30)) / sw_a
+        w = 1.0 / (sw_a * sw_b * jnp.exp((1.0 - sw_a) * fp)
+                   + 2.0 * sw_a * (1.0 - sw_b)
+                   * jnp.exp((1.0 - 2.0 * sw_a) * fp))
+        return fp, w
 
     def draw_birth_fp(stream, hi):
         # birth free path: counter slot 2, first word

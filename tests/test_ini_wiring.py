@@ -328,10 +328,35 @@ def test_stepweight_and_direweight_unbiased(model_dir):
     res0 = run_ini(model_dir)
     res_sw = run_ini(model_dir, "stepweight 1 1.4\n")
     res_dw = run_ini(model_dir, "direweight 1 0.5\n")
+    res_s2 = run_ini(model_dir, "stepweight 2 1.3 0.4\n")
     np.testing.assert_allclose(res_sw.temperature, res0.temperature,
                                rtol=0.05)
     np.testing.assert_allclose(res_dw.temperature, res0.temperature,
                                rtol=0.05)
+    np.testing.assert_allclose(res_s2.temperature, res0.temperature,
+                               rtol=0.05)
+
+
+def test_stepweight2_importance_identity():
+    """STEP_WEIGHT==2 sampling (kernel_ASOC.c:529-541): for the
+    two-exponential proposal the weighted moments must reproduce the
+    unit-exponential's (E[w] = 1, E[w t] = 1, E[w t^2] = 2)."""
+    import jax.numpy as jnp
+    from soc_tpu.grid import uniform_grid
+    from soc_tpu.transport.propagate import make_step_fns
+
+    grid = uniform_grid(2, 2, 2)
+    physics = dict(kabs=jnp.float32(1.0), ksca=jnp.float32(1.0),
+                   csc=jnp.zeros(8, jnp.float32), tw=jnp.float32(1.0),
+                   sw_a=jnp.float32(1.3), sw_b=jnp.float32(0.4))
+    kit = make_step_fns(grid, physics, jnp.uint32(1))
+    u = jnp.asarray((np.arange(1 << 20) + 0.5) / (1 << 20), jnp.float32)
+    fp, w = kit.draw_fp_weighted(u)
+    fp = np.asarray(fp, np.float64)
+    w = np.asarray(w, np.float64)
+    assert abs(w.mean() - 1.0) < 1e-3
+    assert abs((w * fp).mean() - 1.0) < 1e-3
+    assert abs((w * fp * fp).mean() - 2.0) < 5e-3
 
 
 def test_optishalf_runs_close(model_dir):
