@@ -12,7 +12,10 @@ and retained in ``self.keys`` -- XLA owns those decisions here). Three
 reference keywords are parsed but never consumed by the reference itself
 (`bgmethod`: -D define no kernel reads; `dustfile`, `sourcemap`: assigned,
 never used -- ASOC_aux.py:320-322,336,403); they are likewise key-retained
-only. `polsim` (ASOC_aux.py:462) is an unfinished reference experiment:
+only, as is `radiusalign` (sets USER.ALIGN_DAT, which nothing in the
+reference ever reads -- ASOC_aux.py:236,337; grain alignment is instead
+driven by the `polarisation dust aalg_file` route implemented here).
+`polsim` (ASOC_aux.py:462) is an unfinished reference experiment:
 its only consumer switches read_dust to a 6-tuple return
 (ASOC_aux.py:1962) that every caller unpacks as 4 values (ASOC.py:112,
 ASOCS.py:21), so any ini setting it crashes the reference before
@@ -371,6 +374,8 @@ class RunConfig:
             self.use_emweight = n(0)
             if len(a) > 2:
                 self.emweight_lim = (f(1), f(2), f(3) if len(a) > 3 else 0.0)
+                if len(a) > 4:
+                    self.emweight_skip = n(4)
         elif key.startswith("stepwei"):
             self.step_weight = (n(0), f(1) if len(a) > 1 else 0.0,
                                 f(2) if len(a) > 2 else 0.0)
@@ -498,6 +503,12 @@ class RunConfig:
         if not self.obs_theta:
             self.obs_theta = [0.5 * pi]
             self.obs_phi = [0.0]
+        if self.clpac < 1:
+            # ASOC.py:238 -- emission weighting is tied to the CLPAC
+            # budget; with no cell packets the reference disables it
+            # (including for the diffuse source, despite ASOC.py:548's
+            # aspirational comment)
+            self.use_emweight = 0
         return self
 
 

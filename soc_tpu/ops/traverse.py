@@ -319,15 +319,50 @@ def get_step_stack(grid, pos, dir, level, ind, anc, active):
     return ds_gl, pos, level, ind, anc
 
 
+def failed_step_nudge(npos, dir, failed):
+    """Push failed boundary crossings forward by a distance guaranteed to
+    change the stored float32 position.
+
+    A crossing "fails" (same cell after the step) when rounding eats the
+    PEPS over-step. For |coordinate| >~ 1700 the half-ulp exceeds PEPS
+    itself: a negative-direction crossing computes floor - PEPS, which
+    rounds back UP to the boundary, and the plain PEPS nudge rounds away
+    too -- a permanently stuck lane (demonstrated on a 4096-wide root
+    grid). The reference dodges this by recompiling the whole walk in
+    double precision above NX > DIMLIM (kernel_ASOC_aux.c:27-46, DIMLIM
+    100-399); scaling the nudge to >= 4 ulp of the largest coordinate
+    keeps float32 everywhere at any root-grid size. Below ~400 cells the
+    scale clamps to PEPS, i.e. bit-identical to the original nudge.
+    """
+    s = jnp.maximum(jnp.float32(PEPS),
+                    jnp.max(jnp.abs(npos), axis=-1)
+                    * jnp.float32(2.0 ** -21))
+    return jnp.where(failed[..., None], npos + s[..., None] * dir, npos)
+
+
 def boundary_step(pos, dir):
     """Distance (level-local units) to the next cell boundary, PEPS over-step.
 
     GetStep's step computation (kernel_ASOC_aux.c:282-300): per axis the step
     to the next integer plane plus PEPS; returns (ds_local, new_pos).
+
+    The over-step epsilon is ulp-aware: exactly PEPS while |coordinate| <
+    ~400 (bit-identical to the fixed-epsilon form there), scaling to >=
+    2-4 ulp of the coordinate beyond. With fixed PEPS, a negative-
+    direction crossing at |coordinate| >~ 1700 computes floor - PEPS,
+    which rounds back UP onto the representable boundary -- the step
+    "fails" (same cell), and since the reference deposits before its
+    failed-step check (kernel_ASOC.c:570-660) every such crossing would
+    double-deposit; at ~4000 the lane sticks permanently. The reference
+    escapes by recompiling the walk in double precision above NX > DIMLIM
+    (kernel_ASOC_aux.c:27-46); the scaled epsilon keeps float32 at any
+    root-grid size with failures as rare as on small grids.
     """
     frac = jnp.mod(pos, 1.0)
-    step_pos = (1.0 + PEPS - frac) / dir
-    step_neg = (-PEPS - frac) / dir
+    eps = jnp.maximum(jnp.float32(PEPS),
+                      jnp.abs(pos) * jnp.float32(2.0 ** -21))
+    step_pos = (1.0 + eps - frac) / dir
+    step_neg = (-eps - frac) / dir
     per_axis = jnp.where(dir > 0.0, step_pos, step_neg)
     ds = jnp.min(per_axis, axis=-1)
     new_pos = pos + ds[..., None] * dir

@@ -315,7 +315,9 @@ def _owner_lists(slabs, spawn_kind, statics, src_values, total, seed):
                 # exactly): entries that round onto/over the outer Z face
                 # are unowned (-1), not clipped into the last slab where
                 # they would spawn dead yet count toward own_n
-                ow = np.floor(np.asarray(pos[:, 2]) / nzl).astype(np.int32)
+                z = np.asarray(pos[:, 2], np.float64)
+                z = np.where(np.isfinite(z), z, -1.0)   # dead-at-birth
+                ow = np.floor(z / nzl).astype(np.int32)
                 ow[(ow < 0) | (ow >= S)] = -1
                 owner[i0:i0 + len(ids)] = ow
         else:
@@ -333,8 +335,9 @@ def _owner_lists(slabs, spawn_kind, statics, src_values, total, seed):
                 ids = jnp.arange(i0, min(i0 + chunk, total),
                                  dtype=jnp.int32)
                 nb = gen(dummy, ids, jnp.uint32(seed), params)
-                ow = np.floor(np.asarray(nb.pos[:, 2])
-                              / nzl).astype(np.int32)
+                z = np.asarray(nb.pos[:, 2], np.float64)
+                z = np.where(np.isfinite(z), z, -1.0)
+                ow = np.floor(z / nzl).astype(np.int32)
                 ow[(ow < 0) | (ow >= S)] = -1       # off the Z faces
                 ow[np.asarray(nb.ind) < 0] = -1     # dead at birth
                 owner[i0:i0 + len(ids)] = ow

@@ -62,11 +62,16 @@ def _run_over_freqs(grid, medium, kind, make_params, per_freq, tabs, intf,
                     seed, nlanes, per_freq_tally, phase=None, iteration=0,
                     mirror_mask=0, freq_mask=None, roi=None,
                     physics_extra=None, split_max=0, ckpt=None,
-                    ckpt_key="", host_tally=None, ckpt_slot="tabs"):
+                    ckpt_key="", host_tally=None, ckpt_slot="tabs",
+                    pool_cap=None):
     """Run one transport pass per frequency (uniform-frequency fast path:
     scalar cross sections, [BINS] CSC row -- all frequencies share one
     compiled executable).
 
+    per_freq : packets per frequency -- an int, or a callable
+        per_freq(ifreq) for allocation-dependent budgets (EMWEI); pass
+        pool_cap (a static bound over all frequencies) alongside a
+        callable so every frequency still hits ONE compiled executable.
     freq_mask : optional bool[NFREQ]; masked-out frequencies are skipped
         entirely (the reference's `simum` band / libabs FSELECT loops,
         ASOC.py:1126-1131).
@@ -92,6 +97,9 @@ def _run_over_freqs(grid, medium, kind, make_params, per_freq, tabs, intf,
             print("  [%s] freq %d/%d  t=%.1fs" %
                   (kind, ifreq + 1, nfreq, time.time() - t_loop),
                   file=sys.stderr, flush=True)
+        pf = int(per_freq(ifreq)) if callable(per_freq) else per_freq
+        if pf <= 0:
+            continue
         physics = dict(kabs=medium.abs_gl[ifreq], ksca=medium.sca_gl[ifreq],
                        csc=medium.csc[ifreq], tw=medium.tw[ifreq])
         if physics_extra is not None:
@@ -108,7 +116,8 @@ def _run_over_freqs(grid, medium, kind, make_params, per_freq, tabs, intf,
         else:
             params["ifreq"] = jnp.int32(ifreq)
             params["hi_base"] = jnp.uint32(hi_base)
-        params["per_freq"] = jnp.int32(per_freq)
+        if "per_freq" not in params:
+            params["per_freq"] = jnp.int32(pf)
         kwargs = {}
         if roi is not None:
             physics["roi_mask"] = roi["mask"]
@@ -117,8 +126,10 @@ def _run_over_freqs(grid, medium, kind, make_params, per_freq, tabs, intf,
             kwargs = dict(roi_nside=roi["nside"],
                           roi_tally=jnp.asarray(roi["tally"][ifreq]))
         out = transport_run(
-            grid, physics, params, jnp.int32(per_freq), tabs, intf, seed,
-            source_kind=kind, nlanes=_pool_lanes(nlanes, per_freq),
+            grid, physics, params, jnp.int32(pf), tabs, intf, seed,
+            source_kind=kind,
+            nlanes=_pool_lanes(nlanes,
+                               pf if pool_cap is None else pool_cap),
             per_freq_tally=per_freq_tally,
             mirror_mask=mirror_mask, split_max=split_max, **kwargs)
         # extras appended in transport_run order: [xab] [roi_tally] [clones]
@@ -404,29 +415,80 @@ def simulate_point_sources(grid, medium, cfg, lps, tabs, intf, seed,
     return tabs, intf, escaped, injected
 
 
-def emweight_allocation(emit_col, clpac, lims=(0.0, 1e10), rng=None):
-    """Emission-weighted packets-per-cell with Russian roulette
-    (ASOC.py:1276-1298 EMWEI semantics). Returns (cell_of_id, weight[CELLS],
-    total_packets): weight = 1/count for count >= 1 cells; roulette cells
-    get one packet of weight 1/EMWEI with probability EMWEI.
+EMWEI2_STEP = 100      # mode-2 packet quantum (ASOC.py:79)
+
+
+def emweight_allocation(emit_col, clpac, lims=(0.0, 1e10), rng=None,
+                        mode=1):
+    """Emission-weighted packets-per-cell (EMWEI). Returns (cell_of_id,
+    weight[CELLS], total_packets).
+
+    mode 1 (ASOC.py:1276-1298): packets ~ the cell's share of total
+    emission, clipped to lims[:2]; cells below one packet survive
+    Russian roulette with probability EMWEI and carry weight 1/EMWEI;
+    lims[2] > 0 afterwards drops every cell whose (post-roulette) EMWEI
+    falls below it (USER.EMWEIGHT_LIM[2], ASOC.py:1770-1772).
+
+    mode 2 (USE_EMWEIGHT==2, ASOC.py:1773-1789): deterministic quotas --
+    packets per cell = EMWEI2_STEP * round(share / EMWEI2_STEP) computed
+    from the UNclipped share (the reference overwrites the clipped/
+    rouletted EMWEI with 1/EMPAC), weight = 1/EMPAC. The reference's
+    EMINDEX batching (the kernel simulating EMWEI2_STEP packets per call
+    while the host loops) is GPU work-issue bookkeeping; the lane-refill
+    pool consumes the same (cell, weight) multiset directly.
     """
     emit_col = np.asarray(emit_col, np.float64)
     cells = len(emit_col)
-    wei = clpac * emit_col / max(emit_col.sum(), 1e-32)
-    wei = np.clip(wei, lims[0], lims[1])
-    counts = np.floor(wei).astype(np.int64)
+    raw = clpac * emit_col / max(emit_col.sum(), 1e-32)
+    if mode == 2:
+        counts = (EMWEI2_STEP
+                  * np.round(raw / EMWEI2_STEP)).astype(np.int64)
+        counts = np.maximum(counts, 0)
+        weight = np.zeros(cells, np.float64)
+        m = counts > 0
+        weight[m] = 1.0 / counts[m]
+        cell_of_id = np.repeat(np.arange(cells, dtype=np.int32), counts)
+        return cell_of_id, weight.astype(np.float32), len(cell_of_id)
+    wei = np.clip(raw, lims[0], lims[1])
     frac = wei < 1.0
     if rng is None:
         rng = np.random.default_rng(1234)
     survive = frac & (rng.random(cells) < wei)
-    counts = np.where(frac, survive.astype(np.int64), np.maximum(counts, 1))
-    counts = np.where(wei <= 0.0, 0, counts)
+    eff = np.where(frac, np.where(survive, wei, 0.0), wei)
+    if len(lims) > 2 and lims[2] > 0.0:
+        eff = np.where(eff < lims[2], 0.0, eff)
+    counts = np.where(eff <= 0.0, 0,
+                      np.where(eff < 1.0, 1,
+                               np.floor(eff).astype(np.int64)))
     weight = np.zeros(cells, np.float64)
     m = counts > 0
-    weight[m & ~frac] = 1.0 / counts[m & ~frac]
-    weight[m & frac] = 1.0 / np.maximum(wei[m & frac], 1e-30)
+    weight[m & (eff >= 1.0)] = 1.0 / counts[m & (eff >= 1.0)]
+    weight[m & (eff < 1.0)] = 1.0 / np.maximum(eff[m & (eff < 1.0)], 1e-30)
     cell_of_id = np.repeat(np.arange(cells, dtype=np.int32), counts)
     return cell_of_id, weight.astype(np.float32), len(cell_of_id)
+
+
+def _emweight_allocs(emitted_np, cfg, rng, nfreq):
+    """Per-frequency EMWEI allocations with EMWEIGHT_SKIP reuse.
+
+    The reference recomputes the weights only at every EMWEIGHT_SKIP-th
+    frequency of each sweep (skip counter ASOC.py:1643,1750-1752); in
+    between, the stale (cell, 1/count) multiset is reused with the
+    current frequency's emission column. Allocation is a variance knob,
+    not a bias knob: the per-packet photon weight EMIT_f[cell]/count
+    keeps the estimator exact whichever column built the counts. All
+    three execution paths (single-device, `devices N`, `domains N`) call
+    this one helper so their allocations are identical."""
+    allocs = {}
+    last = None
+    skipn = max(1, int(cfg.emweight_skip))
+    for i in range(nfreq):
+        if last is None or i % skipn == 0:
+            last = emweight_allocation(emitted_np[:, i], int(cfg.clpac),
+                                       lims=cfg.emweight_lim, rng=rng,
+                                       mode=cfg.use_emweight)
+        allocs[i] = last
+    return allocs
 
 
 def simulate_cell_emission(grid, medium, cfg, emitted, tabs, intf, seed,
@@ -457,11 +519,7 @@ def simulate_cell_emission(grid, medium, cfg, emitted, tabs, intf, seed,
             # the allocations are IDENTICAL to the single-device run's
             rng = np.random.Generator(np.random.Philox(
                 key=np.uint64([int(seed) & 0xFFFFFFFF, iteration])))
-            allocs = {}
-            for ifreq in range(medium.nfreq):
-                allocs[ifreq] = emweight_allocation(
-                    emitted_np[:, ifreq], int(cfg.clpac),
-                    lims=cfg.emweight_lim[:2], rng=rng)
+            allocs = _emweight_allocs(emitted_np, cfg, rng, medium.nfreq)
             pad = _pool_lanes(1 << 30,
                               max(1, *(a[2] for a in allocs.values())))
 
@@ -501,11 +559,7 @@ def simulate_cell_emission(grid, medium, cfg, emitted, tabs, intf, seed,
         if cfg.use_emweight > 0:
             rng = np.random.Generator(np.random.Philox(
                 key=np.uint64([int(seed) & 0xFFFFFFFF, iteration])))
-            allocs = {}
-            for i in range(medium.nfreq):
-                allocs[i] = emweight_allocation(
-                    emitted_np[:, i], int(cfg.clpac),
-                    lims=cfg.emweight_lim[:2], rng=rng)
+            allocs = _emweight_allocs(emitted_np, cfg, rng, medium.nfreq)
             # static id->cell map shape so every channel hits ONE cached
             # executable (ids beyond the realized total are never drawn)
             pad = _pool_lanes(1 << 30,
@@ -545,10 +599,9 @@ def simulate_cell_emission(grid, medium, cfg, emitted, tabs, intf, seed,
             key=np.uint64([int(seed) & 0xFFFFFFFF, iteration])))
         nlanes = _pool_lanes(lanes, int(cfg.clpac))
         escaped = np.zeros(medium.nfreq)
+        allocs = _emweight_allocs(emitted_np, cfg, rng, medium.nfreq)
         for ifreq in range(medium.nfreq):
-            cell_of_id, weight, total = emweight_allocation(
-                emitted_np[:, ifreq], int(cfg.clpac),
-                lims=cfg.emweight_lim[:2], rng=rng)
+            cell_of_id, weight, total = allocs[ifreq]
             if total == 0:
                 continue
             physics = dict(kabs=medium.abs_gl[ifreq],
@@ -699,12 +752,14 @@ def simulate_diffuse(grid, medium, cfg, diffuserad, tabs, intf, seed,
     lev = np.asarray(equilibrium.cell_levels(grid))
     coeff = (cfg.k_diffuse * cfg.gl * PARSEC / 8.0 ** lev).astype(np.float64)
     injected = np.zeros(nfreq)
+    cols_np = {}
     emit_cols = {}
     for ifreq in range(nfreq):
         dr_ind = ifreq + (nf_d - nfreq)     # highest frequencies stored
         if dr_ind < 0:
             continue
         col = (np.asarray(diffuserad[:, dr_ind], np.float64) * coeff)
+        cols_np[ifreq] = col
         emit_cols[ifreq] = jnp.asarray((col / per_cell).astype(np.float32))
         injected[ifreq] = col.sum()
     mask = np.zeros(nfreq, bool)
@@ -713,14 +768,61 @@ def simulate_diffuse(grid, medium, cfg, diffuserad, tabs, intf, seed,
         mask &= np.asarray(freq_mask, bool)
     injected[~mask] = 0.0
 
+    # EMWEI on the diffuse source (the reference's phase-1 weighting
+    # block, ASOC.py:1277-1292: clip + Russian roulette only -- no
+    # LIM[2], no mode 2 there -- budget DFPAC, EMWEIGHT_SKIP reuse over
+    # simulated frequencies)
+    allocs = None
+    if cfg.use_emweight > 0:
+        rng = np.random.Generator(np.random.Philox(
+            key=np.uint64([int(seed) & 0xFFFFFFFF, 0xD1FF])))
+        allocs = {}
+        last = None
+        skipn = max(1, int(cfg.emweight_skip))
+        kth = 0
+        zero_col = np.zeros(grid.cells)
+        for i in range(nfreq):
+            if not mask[i]:
+                continue
+            if last is None or kth % skipn == 0:
+                last = emweight_allocation(
+                    cols_np.get(i, zero_col), int(dfpac),
+                    lims=cfg.emweight_lim[:2], rng=rng)
+            kth += 1
+            allocs[i] = last
+        pad = _pool_lanes(1 << 30,
+                          max(1, *(a[2] for a in allocs.values()))
+                          if allocs else 1)
+
+        def _ew_params(ifreq):
+            cell_of_id, weight, total = allocs[ifreq]
+            com = np.full(pad, grid.cells - 1, np.int32)
+            com[:total] = cell_of_id
+            emit = (cols_np[ifreq] * weight).astype(np.float32)
+            return dict(emit=jnp.asarray(emit),
+                        cell_of_id=jnp.asarray(com),
+                        per_freq=jnp.int32(pad))
+
+        def _ew_total(ifreq):
+            return allocs[ifreq][2] if ifreq in allocs else 0
+
     if pmesh is not None:
         from ..parallel import product
 
-        def make_params_p(ifreq):
-            return dict(emit=emit_cols[ifreq], per_cell=jnp.int32(per_cell))
+        if allocs is not None:
+            def make_params_p(ifreq):
+                p = _ew_params(ifreq)
+                p.pop("per_freq")          # run_freqs sets the budget
+                return p
+            pf_of = _ew_total
+        else:
+            def make_params_p(ifreq):
+                return dict(emit=emit_cols[ifreq],
+                            per_cell=jnp.int32(per_cell))
+            pf_of = per_freq
 
         tabs, intf, escaped, _, _ = product.run_freqs(
-            pmesh, grid, medium, "cell", make_params_p, per_freq, tabs,
+            pmesh, grid, medium, "cell", make_params_p, pf_of, tabs,
             intf, seed, lanes, per_freq_tally, phase="diffuse",
             mirror_mask=mirror_mask_of(cfg), freq_mask=mask, roi=roi,
             physics_extra=physics_extra, ckpt=ckpt, ckpt_key="diffuse")
@@ -731,23 +833,41 @@ def simulate_diffuse(grid, medium, cfg, diffuserad, tabs, intf, seed,
         # so the per-slab ownership runner applies directly
         from ..parallel.domain import domain_cell_emission_run
         from ..transport.sources import stream_hi_base
+        if allocs is not None:
+            def src_of_freq(i):
+                if i not in allocs or allocs[i][2] == 0:
+                    return None
+                return (cols_np[i] * allocs[i][1], 1)
+
+            def src_kw(i):
+                com = np.full(pad, grid.cells - 1, np.int32)
+                com[:allocs[i][2]] = allocs[i][0]
+                return dict(cell_of_id=com, total_packets=allocs[i][2])
+        else:
+            def src_of_freq(i):
+                return ((np.asarray(emit_cols[i]), per_cell)
+                        if i in emit_cols else None)
+            src_kw = None
         tabs, intf, escaped, _ = _domain_run_source(
             domain_cell_emission_run, domain, medium, lanes, mask,
-            lambda i: ((np.asarray(emit_cols[i]), per_cell)
-                       if i in emit_cols else None),
+            src_of_freq,
             stream_hi_base("diffuse"), seed, grid, cfg, tabs, intf,
-            per_freq_tally, physics_extra=physics_extra)
+            per_freq_tally, physics_extra=physics_extra, src_kw=src_kw)
         return tabs, intf, escaped, injected
 
-    def make_params(ifreq):
-        return dict(emit=emit_cols[ifreq], per_cell=jnp.int32(per_cell))
+    if allocs is not None:
+        make_params, pf_of, cap = _ew_params, _ew_total, pad
+    else:
+        def make_params(ifreq):
+            return dict(emit=emit_cols[ifreq], per_cell=jnp.int32(per_cell))
+        pf_of, cap = per_freq, None
 
     tabs, intf, escaped, absorbed = _run_over_freqs(
-        grid, medium, "cell", make_params, per_freq, tabs, intf, seed,
+        grid, medium, "cell", make_params, pf_of, tabs, intf, seed,
         lanes, per_freq_tally, phase="diffuse",
         mirror_mask=mirror_mask_of(cfg), freq_mask=mask, roi=roi,
         physics_extra=physics_extra, ckpt=ckpt, ckpt_key="diffuse",
-        host_tally=host_tally)
+        host_tally=host_tally, pool_cap=cap)
     return tabs, intf, escaped, injected
 
 

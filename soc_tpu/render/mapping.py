@@ -136,7 +136,7 @@ def render_ortho(grid, emit_map, ext_gl, odir, ra, de, centre, map_dx,
             grid, pos, step_dir, level, ind, anc, active)
         # failed-step recovery
         failed = active & (nlevel == level) & (nind == ind)
-        npos = jnp.where(failed[:, None], npos + 1e-4 * step_dir, npos)
+        npos = traverse.failed_step_nudge(npos, step_dir, failed)
 
         if map_interp > 0:
             # cross-ray triangle interpolation: neighbors along the
@@ -342,7 +342,7 @@ def render_healpix(grid, emit_map, ext_gl, intobs, nside, max_steps=100000,
         ds, npos, nlevel, nind, anc = traverse.get_step_stack(
             grid, pos, step_dir, level, ind, anc, active)
         failed = active & (nlevel == level) & (nind == ind)
-        npos = jnp.where(failed[:, None], npos + 1e-4 * step_dir, npos)
+        npos = traverse.failed_step_nudge(npos, step_dir, failed)
         if interpolate:
             dens = _interp_density(grid, gpos + (0.5 * ds)[:, None]
                                    * step_dir, dens, level, interpolate)
@@ -414,7 +414,7 @@ def render_perspective(grid, emit_map, ext_gl, intobs, npix,
         ds, npos, nlevel, nind, anc = traverse.get_step_stack(
             grid, pos, step_dir, level, ind, anc, active)
         failed = active & (nlevel == level) & (nind == ind)
-        npos = jnp.where(failed[:, None], npos + 1e-4 * step_dir, npos)
+        npos = traverse.failed_step_nudge(npos, step_dir, failed)
         w = jnp.where(active, ds, 0.0)
         # ext_gl [NF] (constant abundances) or [CELLS, NF] (WITH_ABU OPT)
         ext_row = ext_gl[gidx, :] if ext_gl.ndim == 2 else ext_gl[None, :]
@@ -465,7 +465,7 @@ def render_pstau(grid, ext_gl, ps_pos, odir, max_steps=100000):
         ds, npos, nlevel, nind, anc = traverse.get_step_stack(
             grid, pos, step_dir, level, ind, anc, active)
         failed = active & (nlevel == level) & (nind == ind)
-        npos = jnp.where(failed[:, None], npos + 1e-4 * step_dir, npos)
+        npos = traverse.failed_step_nudge(npos, step_dir, failed)
         w = jnp.where(active, ds, 0.0)
         ext_row = ext_gl[gidx, :] if ext_gl.ndim == 2 else ext_gl[None, :]
         tau = tau + (w * dens)[:, None] * ext_row
@@ -524,7 +524,7 @@ def render_ortho_hier(grid, emit_map, ext_gl, odir, ra, de, centre, map_dx,
         ds, npos, nlevel, nind, anc = traverse.get_step_stack(
             grid, pos, step_dir, level, ind, anc, active)
         failed = active & (nlevel == level) & (nind == ind)
-        npos = jnp.where(failed[:, None], npos + 1e-4 * step_dir, npos)
+        npos = traverse.failed_step_nudge(npos, step_dir, failed)
         w = jnp.where(active, ds, 0.0)
         # ext_gl [NF] (constant abundances) or [CELLS, NF] (WITH_ABU OPT)
         ext_row = ext_gl[gidx, :] if ext_gl.ndim == 2 else ext_gl[None, :]
@@ -591,7 +591,7 @@ def render_healpix_hier(grid, emit_map, ext_gl, intobs, nside,
         ds, npos, nlevel, nind, anc = traverse.get_step_stack(
             grid, pos, step_dir, level, ind, anc, active)
         failed = active & (nlevel == level) & (nind == ind)
-        npos = jnp.where(failed[:, None], npos + 1e-4 * step_dir, npos)
+        npos = traverse.failed_step_nudge(npos, step_dir, failed)
         w = jnp.where(active, ds, 0.0)
         ext_row = ext_gl[gidx, :] if ext_gl.ndim == 2 else ext_gl[None, :]
         dtau = (w * dens)[:, None] * ext_row

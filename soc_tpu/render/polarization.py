@@ -81,7 +81,7 @@ def render_pol(grid, emit_map, ext_gl, bfield, p0, odir, ra, de, centre,
         ds, npos, nlevel, nind, anc = traverse.get_step_stack(
             grid, pos, step_dir, level, ind, anc, active)
         failed = active & (nlevel == level) & (nind == ind)
-        npos = jnp.where(failed[:, None], npos + 1e-4 * step_dir, npos)
+        npos = traverse.failed_step_nudge(npos, step_dir, failed)
 
         # polarisation geometry
         bnorm = jnp.linalg.norm(b, axis=-1)
@@ -227,7 +227,7 @@ def render_pol_healpix(grid, emit_map, ext_gl, bfield, p0, intobs, nside,
         ds, npos, nlevel, nind, anc = traverse.get_step_stack(
             grid, pos, step_dir, level, ind, anc, active)
         failed = active & (nlevel == level) & (nind == ind)
-        npos = jnp.where(failed[:, None], npos + 1e-4 * step_dir, npos)
+        npos = traverse.failed_step_nudge(npos, step_dir, failed)
         if interpolate:
             from .mapping import _interp_density
             dens = _interp_density(grid, gpos + (0.5 * ds)[:, None]
@@ -353,8 +353,7 @@ def render_polstat(grid, emit_map, ext_gl, bfield, odir, ra, de, centre,
             ds, npos, nlevel, nind, anc = traverse.get_step_stack(
                 grid, pos, step_dir, level, ind, anc, active)
             failed = active & (nlevel == level) & (nind == ind)
-            npos = jnp.where(failed[:, None], npos + 1e-4 * step_dir,
-                             npos)
+            npos = traverse.failed_step_nudge(npos, step_dir, failed)
             sx = jnp.where(active, ds, 0.0)
             ext_row = (ext_gl[gidx, :] if ext_gl.ndim == 2
                        else ext_gl[None, :])
@@ -511,8 +510,7 @@ def render_polstat_healpix(grid, emit_map, ext_gl, bfield, intobs, nside,
             ds, npos, nlevel, nind, anc = traverse.get_step_stack(
                 grid, pos, step_dir, level, ind, anc, active)
             failed = active & (nlevel == level) & (nind == ind)
-            npos = jnp.where(failed[:, None], npos + 1e-4 * step_dir,
-                             npos)
+            npos = traverse.failed_step_nudge(npos, step_dir, failed)
             # truncate the final step at maxlos (kernel_ASOC_map_H.c:925)
             sx = jnp.where(active, ds, 0.0)
             sx = jnp.minimum(sx, jnp.maximum(maxlos - los, 0.0))

@@ -95,7 +95,7 @@ def _march_tau(grid, pos, level, ind, dir, ext, active, max_steps=None,
         ds, npos, nlevel, nind, anc = traverse.get_step_stack(
             grid, pos, dir, level, ind, anc, live)
         failed = live & (nlevel == level) & (nind == ind)
-        npos = jnp.where(failed[:, None], npos + PEPS * dir, npos)
+        npos = traverse.failed_step_nudge(npos, dir, failed)
         w = jnp.minimum(ds, left)
         tau = tau + jnp.where(live, w * dens * ext, 0.0)
         left = jnp.where(live, left - w, left)
@@ -201,7 +201,7 @@ def _march_ffs(grid, ksca, seed, pos, level, ind, dir, stream, hi,
         ds, npos, nlevel, nind, anc = traverse.get_step_stack(
             grid, pos, dir, level, ind, anc, live)
         failed = live & (nlevel == level) & (nind == ind)
-        npos = jnp.where(failed[:, None], npos + PEPS * dir, npos)
+        npos = traverse.failed_step_nudge(npos, dir, failed)
         dtau = jnp.where(live, ds * dens * ksca, 0.0)
         res = _reservoir_update(ksca, seed, stream, hi, rk, pos, dir,
                                 level, ind, dens, tau, dtau, live, res)
@@ -415,7 +415,7 @@ def propagate_events(grid, physics, b, free_path, tau, pending, events,
         npos, nlevel, nind, anc = traverse.index_update_stack(
             grid, posx, b.level, b.ind, anc, cross)
         failed = cross & (nlevel == b.level) & (nind == b.ind)
-        npos = jnp.where(failed[:, None], npos + PEPS * b.dir, npos)
+        npos = traverse.failed_step_nudge(npos, b.dir, failed)
 
         pos = jnp.where(scatter_now[:, None], pos_scatter, npos)
         level = jnp.where(scatter_now, b.level, nlevel)
@@ -730,7 +730,7 @@ def sca_run(grid, physics, source_params, total_packets, carry, events,
         npos, nlevel, nind, anc = traverse.index_update_stack(
             grid, posx, b.level, b.ind, anc, cross, descend=False)
         failed = cross & (nlevel == b.level) & (nind == b.ind)
-        npos = jnp.where(failed[:, None], npos + PEPS * b.dir, npos)
+        npos = traverse.failed_step_nudge(npos, b.dir, failed)
 
         # stage-0 lanes that reached the far boundary -- or the
         # TAU_PEEL_CUT truncation depth (matching _march_ffs) -- freeze

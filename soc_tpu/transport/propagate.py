@@ -501,7 +501,7 @@ def make_step_fns(grid, physics, seed, *, per_freq_tally=False,
         npos, nlevel, nind, anc = traverse.index_update_stack(
             grid, posx, b.level, b.ind, anc, cross, descend=False)
         failed = cross & (nlevel == b.level) & (nind == b.ind)
-        npos = jnp.where(failed[..., None], npos + PEPS * b.dir, npos)
+        npos = traverse.failed_step_nudge(npos, b.dir, failed)
         dirx = b.dir
         if mirror_mask:
             # mirrored faces reflect exiting packets back inside (Mirror,

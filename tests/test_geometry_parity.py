@@ -268,3 +268,72 @@ def test_mapping_los_parity():
     assert np.quantile(rel, 0.99) < 2e-4, np.quantile(rel, 0.99)
     assert rel.max() < 5e-3, rel.max()
     assert out.sum() > 0
+
+
+def test_large_root_grid_no_stuck_lanes():
+    """No DIMLIM cliff: the reference needs double-precision positions
+    above NX > DIMLIM (kernel_ASOC_aux.c:27-46) because at |coordinate|
+    >~ 1700 the float32 half-ulp exceeds PEPS -- a negative-direction
+    crossing computes floor - PEPS, rounds back UP onto the boundary, and
+    sticks forever (reproduced here at x ~ 4000 on a 4096-wide grid before
+    the fix). The ulp-aware failed_step_nudge keeps float32 at any root
+    size: every ray must exit, and chord totals must match exact geometry.
+    """
+    from jax import lax
+
+    nx, ny, nz = 4096, 4, 4
+    grid = grid_from_arrays(nx, ny, nz, [nx * ny * nz],
+                            [np.ones(nx * ny * nz, np.float32)])
+    rng = np.random.default_rng(9)
+    nray = 16
+    # -x dominant rays born deep in the high-coordinate half (the
+    # sub-ulp-PEPS regime), mild transverse slopes
+    pos0 = np.stack([3600.0 + 400.0 * rng.random(nray),
+                     0.5 + (ny - 1.0) * rng.random(nray),
+                     0.5 + (nz - 1.0) * rng.random(nray)], 1)
+    d = np.stack([-np.ones(nray), 0.04 * (rng.random(nray) - 0.5),
+                  0.04 * (rng.random(nray) - 0.5)], 1)
+    d = np.where(np.abs(d) < DEPS, DEPS, d)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    dirv = jnp.asarray(d.astype(np.float32))
+
+    pos, level, ind, anc = traverse.index_global_stack(
+        grid, jnp.asarray(pos0.astype(np.float32)))
+    max_steps = 8 * nx
+
+    def cond(st):
+        it, pos, level, ind, anc, total = st
+        return (it < max_steps) & jnp.any(ind >= 0)
+
+    def body(st):
+        it, pos, level, ind, anc, total = st
+        live = ind >= 0
+        ds, npos, nlevel, nind, anc = traverse.get_step_stack(
+            grid, pos, dirv, level, ind, anc, live)
+        failed = live & (nlevel == level) & (nind == ind)
+        npos = traverse.failed_step_nudge(npos, dirv, failed)
+        total = total + jnp.where(live, ds, 0.0)
+        return (it + 1, jnp.where(live[:, None], npos, pos),
+                jnp.where(live, nlevel, level),
+                jnp.where(live, nind, ind), anc, total)
+
+    import jax
+    st = jax.jit(lambda s: lax.while_loop(cond, body, s))(
+        (jnp.int32(0), pos, level, ind, anc,
+         jnp.zeros(nray, jnp.float32)))
+    it, _, _, ind, _, total = st
+    assert int(it) < max_steps, "stuck lanes on the large root grid"
+    assert np.all(np.asarray(ind) < 0)
+    # exact total chord of each ray (straight line to whichever face it
+    # exits): march length agrees despite the few-ulp over-steps (the
+    # per-crossing epsilon is ~2e-3 cell units at coordinate ~4000)
+    expect = np.zeros(nray)
+    for r in range(nray):
+        smax = np.inf
+        for ax, n in ((0, nx), (1, ny), (2, nz)):
+            if d[r, ax] > 0:
+                smax = min(smax, (n - pos0[r, ax]) / d[r, ax])
+            else:
+                smax = min(smax, -pos0[r, ax] / d[r, ax])
+        expect[r] = smax
+    np.testing.assert_allclose(np.asarray(total), expect, rtol=5e-3)

@@ -816,3 +816,51 @@ def test_roimap_restricts_map_emission(model_dir):
     # tau maps identical: ROI masks emission only
     np.testing.assert_allclose(res_roi.tau_maps[0], res_all.tau_maps[0],
                                rtol=1e-6)
+
+
+def test_emweight_mode2_e2e(model_dir):
+    """emwei 2: deterministic per-cell packet quotas (USE_EMWEIGHT==2,
+    ASOC.py:1773-1789). The re-emission phase must stay unbiased --
+    temperatures match the unweighted run within MC noise."""
+    res0 = run_ini(model_dir, "cellpackets 8192\niterations 2\n")
+    res2 = run_ini(model_dir,
+                   "cellpackets 8192\niterations 2\nemweight 2 0 100\n")
+    np.testing.assert_allclose(res2.temperature, res0.temperature,
+                               rtol=0.05)
+
+
+def test_diffuse_with_emweight_unbiased(model_dir):
+    """The reference weights phase-1 diffuse packets by the diffuse
+    emission field when emwei > 0 (ASOC.py:1277-1292). The weighted run
+    must deposit the same heating within MC noise."""
+    cells = N ** 3
+    rng = np.random.default_rng(7)
+    nf = 44
+    field = np.zeros((cells, nf), np.float32)
+    field[:, 20] = rng.uniform(0.1, 2.0, cells).astype(np.float32)
+    with open(model_dir / "diffuse.bin", "wb") as fp:
+        np.asarray([cells, nf], np.int32).tofile(fp)
+        field.tofile(fp)
+    # cellpackets > 0: the reference ties EMWEI to the CLPAC budget
+    # (ASOC.py:238 disables USE_EMWEIGHT when CLPAC < 1)
+    extra = ("diffuse  diffuse.bin\ndiffpack %d\ncellpackets 1024\n"
+             "iterations 0\nnosolve\n" % (4 * cells))
+    res0 = run_ini(model_dir, extra, bgpac=0)
+    # skip=1: the field is a single-frequency delta, so the default
+    # EMWEIGHT_SKIP=3 would (exactly like the reference) reuse a stale
+    # all-zero allocation from a neighboring frequency and simulate
+    # nothing at the populated channel
+    resw = run_ini(model_dir, extra + "emweight 1 0 100 0 1\n", bgpac=0)
+    assert resw.ctabs.sum() > 0
+    np.testing.assert_allclose(resw.ctabs.sum(), res0.ctabs.sum(),
+                               rtol=0.05)
+    # default skip=3 reuses the stale zero allocation -- reference parity
+    # of the staleness semantics (ASOC.py:1027,1277-1292)
+    res_stale = run_ini(model_dir, extra + "emweight 1 0 100\n", bgpac=0)
+    assert res_stale.ctabs.sum() == 0.0
+    # clpac==0 disables the weighting entirely (ASOC.py:238): identical
+    # to the unweighted run, packets and all
+    res_gate = run_ini(model_dir,
+                       "diffuse  diffuse.bin\ndiffpack %d\nnosolve\n"
+                       "emweight 1 0 100 0 1\n" % (4 * cells), bgpac=0)
+    assert res_gate.ctabs.sum() > 0
