@@ -4,8 +4,9 @@
   python -m soc_tpu sca soc.ini         ~  ASOCS.py soc.ini
   python -m soc_tpu a2e_pre gs.dust freq.dat out.solver [NE]
                                         ~  A2E_pre.py ...
-  python -m soc_tpu a2e solver absorbed emitted [nstoch]
-                                        ~  A2E.py ...
+  python -m soc_tpu a2e solver absorbed emitted [GPU [nstoch [IFREQ [aalg]]]]
+                                        ~  A2E.py ... (GPU accepted+ignored;
+                                           short form: a2e s a e [nstoch])
   python -m soc_tpu mabu soc.ini absorbed emitted
                                         ~  A2E_MABU.py ...
   python -m soc_tpu pipeline soc.ini    ~  ASOC_driver.py soc.ini
@@ -103,12 +104,36 @@ def _dispatch(argv):
         from .solve.solver_file import read_solver
         from .solve import stochastic
         sol = read_solver(args[0])
-        nstoch = int(args[3]) if len(args) > 3 else 999
+        # reference argument list (A2E.py:17-30):
+        #   solver absorbed emitted [GPU [nstoch [IFREQ [aalg]]]]
+        # GPU selects an OpenCL device there -- accepted and ignored here
+        # (XLA owns placement) so reference command lines work verbatim.
+        # Short form: a lone 4th argument WITHOUT a decimal point is read
+        # as nstoch (this CLI's documented form).
+        nstoch, ifreq_sel, aalg = 999, None, None
+        rest = args[3:]
+        if len(rest) == 1 and "." not in rest[0]:
+            nstoch = int(rest[0])
+        elif rest:
+            if len(rest) > 1:
+                nstoch = int(rest[1])
+            if len(rest) > 2 and int(rest[2]) >= 0:
+                ifreq_sel = int(rest[2])
+            if len(rest) > 3:
+                # aalg file: int32 CELLS header + float32[CELLS]
+                # (A2E.py:382-384); writes polarised emission to
+                # <emitted>.P alongside
+                with open(rest[3], "rb") as fp:
+                    n = int(np.fromfile(fp, np.int32, 1)[0])
+                    aalg = np.fromfile(fp, np.float32, n)
         # out-of-core: stream absorbed.data -> emitted.data through the
         # native double-buffered IO engine (files need not fit in RAM)
-        rows = stochastic.solve_emission_streaming(sol, args[1], args[2],
-                                                   nstoch=nstoch)
-        print("wrote %s: (%d, %d)" % (args[2], rows, sol.nfreq))
+        rows = stochastic.solve_emission_streaming(
+            sol, args[1], args[2], nstoch=nstoch, aalg=aalg,
+            pemitted_path=(args[2] + ".P") if aalg is not None else None,
+            ifreq=ifreq_sel)
+        print("wrote %s: (%d, %d)"
+              % (args[2], rows, 1 if ifreq_sel is not None else sol.nfreq))
         return 0
 
     if cmd == "mabu":

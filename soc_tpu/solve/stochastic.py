@@ -366,7 +366,7 @@ def solve_emission(solver, absorbed, nstoch=999, batch=16384, clip_last=True,
 
 def solve_emission_streaming(solver, absorbed_path, emitted_path,
                              nstoch=999, batch=1 << 16, aalg=None,
-                             pemitted_path=None):
+                             pemitted_path=None, ifreq=None):
     """Out-of-core A2E solve: stream absorbed.data through the device in
     prefetched chunks and write emitted.data in the background.
 
@@ -375,27 +375,38 @@ def solve_emission_streaming(solver, absorbed_path, emitted_path,
     the native double-buffered reader (soc_tpu.native) overlaps disk IO
     with the TPU solve. Results are identical to the in-memory
     solve_emission on the same chunks.
+
+    ifreq : optional int -- write emission at this single frequency only
+        (the reference A2E.py IFREQ argument, A2E.py:96-193: the emitted
+        file gets ONE column).
     """
     from ..native import StreamReader, StreamWriter
+    ncols = solver.nfreq if ifreq is None else 1
+
+    def sel(emit):
+        return emit if ifreq is None else \
+            np.ascontiguousarray(emit[:, ifreq:ifreq + 1])
+
     with StreamReader(absorbed_path, batch) as rd:
         # writers open inside the try: a failure opening the second one
         # must still close (flush) the first
         wr = wp = None
         row0 = 0
         try:
-            wr = StreamWriter(emitted_path, rd.rows, solver.nfreq)
+            wr = StreamWriter(emitted_path, rd.rows, ncols)
             if aalg is not None and pemitted_path:
-                wp = StreamWriter(pemitted_path, rd.rows, solver.nfreq)
+                wp = StreamWriter(pemitted_path, rd.rows, ncols)
             for chunk in rd:
                 if aalg is not None:
                     a_chunk = np.asarray(aalg)[row0: row0 + len(chunk)]
                     emit, pem = solve_emission(solver, chunk,
                                                nstoch=nstoch, aalg=a_chunk)
-                    wr.put(emit)
+                    wr.put(sel(emit))
                     if wp is not None:
-                        wp.put(pem)
+                        wp.put(sel(pem))
                 else:
-                    wr.put(solve_emission(solver, chunk, nstoch=nstoch))
+                    wr.put(sel(solve_emission(solver, chunk,
+                                              nstoch=nstoch)))
                 row0 += len(chunk)
         finally:
             if wr is not None:

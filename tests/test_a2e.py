@@ -314,3 +314,56 @@ def test_pallas_sharded_chunks_match_single_device():
                                            interpret=True)
     assert none is None
     np.testing.assert_array_equal(np.asarray(sh_t2), np.asarray(ref_t))
+
+
+def test_cli_reference_arg_list(tmp_path):
+    """The a2e CLI accepts the reference's full argument list
+    `solver absorbed emitted [GPU [nstoch [IFREQ [aalg]]]]` (A2E.py:17-30):
+    GPU ignored, IFREQ selects a single output column, aalg writes the
+    polarised emission to <emitted>.P."""
+    from soc_tpu.cli import main
+    from soc_tpu.io.fields import write_cell_frequency_array
+
+    rng = np.random.default_rng(3)
+    solver = random_solver(ne=16, nfreq=8, nsize=2, seed=5)
+    write_solver(tmp_path / "s.solver", solver)
+    cells = 100
+    absorbed = rng.random((cells, 8)).astype(np.float32)
+    write_cell_frequency_array(tmp_path / "abs.bin", absorbed)
+    with open(tmp_path / "aalg.bin", "wb") as fp:
+        np.asarray([cells], np.int32).tofile(fp)
+        np.full(cells, 1e-8, np.float32).tofile(fp)
+
+    ref = stochastic.solve_emission(solver, absorbed)
+
+    # full reference layout: GPU=1.0 ignored, nstoch=999, IFREQ=3, aalg
+    rc = main(["a2e", str(tmp_path / "s.solver"), str(tmp_path / "abs.bin"),
+               str(tmp_path / "emit.bin"), "1.0", "999", "3",
+               str(tmp_path / "aalg.bin")])
+    assert rc == 0
+    hdr = np.fromfile(tmp_path / "emit.bin", np.int32, 2)
+    assert tuple(hdr) == (cells, 1)
+    out = np.fromfile(tmp_path / "emit.bin", np.float32,
+                      offset=8).reshape(cells, 1)
+    np.testing.assert_allclose(out[:, 0], ref[:, 3], rtol=1e-6)
+    # aalg = tiny -> everything aligned -> P equals total emission
+    pout = np.fromfile(tmp_path / "emit.bin.P", np.float32,
+                       offset=8).reshape(cells, 1)
+    np.testing.assert_allclose(pout[:, 0], ref[:, 3], rtol=1e-6)
+
+    # short form still works: 4th arg without a dot = nstoch
+    rc = main(["a2e", str(tmp_path / "s.solver"), str(tmp_path / "abs.bin"),
+               str(tmp_path / "emit2.bin"), "1"])
+    assert rc == 0
+    out2 = np.fromfile(tmp_path / "emit2.bin", np.float32,
+                       offset=8).reshape(cells, 8)
+    ref2 = stochastic.solve_emission(solver, absorbed, nstoch=1)
+    np.testing.assert_allclose(out2, ref2, rtol=1e-6)
+
+    # GPU-only reference call: "1.0" alone is a device id, not nstoch
+    rc = main(["a2e", str(tmp_path / "s.solver"), str(tmp_path / "abs.bin"),
+               str(tmp_path / "emit3.bin"), "1.0"])
+    assert rc == 0
+    out3 = np.fromfile(tmp_path / "emit3.bin", np.float32,
+                       offset=8).reshape(cells, 8)
+    np.testing.assert_allclose(out3, ref, rtol=1e-6)
