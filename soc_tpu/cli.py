@@ -7,6 +7,8 @@
   python -m soc_tpu a2e solver absorbed emitted [GPU [nstoch [IFREQ [aalg]]]]
                                         ~  A2E.py ... (GPU accepted+ignored;
                                            short form: a2e s a e [nstoch])
+  python -m soc_tpu eqsolve dust absorbed emitted [GPU]
+                                        ~  EQ_solver.py ...
   python -m soc_tpu mabu soc.ini absorbed emitted
                                         ~  A2E_MABU.py ...
   python -m soc_tpu pipeline soc.ini    ~  ASOC_driver.py soc.ini
@@ -134,6 +136,31 @@ def _dispatch(argv):
             ifreq=ifreq_sel)
         print("wrote %s: (%d, %d)"
               % (args[2], rows, 1 if ifreq_sel is not None else sol.nfreq))
+        return 0
+
+    if cmd == "eqsolve":
+        # EQ_solver.py dust absorbed emitted [GPU] (EQ_solver.py:10-17):
+        # standalone equilibrium solve for one simple dust. GPU is a
+        # device selector there -- accepted and ignored here. Writes
+        # emitted + the reference's companion '<dust>.T' raw-float32
+        # temperature file (EQ_solver.py:180).
+        from .io.dust import read_simple_dust
+        from .io.fields import (read_cell_frequency_array,
+                                write_cell_frequency_array)
+        from .pipeline.mabu import solve_equilibrium_eqdust
+        from .constants import PARSEC
+        opt = read_simple_dust(args[0], 1.0)
+        kabs = np.asarray(opt.abs_gl, np.float64) / PARSEC  # per unit dens
+        absorbed = read_cell_frequency_array(args[1])
+        if absorbed.shape[1] != len(opt.freq):
+            raise SystemExit("eqsolve: absorbed has %d freqs, dust %d"
+                             % (absorbed.shape[1], len(opt.freq)))
+        emitted, t = solve_equilibrium_eqdust(kabs, opt.freq, absorbed)
+        write_cell_frequency_array(args[2], emitted)
+        np.asarray(t, np.float32).tofile(args[0] + ".T")
+        print("wrote %s: (%d, %d); T percentiles %.2f %.2f %.2f"
+              % (args[2], emitted.shape[0], emitted.shape[1],
+                 *np.percentile(t, (10, 50, 90))))
         return 0
 
     if cmd == "mabu":

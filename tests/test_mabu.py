@@ -162,3 +162,35 @@ def test_polarised_emission_eqdust_rfactor(tmp_path, monkeypatch):
     aalg_hi = np.full(cells, 1.0, np.float32)
     r_hi = full._rpol_factor("eq", freq, aalg_hi)
     assert np.all(r_hi == 0.0)
+
+
+def test_eqsolve_cli(tmp_path):
+    """The eqsolve CLI mirrors EQ_solver.py (dust absorbed emitted [GPU],
+    EQ_solver.py:10-17): equilibrium emission file + the raw-float32
+    '<dust>.T' companion, consistent with solve_equilibrium_eqdust."""
+    import shutil
+    from soc_tpu.cli import main
+    from soc_tpu.io.dust import read_simple_dust
+    from soc_tpu.io.fields import (read_cell_frequency_array,
+                                   write_cell_frequency_array)
+    from soc_tpu.constants import PARSEC
+
+    shutil.copy("/tmp/socex/tmp.dust", tmp_path / "tmp.dust")
+    opt = read_simple_dust(str(tmp_path / "tmp.dust"), 1.0)
+    nf = len(opt.freq)
+    rng = np.random.default_rng(2)
+    cells = 64
+    absorbed = (1e-6 * rng.random((cells, nf))).astype(np.float32)
+    write_cell_frequency_array(tmp_path / "abs.bin", absorbed)
+    rc = main(["eqsolve", str(tmp_path / "tmp.dust"),
+               str(tmp_path / "abs.bin"), str(tmp_path / "emit.bin"),
+               "1"])
+    assert rc == 0
+    out = read_cell_frequency_array(tmp_path / "emit.bin")
+    kabs = np.asarray(opt.abs_gl, np.float64) / PARSEC
+    ref, t_ref = mabu.solve_equilibrium_eqdust(kabs, opt.freq, absorbed)
+    np.testing.assert_allclose(out, ref, rtol=1e-6)
+    t = np.fromfile(tmp_path / "tmp.dust.T", np.float32)
+    assert t.shape == (cells,)
+    np.testing.assert_allclose(t, t_ref, rtol=1e-6)
+    assert np.all((t > 1.0) & (t < 1600.0))
