@@ -9,6 +9,9 @@
                                            short form: a2e s a e [nstoch])
   python -m soc_tpu eqsolve dust absorbed emitted [GPU]
                                         ~  EQ_solver.py ...
+  python -m soc_tpu a2e_lib solver lib freq.dat lfreq.dat abs emit
+                    [makelib] [GPU] [ofreq] [bins-a-b-c]
+                                        ~  A2E_LIB.py ...
   python -m soc_tpu mabu soc.ini absorbed emitted
                                         ~  A2E_MABU.py ...
   python -m soc_tpu pipeline soc.ini    ~  ASOC_driver.py soc.ini
@@ -19,6 +22,7 @@
                                            (WriteSampleIni, ASOC_aux.py:1670)
 """
 
+import os
 import sys
 
 import numpy as np
@@ -138,6 +142,60 @@ def _dispatch(argv):
               % (args[2], rows, 1 if ifreq_sel is not None else sol.nfreq))
         return 0
 
+    if cmd == "a2e_lib":
+        # A2E_LIB.py solver lib freq.dat lfreq.dat abs emit [makelib]
+        #            [GPU] [ofreq] [bins-a-b-c]   (A2E_LIB.py:13-47)
+        # makelib: full A2E solve first, then bin the (absorbed at the
+        # reference frequencies -> emission) mapping; uselib: absorbed
+        # may carry all nfreq columns or only the nlfreq reference ones.
+        # GPU is accepted+ignored; bins-a-b-c maps to the dense grid's
+        # per-axis bin count (the largest of a,b,c -- this library is a
+        # single dense level, not the reference's 3-level tree).
+        from .solve.solver_file import read_solver
+        from .solve import stochastic
+        from .solve import library as libmod
+        sol = read_solver(args[0])
+        lib_path = args[1]
+        freq = np.atleast_1d(np.loadtxt(args[2]))
+        lfreq = np.atleast_1d(np.loadtxt(args[3]))
+        f_abs, f_emit = args[4], args[5]
+        rest = args[6:]
+        makelib = any(r == "makelib" for r in rest)
+        nbins = 64
+        ofreq = None
+        for r in rest:
+            if r.startswith("bins-"):
+                nbins = max(int(x) for x in r.split("-")[1:])
+            elif r not in ("makelib", "GPU") and os.path.exists(r) \
+                    and r != "makelib":
+                ofreq = np.atleast_1d(np.loadtxt(r))
+        from .io.fields import (read_cell_frequency_array,
+                                write_cell_frequency_array)
+        absorbed = read_cell_frequency_array(f_abs)
+        ref_idx = [int(np.argmin(np.abs(freq - f0))) for f0 in lfreq]
+        if makelib:
+            if absorbed.shape[1] != len(freq):
+                raise SystemExit("a2e_lib makelib: absorbed must have all"
+                                 " %d frequencies" % len(freq))
+            emitted = stochastic.solve_emission(sol, absorbed)
+            lib = libmod.build_library(absorbed, emitted, ref_idx,
+                                       nbins=nbins)
+            libmod.save_library(lib_path, lib)
+            print("wrote %s: nbins=%d occupancy=%.3f"
+                  % (lib_path, lib["nbins"], lib["occupancy"]))
+        else:
+            lib = libmod.load_library(lib_path)
+            if absorbed.shape[1] == len(lfreq):
+                # reduced file: columns ARE the reference frequencies
+                lib = dict(lib, ref_indices=list(range(len(lfreq))))
+            emitted = libmod.solve_with_library(lib, absorbed)
+        if ofreq is not None:
+            sel = [int(np.argmin(np.abs(freq - f0))) for f0 in ofreq]
+            emitted = np.ascontiguousarray(emitted[:, sel])
+        write_cell_frequency_array(f_emit, emitted)
+        print("wrote %s: (%d, %d)" % (f_emit, *emitted.shape))
+        return 0
+
     if cmd == "eqsolve":
         # EQ_solver.py dust absorbed emitted [GPU] (EQ_solver.py:10-17):
         # standalone equilibrium solve for one simple dust. GPU is a
@@ -236,7 +294,6 @@ def _dispatch(argv):
         # writes, per species: <name>.dust (gset container + .opt/.ent/
         # .size), <name>.solver, <name>.dsc, <name>_simple.dust; plus the
         # combined tmp.dust / tmp.dsc for the RT stage.
-        import os
         from .io.dust import write_simple_dust
         from .solve import dust_compiler as dc
         from .solve import solver_prep
@@ -271,7 +328,6 @@ def _dispatch(argv):
 
     if cmd == "bench":
         import runpy
-        import os
         runpy.run_path(os.path.join(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))), "bench.py"),
             run_name="__main__")

@@ -195,3 +195,72 @@ def test_library_reference_frequency_sensitivity(octree_rt):
     # no triple is catastrophically worse than another
     assert max(meds) < 5.0 * max(min(meds), 0.01), meds
     print("\nref-freq sensitivity medians: %.4f %.4f %.4f" % tuple(meds))
+
+
+def test_a2e_lib_cli(tmp_path):
+    """The a2e_lib CLI mirrors A2E_LIB.py's argument surface
+    (A2E_LIB.py:13-47): makelib builds <dust>.lib from a full solve;
+    uselib answers emission from it, accepting absorbed files with either
+    all nfreq columns or only the nlfreq reference ones; ofreq selects
+    output columns."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_a2e import random_solver
+    from soc_tpu.cli import main
+    from soc_tpu.solve.solver_file import write_solver
+    from soc_tpu.io.fields import (read_cell_frequency_array,
+                                   write_cell_frequency_array)
+    from soc_tpu.solve import stochastic
+
+    sol = random_solver(ne=16, nfreq=8, nsize=1, seed=7)
+    write_solver(tmp_path / "d.solver", sol)
+    freq = np.asarray(sol.freq)
+    np.savetxt(tmp_path / "freq.dat", freq)
+    lfreq = freq[[1, 4, 6]]
+    np.savetxt(tmp_path / "lfreq.dat", lfreq)
+    rng = np.random.default_rng(4)
+    cells = 400
+    absorbed = (10.0 ** rng.uniform(-2, 2, (cells, 1))
+                * rng.uniform(0.5, 1.5, (cells, 8))).astype(np.float32)
+    write_cell_frequency_array(tmp_path / "abs.bin", absorbed)
+
+    rc = main(["a2e_lib", str(tmp_path / "d.solver"),
+               str(tmp_path / "d.lib"), str(tmp_path / "freq.dat"),
+               str(tmp_path / "lfreq.dat"), str(tmp_path / "abs.bin"),
+               str(tmp_path / "emit_full.bin"), "makelib", "bins-45-25-15"])
+    assert rc == 0 and (tmp_path / "d.lib").exists()
+    full = read_cell_frequency_array(tmp_path / "emit_full.bin")
+    ref = stochastic.solve_emission(sol, absorbed)
+    np.testing.assert_allclose(full, ref, rtol=1e-6)   # makelib = real A2E
+
+    # uselib with the full absorbed file: in-sample lookup close to truth
+    rc = main(["a2e_lib", str(tmp_path / "d.solver"),
+               str(tmp_path / "d.lib"), str(tmp_path / "freq.dat"),
+               str(tmp_path / "lfreq.dat"), str(tmp_path / "abs.bin"),
+               str(tmp_path / "emit_lib.bin")])
+    assert rc == 0
+    lib_out = read_cell_frequency_array(tmp_path / "emit_lib.bin")
+    assert lib_out.shape == (cells, 8)
+    rel = np.abs(lib_out.sum(1) - ref.sum(1)) / ref.sum(1)
+    assert np.median(rel) < 0.25
+
+    # uselib with a REDUCED absorbed file (reference columns only)
+    write_cell_frequency_array(tmp_path / "abs_red.bin",
+                               np.ascontiguousarray(absorbed[:, [1, 4, 6]]))
+    rc = main(["a2e_lib", str(tmp_path / "d.solver"),
+               str(tmp_path / "d.lib"), str(tmp_path / "freq.dat"),
+               str(tmp_path / "lfreq.dat"), str(tmp_path / "abs_red.bin"),
+               str(tmp_path / "emit_red.bin")])
+    assert rc == 0
+    red_out = read_cell_frequency_array(tmp_path / "emit_red.bin")
+    np.testing.assert_allclose(red_out, lib_out, rtol=1e-6)
+
+    # ofreq output selection
+    np.savetxt(tmp_path / "ofreq.dat", freq[[2, 5]])
+    rc = main(["a2e_lib", str(tmp_path / "d.solver"),
+               str(tmp_path / "d.lib"), str(tmp_path / "freq.dat"),
+               str(tmp_path / "lfreq.dat"), str(tmp_path / "abs.bin"),
+               str(tmp_path / "emit_sel.bin"), str(tmp_path / "ofreq.dat")])
+    assert rc == 0
+    sel_out = read_cell_frequency_array(tmp_path / "emit_sel.bin")
+    np.testing.assert_allclose(sel_out, lib_out[:, [2, 5]], rtol=1e-6)
