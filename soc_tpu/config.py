@@ -15,7 +15,10 @@ never used -- ASOC_aux.py:320-322,336,403); they are likewise key-retained
 only, as is `radiusalign` (sets USER.ALIGN_DAT, which nothing in the
 reference ever reads -- ASOC_aux.py:236,337; grain alignment is instead
 driven by the `polarisation dust aalg_file` route implemented here).
-`polsim` (ASOC_aux.py:462) is an unfinished reference experiment:
+`DEFS` (raw extra -D macro strings injected into the OpenCL compile,
+ASOC_aux.py:250) is GPU-compiler plumbing with no TPU analog --
+key-retained. `polsim` (ASOC_aux.py:462) is an unfinished reference
+experiment:
 its only consumer switches read_dust to a 6-tuple return
 (ASOC_aux.py:1962) that every caller unpacks as 4 values (ASOC.py:112,
 ASOCS.py:21), so any ini setting it crashes the reference before
