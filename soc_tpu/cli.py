@@ -5,8 +5,7 @@
   python -m soc_tpu a2e_pre gs.dust freq.dat out.solver [NE]
                                         ~  A2E_pre.py ...
   python -m soc_tpu a2e solver absorbed emitted [GPU [nstoch [IFREQ [aalg]]]]
-                                        ~  A2E.py ... (GPU accepted+ignored;
-                                           short form: a2e s a e [nstoch])
+                                        ~  A2E.py ... (GPU accepted+ignored)
   python -m soc_tpu eqsolve dust absorbed emitted [GPU]
                                         ~  EQ_solver.py ...
   python -m soc_tpu a2e_lib solver lib freq.dat lfreq.dat abs emit
@@ -112,15 +111,14 @@ def _dispatch(argv):
         sol = read_solver(args[0])
         # reference argument list (A2E.py:17-30):
         #   solver absorbed emitted [GPU [nstoch [IFREQ [aalg]]]]
-        # GPU selects an OpenCL device there -- accepted and ignored here
-        # (XLA owns placement) so reference command lines work verbatim.
-        # Short form: a lone 4th argument WITHOUT a decimal point is read
-        # as nstoch (this CLI's documented form).
+        # GPU selects an OpenCL device there -- ALWAYS accepted and
+        # ignored here (XLA owns placement) so reference command lines,
+        # including bare-integer GPU ids like '0' or '1', run verbatim
+        # with unchanged physics. nstoch therefore requires the 5-arg
+        # layout: a2e solver absorbed emitted 0 <nstoch>.
         nstoch, ifreq_sel, aalg = 999, None, None
         rest = args[3:]
-        if len(rest) == 1 and "." not in rest[0]:
-            nstoch = int(rest[0])
-        elif rest:
+        if rest:
             if len(rest) > 1:
                 nstoch = int(rest[1])
             if len(rest) > 2 and int(rest[2]) >= 0:
@@ -132,6 +130,11 @@ def _dispatch(argv):
                 with open(rest[3], "rb") as fp:
                     n = int(np.fromfile(fp, np.int32, 1)[0])
                     aalg = np.fromfile(fp, np.float32, n)
+                cells_abs = int(np.fromfile(args[1], np.int32, 1)[0])
+                if n != cells_abs:
+                    raise SystemExit(
+                        "a2e: aalg file has %d entries, absorbed has %d"
+                        " rows" % (n, cells_abs))
         # out-of-core: stream absorbed.data -> emitted.data through the
         # native double-buffered IO engine (files need not fit in RAM)
         rows = stochastic.solve_emission_streaming(
@@ -163,12 +166,31 @@ def _dispatch(argv):
         makelib = any(r == "makelib" for r in rest)
         nbins = 64
         ofreq = None
+
+        def _numeric(r):
+            try:
+                float(r)
+                return True
+            except ValueError:
+                return False
+
         for r in rest:
+            if r == "makelib" or r == "GPU":
+                continue
             if r.startswith("bins-"):
                 nbins = max(int(x) for x in r.split("-")[1:])
-            elif r not in ("makelib", "GPU") and os.path.exists(r) \
-                    and r != "makelib":
+            elif _numeric(r):
+                pass                    # a GPU/device id -- ignored
+            elif os.path.exists(r):
                 ofreq = np.atleast_1d(np.loadtxt(r))
+            else:
+                raise SystemExit("a2e_lib: ofreq file %r not found" % r)
+        if len(lfreq) != 3:
+            raise SystemExit("a2e_lib: lfreq.dat must list exactly 3 "
+                             "reference frequencies (got %d) -- the "
+                             "library bins on 3 axes like the "
+                             "reference's tree (A2E_LIB.py:535-849)"
+                             % len(lfreq))
         from .io.fields import (read_cell_frequency_array,
                                 write_cell_frequency_array)
         absorbed = read_cell_frequency_array(f_abs)

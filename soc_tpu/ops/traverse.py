@@ -330,9 +330,11 @@ def failed_step_nudge(npos, dir, failed):
     too -- a permanently stuck lane (demonstrated on a 4096-wide root
     grid). The reference dodges this by recompiling the whole walk in
     double precision above NX > DIMLIM (kernel_ASOC_aux.c:27-46, DIMLIM
-    100-399); scaling the nudge to >= 4 ulp of the largest coordinate
-    keeps float32 everywhere at any root-grid size. Below ~400 cells the
-    scale clamps to PEPS, i.e. bit-identical to the original nudge.
+    100-399); scaling the nudge to >= 2-4 ulp of the largest coordinate
+    keeps float32 everywhere at any root-grid size. Below coordinate
+    ~210 (= PEPS * 2^21) the scale clamps to PEPS, i.e. bit-identical to
+    the original nudge there; between ~210 and the stuck regime the
+    nudge is merely a few float32 ulps larger than the reference's.
     """
     s = jnp.maximum(jnp.float32(PEPS),
                     jnp.max(jnp.abs(npos), axis=-1)
@@ -347,8 +349,10 @@ def boundary_step(pos, dir):
     to the next integer plane plus PEPS; returns (ds_local, new_pos).
 
     The over-step epsilon is ulp-aware: exactly PEPS while |coordinate| <
-    ~400 (bit-identical to the fixed-epsilon form there), scaling to >=
-    2-4 ulp of the coordinate beyond. With fixed PEPS, a negative-
+    ~210 (= PEPS * 2^21; bit-identical to the fixed-epsilon form there),
+    scaling to >= 2-4 ulp of the coordinate beyond -- a few-ulp larger
+    over-step than the reference's fixed PEPS in the 210-1700 range,
+    physically negligible and still float32-exactly representable. With fixed PEPS, a negative-
     direction crossing at |coordinate| >~ 1700 computes floor - PEPS,
     which rounds back UP onto the representable boundary -- the step
     "fails" (same cell), and since the reference deposits before its

@@ -752,14 +752,16 @@ def simulate_diffuse(grid, medium, cfg, diffuserad, tabs, intf, seed,
     lev = np.asarray(equilibrium.cell_levels(grid))
     coeff = (cfg.k_diffuse * cfg.gl * PARSEC / 8.0 ** lev).astype(np.float64)
     injected = np.zeros(nfreq)
-    cols_np = {}
+    use_ew = cfg.use_emweight > 0
+    cols_np = {}               # float64 columns kept only for EMWEI
     emit_cols = {}
     for ifreq in range(nfreq):
         dr_ind = ifreq + (nf_d - nfreq)     # highest frequencies stored
         if dr_ind < 0:
             continue
         col = (np.asarray(diffuserad[:, dr_ind], np.float64) * coeff)
-        cols_np[ifreq] = col
+        if use_ew:
+            cols_np[ifreq] = col
         emit_cols[ifreq] = jnp.asarray((col / per_cell).astype(np.float32))
         injected[ifreq] = col.sum()
     mask = np.zeros(nfreq, bool)
@@ -773,7 +775,7 @@ def simulate_diffuse(grid, medium, cfg, diffuserad, tabs, intf, seed,
     # LIM[2], no mode 2 there -- budget DFPAC, EMWEIGHT_SKIP reuse over
     # simulated frequencies)
     allocs = None
-    if cfg.use_emweight > 0:
+    if use_ew:
         rng = np.random.Generator(np.random.Philox(
             key=np.uint64([int(seed) & 0xFFFFFFFF, 0xD1FF])))
         allocs = {}

@@ -270,6 +270,36 @@ def render_pol_healpix(grid, emit_map, ext_gl, bfield, p0, intobs, nside,
     return s_i.T, s_q.T, s_u.T, colden
 
 
+def _polstat_acc1(acc, pr, psi, cc, wrho, sz):
+    """Pass-1 POLSTAT accumulator update shared by the orthographic and
+    healpix variants: density- (sR*) and emission-weighted (sJ*) sums of
+    cos^2 gamma and the Q/U components that define <Psi>
+    (kernel_ASOC_map.c:1164-1384 / kernel_ASOC_map_H.c:867-1143)."""
+    wr = wrho * pr
+    wj = sz * pr[:, None]
+    acc = dict(acc)
+    acc["sR"] = acc["sR"] + wr
+    acc["sRG"] = acc["sRG"] + wr * cc
+    acc["RQ"] = acc["RQ"] + wr * jnp.cos(2.0 * psi) * cc
+    acc["RU"] = acc["RU"] + wr * jnp.sin(2.0 * psi) * cc
+    acc["sJ"] = acc["sJ"] + wj
+    acc["sJG"] = acc["sJG"] + wj * cc[:, None]
+    acc["JQ"] = acc["JQ"] + wj * (jnp.cos(2.0 * psi) * cc)[:, None]
+    acc["JU"] = acc["JU"] + wj * (jnp.sin(2.0 * psi) * cc)[:, None]
+    return acc
+
+
+def _polstat_acc2(acc, pr, psi, rpsi, jpsi, wrho, sz):
+    """Pass-2 POLSTAT accumulator update (shared): folded (Psi - <Psi>)^2
+    sums for the rT/jT dispersion planes."""
+    d = _wrap_psi_dev(rpsi, psi)
+    dj = _wrap_psi_dev(jpsi, psi[:, None])
+    acc = dict(acc)
+    acc["sRP"] = acc["sRP"] + wrho * pr * d * d
+    acc["sJP"] = acc["sJP"] + sz * pr[:, None] * dj * dj
+    return acc
+
+
 def _wrap_psi_dev(mean_psi, psi):
     """Angle difference folded to [0, pi/2] as the reference does
     (kernel_ASOC_map.c:1330-1340): d = fmod(|2 pi + <Psi> - Psi|, pi),
@@ -385,17 +415,7 @@ def render_polstat(grid, emit_map, ext_gl, bfield, odir, ra, de, centre,
         raw_w = wrho                       # colden stays unmasked
         wrho = rho_w(gidx, wrho)
         b, bnorm, pr, psi, cc = geom(gidx)
-        wr = wrho * pr
-        wj = sz * pr[:, None]
-        acc = dict(acc)
-        acc["sR"] = acc["sR"] + wr
-        acc["sRG"] = acc["sRG"] + wr * cc
-        acc["RQ"] = acc["RQ"] + wr * jnp.cos(2.0 * psi) * cc
-        acc["RU"] = acc["RU"] + wr * jnp.sin(2.0 * psi) * cc
-        acc["sJ"] = acc["sJ"] + wj
-        acc["sJG"] = acc["sJG"] + wj * cc[:, None]
-        acc["JQ"] = acc["JQ"] + wj * (jnp.cos(2.0 * psi) * cc)[:, None]
-        acc["JU"] = acc["JU"] + wj * (jnp.sin(2.0 * psi) * cc)[:, None]
+        acc = _polstat_acc1(acc, pr, psi, cc, wrho, sz)
         # density-weighted field statistics (POLSTAT 3 -- no polred there)
         acc["b"] = acc["b"] + wrho * bnorm
         blos = jnp.abs(jnp.sum(b * odir[None, :], axis=-1))
@@ -420,12 +440,7 @@ def render_polstat(grid, emit_map, ext_gl, bfield, odir, ra, de, centre,
     def pass2(acc, gidx, wrho, sz):
         wrho = rho_w(gidx, wrho)
         _, _, pr, psi, _ = geom(gidx)
-        d = _wrap_psi_dev(rpsi, psi)
-        dj = _wrap_psi_dev(jpsi, psi[:, None])
-        acc = dict(acc)
-        acc["sRP"] = acc["sRP"] + wrho * pr * d * d
-        acc["sJP"] = acc["sJP"] + sz * pr[:, None] * dj * dj
-        return acc
+        return _polstat_acc2(acc, pr, psi, rpsi, jpsi, wrho, sz)
 
     a2 = march(pass2, dict(sRP=zp, sJP=zf))
 
@@ -560,18 +575,7 @@ def render_polstat_healpix(grid, emit_map, ext_gl, bfield, intobs, nside,
 
     def pass1(acc, gidx, wrho, sz):
         pr, psi, cc = geom(gidx)
-        wr = wrho * pr
-        wj = sz * pr[:, None]
-        acc = dict(acc)
-        acc["sR"] = acc["sR"] + wr
-        acc["sRG"] = acc["sRG"] + wr * cc
-        acc["RQ"] = acc["RQ"] + wr * jnp.cos(2.0 * psi) * cc
-        acc["RU"] = acc["RU"] + wr * jnp.sin(2.0 * psi) * cc
-        acc["sJ"] = acc["sJ"] + wj
-        acc["sJG"] = acc["sJG"] + wj * cc[:, None]
-        acc["JQ"] = acc["JQ"] + wj * (jnp.cos(2.0 * psi) * cc)[:, None]
-        acc["JU"] = acc["JU"] + wj * (jnp.sin(2.0 * psi) * cc)[:, None]
-        return acc
+        return _polstat_acc1(acc, pr, psi, cc, wrho, sz)
 
     zp = jnp.zeros(npix, jnp.float32)
     zf = jnp.zeros((npix, nf), jnp.float32)
@@ -584,12 +588,7 @@ def render_polstat_healpix(grid, emit_map, ext_gl, bfield, intobs, nside,
 
     def pass2(acc, gidx, wrho, sz):
         pr, psi, _ = geom(gidx)
-        d = _wrap_psi_dev(rpsi, psi)
-        dj = _wrap_psi_dev(jpsi, psi[:, None])
-        acc = dict(acc)
-        acc["sRP"] = acc["sRP"] + wrho * pr * d * d
-        acc["sJP"] = acc["sJP"] + sz * pr[:, None] * dj * dj
-        return acc
+        return _polstat_acc2(acc, pr, psi, rpsi, jpsi, wrho, sz)
 
     a2 = march(pass2, dict(sRP=zp, sJP=zf))
     return {

@@ -351,19 +351,23 @@ def test_cli_reference_arg_list(tmp_path):
                        offset=8).reshape(cells, 1)
     np.testing.assert_allclose(pout[:, 0], ref[:, 3], rtol=1e-6)
 
-    # short form still works: 4th arg without a dot = nstoch
+    # nstoch via the reference 5-arg layout
     rc = main(["a2e", str(tmp_path / "s.solver"), str(tmp_path / "abs.bin"),
-               str(tmp_path / "emit2.bin"), "1"])
+               str(tmp_path / "emit2.bin"), "0", "1"])
     assert rc == 0
     out2 = np.fromfile(tmp_path / "emit2.bin", np.float32,
                        offset=8).reshape(cells, 8)
     ref2 = stochastic.solve_emission(solver, absorbed, nstoch=1)
     np.testing.assert_allclose(out2, ref2, rtol=1e-6)
 
-    # GPU-only reference call: "1.0" alone is a device id, not nstoch
-    rc = main(["a2e", str(tmp_path / "s.solver"), str(tmp_path / "abs.bin"),
-               str(tmp_path / "emit3.bin"), "1.0"])
-    assert rc == 0
-    out3 = np.fromfile(tmp_path / "emit3.bin", np.float32,
-                       offset=8).reshape(cells, 8)
-    np.testing.assert_allclose(out3, ref, rtol=1e-6)
+    # GPU-only reference calls: a lone 4th argument is ALWAYS the device
+    # id (bare int '1' or float '1.0'), never nstoch -- verbatim reference
+    # command lines keep their physics
+    for gpu in ("1.0", "1", "0"):
+        rc = main(["a2e", str(tmp_path / "s.solver"),
+                   str(tmp_path / "abs.bin"),
+                   str(tmp_path / "emit3.bin"), gpu])
+        assert rc == 0
+        out3 = np.fromfile(tmp_path / "emit3.bin", np.float32,
+                           offset=8).reshape(cells, 8)
+        np.testing.assert_allclose(out3, ref, rtol=1e-6)
