@@ -297,3 +297,50 @@ def test_domains_lifted_split_octree(tmp_path):
     """Packet splitting at refinement boundaries under Z-slab domains."""
     base = _write_base_model(tmp_path, octree=True)
     _compare_domain_run(tmp_path, base, "split\n")
+
+
+def test_domains_diffuse_with_emweight(tmp_path):
+    """Phase-1 diffuse EMWEI under `domains N` (the Z-slab decomposition):
+    the weighted cell_of_id source rides the same src_kw machinery as the
+    phase-2 EMWEI and must match the single-device run."""
+    import shutil
+    from soc_tpu.io.cloud import write_hierarchy
+    from soc_tpu.pipeline import driver
+    n = 8
+    for f in ("tmp.dust", "tmp.dsc", "bg_intensity.bin"):
+        shutil.copy(os.path.join("/tmp/socex", f), tmp_path)
+    write_hierarchy(tmp_path / "tmp.cloud", n, n, n, [n ** 3],
+                    [np.ones(n ** 3, np.float32)])
+    cells = n ** 3
+    rng = np.random.default_rng(3)
+    field = np.zeros((cells, 44), np.float32)
+    field[:, 20] = (1e-12 * rng.uniform(0.3, 1.8, cells)).astype(np.float32)
+    with open(tmp_path / "diffuse.bin", "wb") as fp:
+        np.asarray([cells, 44], np.int32).tofile(fp)
+        field.tofile(fp)
+    base = """
+gridlength      0.01
+cloud           tmp.cloud
+nomap
+density         3.0e4
+seed            1.0
+optical         tmp.dust
+dsc             tmp.dsc 2500
+background      bg_intensity.bin
+bgpackets       0
+cellpackets     1024
+iterations      0
+nosolve
+diffuse         diffuse.bin
+diffpack        {dfp}
+emweight        1 0 100 0 1
+"""
+    (tmp_path / "plain.ini").write_text(base.format(dfp=4 * cells))
+    (tmp_path / "dom.ini").write_text(base.format(dfp=4 * cells)
+                                      + "domains 8\n")
+    r1 = driver.run(str(tmp_path / "plain.ini"), lanes=1 << 10)
+    rd = driver.run(str(tmp_path / "dom.ini"), lanes=1 << 10)
+    assert r1.ctabs.sum() > 0
+    np.testing.assert_allclose(rd.ctabs, r1.ctabs, rtol=1e-4,
+                               atol=1e-3 * r1.ctabs.max())
+    np.testing.assert_allclose(rd.escaped, r1.escaped, rtol=2e-4)

@@ -201,3 +201,32 @@ def test_devices_roi_save(model_dir):
     assert d1[5:].sum() > 0
     np.testing.assert_allclose(d8[5:].sum(), d1[5:].sum(), rtol=1e-4)
     np.testing.assert_allclose(d8, d1, rtol=1e-3, atol=1e-8 * d1.max())
+
+
+def test_devices_diffuse_with_emweight(model_dir):
+    """Phase-1 diffuse EMWEI (ASOC.py:1277-1292) sharded under devices:
+    the weighted allocation is identical across paths (shared
+    _emweight_allocs), so the run matches single-device allclose."""
+    cells = N ** 3
+    rng = np.random.default_rng(6)
+    field = np.zeros((cells, 44), np.float32)
+    field[:, 18] = (1e-12 * rng.uniform(0.2, 2.0, cells)).astype(np.float32)
+    field[:, 24] = (5e-13 * rng.uniform(0.2, 2.0, cells)).astype(np.float32)
+    with open(model_dir / "diffuse.bin", "wb") as fp:
+        np.asarray([cells, 44], np.int32).tofile(fp)
+        field.tofile(fp)
+    extra = ("diffuse  diffuse.bin\ndiffpack %d\nnosolve\n"
+             "emweight 1 0 100 0 1\n" % (4 * cells))
+    r1 = run_ini(model_dir, extra, bgpac=0, clpac=1024)
+    r8 = run_ini(model_dir, extra + "devices 8\n", bgpac=0, clpac=1024)
+    assert r1.ctabs.sum() > 0
+    assert_match(r1, r8, rtol=1e-4, abs_floor=1e-3)
+
+
+def test_devices_emweight_mode2(model_dir):
+    """USE_EMWEIGHT==2 deterministic quotas under devices: same EMPAC
+    multiset on every path."""
+    extra = "emweight 2 0 100\n"
+    r1 = run_ini(model_dir, extra, iters=2, clpac=20000)
+    r8 = run_ini(model_dir, extra + "devices 8\n", iters=2, clpac=20000)
+    assert_match(r1, r8, rtol=1e-4, abs_floor=1e-3)
