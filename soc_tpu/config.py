@@ -559,7 +559,10 @@ iterations      1                   # dust self-heating iterations
 #                                   # encodes total/first iteration over runs
 # SUBITERATIONS                     # hot/cold cell sub-iteration scheme
 # emweight      1 0 100             # emission-weighted packets + roulette
-# stepweight    1 0.5               # stretched free-path sampling
+#                                   #   mode 2 = deterministic quotas;
+#                                   #   args: mode min max [ignore [skip]]
+# stepweight    1 0.5               # stretched free paths: 1 A (single
+#                                   #   exponential) or 2 A B (mixture)
 # direweight    0 0.5               # HG importance-sampled deflections
 # split         8                   # packet splitting on octree refinement
 # forcedfirst   1                   # forced first scattering (scattered light)
