@@ -260,3 +260,42 @@ def test_phase2_resume_with_reference_and_ali(tmp_path, monkeypatch):
     np.testing.assert_array_equal(res2.ctabs, res_full.ctabs)
     np.testing.assert_array_equal(res2.temperature, res_full.temperature)
     np.testing.assert_array_equal(res2.emitted, res_full.emitted)
+
+
+def test_phase2_resume_with_emweight(tmp_path, monkeypatch):
+    """EMWEI re-emission checkpoints at ITERATION granularity (the
+    weighted per-frequency loop carries no mid-sweep units): killing the
+    run inside iteration 1's weighted sweep resumes from the iteration-0
+    snapshot, re-derives the identical allocations (Philox keyed by
+    (seed, iteration) + the restored emitted field) and reproduces the
+    uninterrupted run bit for bit."""
+    ini = _phase2_ini(tmp_path, extra="emweight 1 0 100\n")
+    res_full = driver.run(ini, lanes=1 << 10)
+    os.remove(tmp_path / "run.ckpt")
+    os.remove(tmp_path / "absorbed.data")
+
+    real = driver.transport_run
+    calls = {"n": 0}
+
+    def flaky(*args, **kwargs):
+        # 44 phase-1 bg units, then die partway into iteration 1's sweep
+        if calls["n"] >= 44 + 9:
+            raise Preempt()
+        calls["n"] += 1
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(driver, "transport_run", flaky)
+    with pytest.raises(Preempt):
+        driver.run(ini, lanes=1 << 10)
+    monkeypatch.setattr(driver, "transport_run", real)
+
+    ck = np.load(tmp_path / "run.ckpt")
+    done = [str(k) for k in ck["done"]]
+    assert "iter0" in done
+    assert not any(d.startswith("it1/") for d in done)   # no sweep units
+
+    res2 = driver.run(ini, lanes=1 << 10)
+    np.testing.assert_array_equal(res2.ctabs, res_full.ctabs)
+    np.testing.assert_array_equal(res2.temperature, res_full.temperature)
+    np.testing.assert_array_equal(res2.emitted, res_full.emitted)
+    np.testing.assert_array_equal(res2.absorbed, res_full.absorbed)
