@@ -317,6 +317,7 @@ def _owner_lists(slabs, spawn_kind, statics, src_values, total, seed):
                 # they would spawn dead yet count toward own_n
                 z = np.asarray(pos[:, 2], np.float64)
                 z = np.where(np.isfinite(z), z, -1.0)   # dead-at-birth
+                z = np.clip(z, -1.0, S * nzl + 1.0)     # int32-safe
                 ow = np.floor(z / nzl).astype(np.int32)
                 ow[(ow < 0) | (ow >= S)] = -1
                 owner[i0:i0 + len(ids)] = ow
@@ -336,7 +337,11 @@ def _owner_lists(slabs, spawn_kind, statics, src_values, total, seed):
                                  dtype=jnp.int32)
                 nb = gen(dummy, ids, jnp.uint32(seed), params)
                 z = np.asarray(nb.pos[:, 2], np.float64)
+                # dead-at-birth lanes carry non-finite or sentinel-huge
+                # positions: anything outside the grid maps to -1 below,
+                # so clamp into int32-safe range before the cast
                 z = np.where(np.isfinite(z), z, -1.0)
+                z = np.clip(z, -1.0, S * nzl + 1.0)
                 ow = np.floor(z / nzl).astype(np.int32)
                 ow[(ow < 0) | (ow >= S)] = -1       # off the Z faces
                 ow[np.asarray(nb.ind) < 0] = -1     # dead at birth
