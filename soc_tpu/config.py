@@ -148,6 +148,9 @@ class RunConfig:
         self.pol_rho_weight = False     # density- vs emission-weighted IQU
         self.p0 = 0.2
         self.fits = 0
+        self.fits_ra = 0.0              # FITS centre coordinates [deg]
+        self.fits_de = 0.0
+        self.fits_prefix = "map"        # ASOC_aux.py:218 FITS_PREFIX
         self.verbose = 0
         self.batch = 30
         self.device = ""                # accepted, ignored on TPU
@@ -462,7 +465,17 @@ class RunConfig:
         elif key.startswith("mapint"):
             self.map_interpolation = n()
         elif key.startswith("FITS") or key.startswith("fits"):
-            self.fits = n() if a else 1
+            # FITS [ra de [prefix]]: per-frequency FITS maps with optional
+            # centre coordinates [deg] and filename prefix
+            # (ASOC_aux.py:299-305, ASOC.py:3144)
+            self.fits = 1
+            if len(a) >= 2:
+                self.fits_ra = f(0)
+                self.fits_de = f(1)
+                if len(a) >= 3:
+                    self.fits_prefix = a[2]
+            elif a:
+                self.fits = n()
         elif key.startswith("checkpoint"):
             # checkpoint file [every_n_units]: mid-run preemption recovery
             self.file_checkpoint = a[0]

@@ -2061,13 +2061,30 @@ def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
                 if write_files:
                     write_map_file("map_dir_%02d.bin" % idir, res.maps[idir])
                     if cfg.fits > 0:
+                        # reference FITS mode (ASOC.py:3142-3147): ONE
+                        # file per frequency, '<prefix>_<um>[_NNN].fits',
+                        # WCS centred at (FITS_RA, FITS_DE) with pixel
+                        # scale GL*MAP_DX/distance (1 kpc fallback)
                         from ..io.fits import write_fits_image
-                        pix_deg = None
-                        if cfg.distance > 0:
-                            pix_deg = np.degrees(
-                                cfg.gl * cfg.map_dx / cfg.distance)
-                        write_fits_image("map_dir_%02d.fits" % idir,
-                                         res.maps[idir], pix_deg=pix_deg)
+                        from ..constants import f2um
+                        dist = cfg.distance if cfg.distance > 0 else 1000.0
+                        pix_deg = np.degrees(cfg.gl * cfg.map_dx / dist)
+                        fmaps = (freq_s if map_of_sel is None
+                                 else freq_s[map_of_sel])
+                        ndir = len(cfg.obs_theta)
+                        for k, f0 in enumerate(np.atleast_1d(fmaps)):
+                            um = f2um(f0)
+                            ums = ("%.0f" % um if um > 20.0 else
+                                   "%.1f" % um if um > 2.0 else
+                                   "%.2f" % um)
+                            name = ("%s_%s.fits" % (cfg.fits_prefix, ums)
+                                    if ndir == 1 else
+                                    "%s_%s_%03d.fits"
+                                    % (cfg.fits_prefix, ums, idir))
+                            write_fits_image(
+                                name, res.maps[idir][k],
+                                ra_deg=cfg.fits_ra, de_deg=cfg.fits_de,
+                                pix_deg=pix_deg)
                 if cfg.file_savetau and savetau_idx:
                     # savetau: tau map at the requested frequency, or
                     # column density [cm^-2] for negative um arguments;

@@ -864,3 +864,34 @@ def test_diffuse_with_emweight_unbiased(model_dir):
                        "diffuse  diffuse.bin\ndiffpack %d\nnosolve\n"
                        "emweight 1 0 100 0 1\n" % (4 * cells), bgpac=0)
     assert res_gate.ctabs.sum() > 0
+
+
+def test_fits_reference_naming(model_dir):
+    """FITS mode writes one file per frequency named
+    '<prefix>_<um>.fits' (single direction) with the (FITS_RA, FITS_DE)
+    WCS centre and GL*MAP_DX/distance pixel scale (ASOC.py:3142-3147,
+    ASOC_aux.py:299-305,1723-1748)."""
+    import glob
+    from soc_tpu.io.fits import read_fits_image
+
+    res = run_ini(model_dir,
+                  "mapum 250.0 500.0\ndistance 100.0\n"
+                  "FITS 83.5 -5.4 orion\n")
+    files = sorted(glob.glob(str(model_dir / "orion_*.fits")))
+    assert len(files) == 2, files
+    names = {os.path.basename(f) for f in files}
+    assert names == {"orion_250.fits", "orion_500.fits"}
+    data, hdr = read_fits_image(files[0])
+    np.testing.assert_allclose(float(hdr["CRVAL1"]), 83.5)
+    np.testing.assert_allclose(float(hdr["CRVAL2"]), -5.4)
+    expect_pix = np.degrees(0.01 * 1.0 / 100.0)
+    np.testing.assert_allclose(float(hdr["CDELT2"]), expect_pix,
+                               rtol=1e-6)
+    # plane content matches the binary map (planes follow ascending
+    # frequency, i.e. descending wavelength: plane 0 = 500 um)
+    want = {"orion_500.fits": 0, "orion_250.fits": 1}
+    for f in files:
+        d, _ = read_fits_image(f)
+        np.testing.assert_allclose(
+            np.asarray(d).squeeze(), res.maps[0][want[os.path.basename(f)]],
+            rtol=1e-6)
