@@ -328,7 +328,8 @@ def _run_inner(cfg, write_files, nlanes):
                                  / (cfg.distance if cfg.distance > 0
                                     else 1000.0))
             write_fits_image("%s.fits" % cfg.file_scattering,
-                             outcoming[:, 0], pix_deg=pix_deg)
+                             outcoming[:, 0], ra_deg=cfg.fits_ra,
+                             de_deg=cfg.fits_de, pix_deg=pix_deg)
         else:
             with open("outcoming.socs", "wb") as fp:
                 if healpix_nside > 0:
