@@ -614,7 +614,9 @@ directions      0.0 0.0             # observer theta phi [deg]; repeatable
 # perspective   32.0 32.0 32.0      # internal observer -> panorama
 #                                   # (mapping N 0 renders healpix NSIDE=N)
 # distance      100.0               # source distance [pc] (FITS scaling)
-# FITS          1                   # also write FITS images
+# FITS          1                   # per-frequency FITS maps; or
+#                                   #   'FITS ra de [prefix]' to set the
+#                                   #   WCS centre [deg] + filename stem
 # mapint        1                   # bilinear cross-ray map interpolation
 # yshear        0.0                 # shearing-box periodic map continuation
 
