@@ -2104,6 +2104,39 @@ def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
                                 np.asarray(cfg.npix,
                                            np.int32).tofile(fp)
                                 payload.astype(np.float32).tofile(fp)
+                        if write_files and cfg.fits > 0:
+                            # FITS-mode companions with the reference's
+                            # names: '<savetau>_colden[_dirN][_NNN].fits'
+                            # / '<savetau>_tau_<um>[_dirN][_NNN].fits'
+                            # (ASOC.py:3123-3124,3157-3170 -- NDIR>1
+                            # carries BOTH the _dirN tag and the _NNN
+                            # index, a reference quirk kept verbatim)
+                            from ..io.fits import write_fits_image
+                            from ..constants import f2um
+                            ndir = len(cfg.obs_theta)
+                            dtag = "" if ndir == 1 else "_dir%d" % idir
+                            if idx < 0:
+                                base = "%s_colden%s" % (cfg.file_savetau,
+                                                        dtag)
+                                unit = "cm-2"
+                            else:
+                                um = f2um(freq[idx])
+                                ums = ("%.0f" % um if um > 20.0 else
+                                       "%.1f" % um if um > 2.0 else
+                                       "%.2f" % um)
+                                base = "%s_tau_%s%s" % (cfg.file_savetau,
+                                                        ums, dtag)
+                                unit = "tau"
+                            fname = ("%s.fits" % base if ndir == 1
+                                     else "%s_%03d.fits" % (base, idir))
+                            dist = (cfg.distance if cfg.distance > 0
+                                    else 1000.0)
+                            write_fits_image(
+                                fname, payload, ra_deg=cfg.fits_ra,
+                                de_deg=cfg.fits_de,
+                                pix_deg=np.degrees(cfg.gl * cfg.map_dx
+                                                   / dist),
+                                bunit=unit)
 
     # ---- PSTau: column density + optical depth from each point source
     # toward the observer (ASOC.py:3631-3650, text output "%s_%d.dat")

@@ -895,3 +895,19 @@ def test_fits_reference_naming(model_dir):
         np.testing.assert_allclose(
             np.asarray(d).squeeze(), res.maps[0][want[os.path.basename(f)]],
             rtol=1e-6)
+
+
+def test_savetau_fits_companions(model_dir):
+    """FITS mode adds the reference-named savetau companions:
+    '<savetau>_tau_<um>.fits' and '<savetau>_colden.fits'
+    (ASOC.py:3157-3170), alongside the binary files."""
+    from soc_tpu.io.fits import read_fits_image
+    res = run_ini(model_dir,
+                  "savetau  taumap  250.0 -1.0\nFITS 10.0 -30.0\n")
+    t, ht = read_fits_image(str(model_dir / "taumap_tau_250.fits"))
+    c, hc = read_fits_image(str(model_dir / "taumap_colden.fits"))
+    np.testing.assert_allclose(np.asarray(t).squeeze(),
+                               res.maps[("savetau", 0, 0)], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(c).squeeze(),
+                               res.maps[("savetau", 0, 1)], rtol=1e-6)
+    assert float(ht["CRVAL1"]) == 10.0 and float(hc["CRVAL2"]) == -30.0
