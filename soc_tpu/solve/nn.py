@@ -5,9 +5,20 @@ Learns the per-cell mapping log(absorptions at a few reference wavelengths)
 repeated runs (reference: PyTorch MLP with LeakyReLU hidden layers,
 configurable like nnnet=[13,17,13]; ASOC_aux_NN.py:32-210). Implemented with
 flax + optax; weights stored as a plain pickled pytree in <prefix>.nn.
+
+Reference ``.nn`` files (torch ``state_dict`` checkpoints written by
+ASOC_aux_NN.py:159) are also accepted: nn_load sniffs the torch zip
+format, recovers the weights with a torch-free restricted unpickler
+(utils/torch_pickle.py) and applies the reference's linear mean
+normalization from the ``A_<dust>.norm`` / ``E_<dust>.norm`` companions
+(ASOC_aux_NN.py:294-296), so ``nnsolve`` can consume surrogates trained
+by the reference itself.
 """
 
+import os
 import pickle
+import re
+import zipfile
 
 import numpy as np
 import jax
@@ -80,8 +91,16 @@ def nn_solve(model_dict, absorbed, batch=1 << 16):
     """Evaluate the surrogate: [CELLS, n_abs] -> [CELLS, n_emit]."""
     model = EmissionMLP(hidden=model_dict["hidden"],
                         n_out=model_dict["n_out"])
-    lx = np.log10(np.maximum(np.asarray(absorbed, np.float64), 1e-33))
-    x = ((lx - model_dict["in_mu"]) / model_dict["in_sd"]).astype(np.float32)
+    linear = model_dict.get("norm") == "ref-linear"
+    if linear:
+        # the reference's normalization: clip, divide by the per-channel
+        # means from A_<dust>.norm (ASOC_aux_NN.py:103-110, 309-311)
+        a = np.clip(np.asarray(absorbed, np.float32), 1.0e-29, 1.0e32)
+        x = a / model_dict["in_scale"][None, :]
+    else:
+        lx = np.log10(np.maximum(np.asarray(absorbed, np.float64), 1e-33))
+        x = ((lx - model_dict["in_mu"]) /
+             model_dict["in_sd"]).astype(np.float32)
 
     # params as a traced argument: a closure would constant-fold the
     # weights into the executable and recompile on every nn_solve call
@@ -91,8 +110,72 @@ def nn_solve(model_dict, absorbed, batch=1 << 16):
     for i0 in range(0, x.shape[0], batch):
         outs.append(np.asarray(apply(model_dict["params"],
                                      jnp.asarray(x[i0:i0 + batch]))))
+    if linear:
+        return (np.concatenate(outs) *
+                model_dict["out_scale"][None, :]).astype(np.float32)
     ly = np.concatenate(outs) * model_dict["out_sd"] + model_dict["out_mu"]
     return (10.0 ** ly).astype(np.float32)
+
+
+def import_torch_nn(path, a_norm=None, e_norm=None):
+    """Convert a reference-trained torch ``.nn`` checkpoint to a model dict.
+
+    The reference saves ``model.state_dict()`` of an ``nn.Sequential`` of
+    Linear/LeakyReLU pairs as ``<prefix>_<dust>.nn`` and the linear mean
+    normalizations as raw-float32 ``A_<dust>.norm`` / ``E_<dust>.norm`` in
+    the working directory (ASOC_aux_NN.py:110-113, 159, 294-296).  When
+    the norm paths are not given they are located next to the checkpoint
+    by trying every ``'_'``-split of the basename as the dust name;
+    without them the import falls back to unit scales (valid only if the
+    training data were already normalized).
+    """
+    from ..utils.torch_pickle import load_state_dict
+    state = load_state_dict(path)
+    idx = sorted({int(m.group(1)) for k in state
+                  for m in [re.match(r"layers\.(\d+)\.(weight|bias)$", k)]
+                  if m})
+    if not idx:
+        raise ValueError("%s: no layers.<i>.weight entries -- not an "
+                         "ASOC_aux_NN state dict" % path)
+    weights = [(state["layers.%d.weight" % i], state["layers.%d.bias" % i])
+               for i in idx]
+    params = {"params": {}}
+    for d, (w, b) in enumerate(weights):
+        # torch Linear stores [out, in]; flax Dense kernels are [in, out]
+        params["params"]["Dense_%d" % d] = {
+            "kernel": jnp.asarray(np.ascontiguousarray(w.T)),
+            "bias": jnp.asarray(b)}
+    hidden = tuple(int(w.shape[0]) for w, _ in weights[:-1])
+    n_in = int(weights[0][0].shape[1])
+    n_out = int(weights[-1][0].shape[0])
+
+    if a_norm is None or e_norm is None:
+        dirname = os.path.dirname(os.path.abspath(path))
+        stem = os.path.basename(path)
+        stem = stem[:-3] if stem.endswith(".nn") else stem
+        parts = stem.split("_")
+        for i in range(1, len(parts)):
+            cand = "_".join(parts[i:])
+            ap = os.path.join(dirname, "A_%s.norm" % cand)
+            ep = os.path.join(dirname, "E_%s.norm" % cand)
+            if os.path.exists(ap) and os.path.exists(ep):
+                a_norm, e_norm = a_norm or ap, e_norm or ep
+                break
+    if a_norm and os.path.exists(a_norm):
+        in_scale = np.fromfile(a_norm, np.float32)
+    else:
+        in_scale = np.ones(n_in, np.float32)
+    if e_norm and os.path.exists(e_norm):
+        out_scale = np.fromfile(e_norm, np.float32)
+    else:
+        out_scale = np.ones(n_out, np.float32)
+    if len(in_scale) != n_in or len(out_scale) != n_out:
+        raise ValueError(
+            "%s: norm-file lengths (%d, %d) do not match the network "
+            "(%d in, %d out)" % (path, len(in_scale), len(out_scale),
+                                 n_in, n_out))
+    return dict(params=params, hidden=hidden, n_out=n_out,
+                norm="ref-linear", in_scale=in_scale, out_scale=out_scale)
 
 
 def nn_save(path, model_dict):
@@ -101,5 +184,8 @@ def nn_save(path, model_dict):
 
 
 def nn_load(path):
+    if zipfile.is_zipfile(path):
+        # a reference-trained torch checkpoint, not our pickled pytree
+        return import_torch_nn(path)
     with open(path, "rb") as fp:
         return pickle.load(fp)
