@@ -488,6 +488,213 @@ def bench_scaling(lanes, total=1 << 18):
                 efficiency=round(rn / (n * r1), 3))
 
 
+def bench_large(workdir, lanes, repeats=2):
+    """Reference-scale section (VERDICT r5 item 1): a 16.8M-cell model.
+
+    Every other number in this bench lives on a 262k-cell model whose
+    density table is ~1 MB; the reference's entire memory design exists
+    for 1e8-5e8 cells ("4 x CELLS floats ~ 7.2 GB @ 480e6 cells",
+    /root/reference/ASOC.py:39-53, 441-453).  This section measures the
+    same quantities where they start to matter: a 256^3 root + central
+    16^3 refinement cascade (16,814,080 cells; the [CELLS, NFREQ] tally
+    is 2.96 GB, already past any keep-it-all-in-HBM-per-channel comfort):
+
+      * the random gather / scatter-add floor re-probed at the
+        HBM-resident table size (round-4 methodology, 16.8M-entry table)
+      * bg transport pkt/s with the per-frequency absorption tally in a
+        host memmap -- the actual driver mmapabs path, one device column
+        per channel (driver.simulate_background host_tally)
+      * out-of-core A2E streaming over a reference-ABI absorbed file
+        (4.19M rows x 44 -- cells are independent, so row count scales
+        time linearly; the streaming reader/writer path is identical at
+        any row count) with the real GSET solver, link-attributed
+      * the 512x512x44 orthographic map render against the 16.8M grid
+    """
+    import shutil
+    import time as _t
+    import jax
+    import jax.numpy as jnp
+    from soc_tpu.config import RunConfig
+    from soc_tpu.grid import grid_from_arrays, encode_link_np
+    from soc_tpu.io.cloud import write_hierarchy, read_cloud
+    from soc_tpu.io.dust import read_simple_dust, read_scattering_function
+    from soc_tpu.io.fields import read_background_intensity
+    from soc_tpu.pipeline import driver
+    from soc_tpu.render.mapping import observer_basis, render_ortho
+    from soc_tpu.solve import stochastic
+    from soc_tpu.transport.medium import medium_from_optics
+
+    ldir = os.path.join(workdir, "large")
+    os.makedirs(ldir, exist_ok=True)
+    # env knobs exist for CPU smoke tests only; the bench default is the
+    # full 256^3 reference-scale model
+    n = int(os.environ.get("SOC_BENCH_LARGE_N", 256))
+    cloud = os.path.join(ldir, "large.cloud")
+    if not os.path.exists(cloud):
+        rng = np.random.default_rng(12)
+        root = (1000.0 * rng.uniform(0.5, 1.5, n ** 3)).astype(np.float32)
+        c0, c1 = n // 2 - 8, n // 2 + 8
+        ii = np.asarray([x + n * y + n * n * z
+                         for z in range(c0, c1)
+                         for y in range(c0, c1)
+                         for x in range(c0, c1)], np.int64)
+        root[ii] = encode_link_np(
+            np.arange(0, 8 * len(ii), 8, dtype=np.int32))
+        l1 = (2000.0 * rng.uniform(0.5, 1.5,
+                                   8 * len(ii))).astype(np.float32)
+        sub = np.arange(512) * (len(l1) // 512) + 3
+        l1[sub] = encode_link_np(np.arange(0, 8 * 512, 8, dtype=np.int32))
+        l2 = (4000.0 * rng.uniform(0.5, 1.5, 8 * 512)).astype(np.float32)
+        write_hierarchy(cloud, n, n, n, [n ** 3, len(l1), len(l2)],
+                        [root, l1, l2])
+    for f in ("tmp.dust", "tmp.dsc", "bg_intensity.bin"):
+        shutil.copy(os.path.join(workdir, f), ldir)
+    with open(os.path.join(ldir, "large.ini"), "w") as fp:
+        fp.write("gridlength 0.01\ncloud large.cloud\ndensity 1.0\n"
+                 "seed 1.0\noptical tmp.dust\ndsc tmp.dsc 2500\n"
+                 "bgpackets 1\nbackground bg_intensity.bin\n"
+                 "mapping 16 16 1.0\ndirections 0 0\nprefix large\n")
+    orig = os.getcwd()
+    os.chdir(ldir)
+    try:
+        cfg = RunConfig("large.ini")
+        grid = read_cloud("large.cloud", cfg.kdensity, cfg.max_levels)
+        optics = [read_simple_dust("tmp.dust", cfg.gl)]
+        freq = optics[0].freq
+        cfg.freq = freq
+        nfreq = len(freq)
+        dsc, csc = read_scattering_function("tmp.dsc", nfreq, 2500)
+        medium = medium_from_optics(optics, dsc, csc, freq)
+        ibg = read_background_intensity("bg_intensity.bin", nfreq)
+    finally:
+        os.chdir(orig)
+    cells = int(grid.cells)
+    out = dict(cells=cells, levels=int(grid.levels))
+
+    # ---- gather/scatter floor at the 16.8M-entry table (round-4 probe
+    # methodology: constant random index set, chained reps in one jit)
+    idxn = 1 << 17
+    reps_in = 16
+    rngp = np.random.default_rng(7)
+    idx = jnp.asarray(rngp.integers(0, cells, idxn,
+                                    dtype=np.int64).astype(np.int32))
+    vals = jnp.asarray(rngp.random(idxn).astype(np.float32))
+    tbl = grid.dens
+
+    @jax.jit
+    def probe_gather(tbl, idx):
+        acc = jnp.zeros(idxn, jnp.float32)
+        for _ in range(reps_in):
+            acc = acc + tbl[idx]
+            idx = (idx + 1) % cells      # chain: no rep elimination
+        return acc
+
+    @jax.jit
+    def probe_scatter(idx, vals):
+        o = jnp.zeros(cells, jnp.float32)
+        for _ in range(reps_in):
+            o = o.at[idx].add(vals, mode="drop")
+            idx = (idx + 1) % cells
+        return o
+
+    def timeit(fn, *args):
+        r = fn(*args)
+        _ = np.asarray(r.ravel()[:1])            # forced readback
+        best = None
+        for _ in range(3):
+            t0 = _t.time()
+            r = fn(*args)
+            _ = np.asarray(r.ravel()[:1])
+            dt = _t.time() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    out["gather_melem_per_s"] = round(
+        idxn * reps_in / timeit(probe_gather, tbl, idx) / 1e6, 1)
+    out["scatter_melem_per_s"] = round(
+        idxn * reps_in / timeit(probe_scatter, idx, vals) / 1e6, 1)
+
+    # ---- bg transport under the mmapabs host tally (2 channels: the
+    # optically thin 250 um and the thick 0.15 um end of the real dust)
+    tally_path = os.path.join(ldir, "tally.mmap")
+    host_tally = np.memmap(tally_path, np.float32, mode="w+",
+                           shape=(cells, nfreq))
+    freq_mask = np.zeros(nfreq, bool)
+    chans = [10, 43]
+    freq_mask[chans] = True
+    area = int(grid.area)
+    pkt = int(freq_mask.sum()) * 8 * area
+    times = []
+    for rep in range(repeats):
+        tabs0 = jnp.zeros(cells, jnp.float32)
+        intf0 = jnp.zeros((1, 1), jnp.float32)
+        t0 = _t.time()
+        tabs, _, esc, inj = driver.simulate_background(
+            grid, medium, cfg, ibg, tabs0, intf0, np.uint32(77 + rep),
+            lanes=lanes, per_freq_tally=True, freq_mask=freq_mask,
+            host_tally=host_tally)
+        col_sums = [float(host_tally[:, c].sum()) for c in chans]
+        times.append(round(_t.time() - t0, 2))
+    out["bg_transport_pps"] = round(pkt / min(times), 1)
+    out["bg_transport_s_all"] = times
+    out["bg_channels"] = chans
+    sane = all(np.isfinite(s) and s > 0 for s in col_sums)
+    del host_tally
+    os.unlink(tally_path)
+
+    # ---- out-of-core A2E streaming (reference absorbed.data ABI)
+    rows = int(os.environ.get("SOC_BENCH_LARGE_ROWS", 1 << 22))
+    apath = os.path.join(ldir, "absorbed.large")
+    solver, unit = real_dust_solver(workdir)
+    if not os.path.exists(apath):
+        rngl = np.random.default_rng(5)
+        with open(apath, "wb") as fp:
+            np.asarray([rows, nfreq], np.int32).tofile(fp)
+            for i0 in range(0, rows, 1 << 18):
+                m = min(1 << 18, rows - i0)
+                s = (10.0 ** rngl.uniform(0, 4, m)).astype(np.float32)
+                (s[:, None] * unit[None, :]).astype(np.float32).tofile(fp)
+    epath = os.path.join(ldir, "emitted.large")
+    up0, down0 = measure_link()
+    t0 = _t.time()
+    nrows = stochastic.solve_emission_streaming(solver, apath, epath)
+    dt = _t.time() - t0
+    up1, down1 = measure_link()
+    assert nrows == rows
+    a2e_cps = rows / dt
+    up, down = 0.5 * (up0 + up1), 0.5 * (down0 + down1)
+    payload = rows * nfreq * 4
+    ceiling = rows / (payload / (up * 1e6) + payload / (down * 1e6))
+    with open(epath, "rb") as fp:
+        np.fromfile(fp, np.int32, 2)
+        head = np.fromfile(fp, np.float32, 1 << 20)
+    sane = sane and bool(np.isfinite(head).all() and head.max() > 0)
+    out["a2e_stream_cells_per_sec"] = round(a2e_cps, 1)
+    out["a2e_stream_rows"] = rows
+    out["a2e_link"] = dict(up_mbps=round(up, 1), down_mbps=round(down, 1),
+                           serial_ceiling_cells_per_sec=round(ceiling, 1))
+    out["a2e_link_efficiency"] = round(a2e_cps / ceiling, 3)
+    os.unlink(epath)
+
+    # ---- 512x512x44 map render against the 16.8M-cell grid
+    emit = jnp.ones((cells, nfreq), jnp.float32)
+    ext = medium.abs_gl + medium.sca_gl
+    odir, ra, de = observer_basis(0.3, 0.4)
+    centre = (n / 2.0, n / 2.0, n / 2.0)
+    args = (grid, emit, ext, jnp.asarray(odir), jnp.asarray(ra),
+            jnp.asarray(de), jnp.asarray(centre, jnp.float32), 0.5,
+            (512, 512))
+    phot, tau, colden = render_ortho(*args)
+    _ = float(jnp.sum(phot))                     # compile + warm
+    t0 = _t.time()
+    phot, tau, colden = render_ortho(*args)
+    s = float(jnp.sum(phot))
+    out["map_render_s_512x512x44"] = round(_t.time() - t0, 3)
+    sane = sane and np.isfinite(s) and s > 0
+    out["sane"] = bool(sane)
+    return out
+
+
 def warm_device_link():
     """Pay the one-time tunnel costs OUTSIDE every timed region.
 
@@ -546,6 +753,12 @@ def main():
         e2e_all.append(round(time.time() - t0, 2))
     e2e = min(e2e_all)
 
+    # reference-scale section last: its fresh 16.8M-cell executables must
+    # not pollute the small-model steady-state timings above
+    large = None
+    if os.environ.get("SOC_BENCH_LARGE", "1") != "0":
+        large = bench_large(workdir, lanes)
+
     result = {
         "metric": "bg_transport_packets_per_sec",
         "value": round(pps, 1),
@@ -586,8 +799,10 @@ def main():
             "map_render_s_512x512x44": round(map_s, 3),
             "pipeline_e2e_s": round(e2e, 2),
             "pipeline_e2e_all": e2e_all,
+            "large_model": large,
             "sane": tr["sane"] and bool(
-                np.isfinite(res.temperature).all()),
+                np.isfinite(res.temperature).all())
+            and (large is None or large["sane"]),
         },
     }
     print(json.dumps(result))

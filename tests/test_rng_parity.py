@@ -133,21 +133,25 @@ def _surface_elements(nx, ny, nz):
     return side, x0, y0, z0, dx, dy, dz
 
 
-def _simulate(grid, kabs, ksca, csc, seed, batch, use_ops, max_scat=20):
+def _simulate(grid, kabs, ksca, csc, seed, batch, use_ops, max_scat=20,
+              mult=8):
     """Twin simulator: the reference SimRAM_PB SOURCE==1 semantics driven
     by exact MWC64X streams. use_ops=False -> float64 NumPy oracle
     (transliterated kernel math); use_ops=True -> the framework's own
     float32 traversal ops (boundary_step / index_global / index_update).
+    mult is the lanes-per-surface-element factor (the reference's 8,
+    ASOC.py:1060; mult=1 keeps full-surface coverage at 1/8 the packets
+    for the large-workload parity runs).
     Returns (tabs [CELLS] float64 accumulator, escaped, injected)."""
     nx, ny, nz = grid.nx, grid.ny, grid.nz
     dens = np.asarray(grid.dens, np.float64)
     cells = grid.cells
     area = 2 * (ny * nz + nx * nz + nx * ny)
-    n = 8 * area
+    n = mult * area
     rng = MWC64X(seed, n)
     side, ex0, ey0, ez0, edx, edy, edz = _surface_elements(nx, ny, nz)
-    side = np.tile(side, 8)[:n]
-    ex0, ey0, ez0, edx, edy, edz = [np.tile(v, 8)[:n]
+    side = np.tile(side, mult)[:n]
+    ex0, ey0, ez0, edx, edy, edz = [np.tile(v, mult)[:n]
                                     for v in (ex0, ey0, ez0, edx, edy, edz)]
     dtype = np.float32 if use_ops else np.float64
     bins = len(csc)
