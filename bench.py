@@ -273,7 +273,7 @@ def bench_sca(lanes, total_packets=1 << 21, repeats=3):
     params = dict(photons=jnp.float32(1.0), ifreq=jnp.int32(0),
                   per_freq=jnp.int32(total_packets))
     best = None
-    steps_ffs = None
+    steps_ffs = peel_ffs = None
     for _ in range(repeats):
         t0 = _t.time()
         out, st = simulate_scattering(
@@ -284,12 +284,15 @@ def bench_sca(lanes, total_packets=1 << 21, repeats=3):
         dt = _t.time() - t0
         best = dt if best is None or dt < best else best
         steps_ffs = st["lane_steps"]
+        peel_ffs = st["peel_lane_steps"]
     assert np.isfinite(s) and s > 0
     # pure-march reference on the same engine (ffs off; the channel is
-    # optically thin so nothing scatters): one full chord per packet.
-    # The measured lane-step counts attribute the pps gap to workload:
-    # chord_equivalents = FFS lane-steps / march-only lane-steps, so the
-    # number is a counted fact of this run, not a timing inference.
+    # optically thin so nothing scatters, so there are no events and no
+    # peel rays): one full chord per packet.  The measured lane-step
+    # counts attribute the pps gap to workload: chord_equivalents = FFS
+    # transport lane-steps / march-only lane-steps (a counted fact of
+    # this run, not a timing inference); step_parity compares effective
+    # lane-step rates with the peel-ray marches included on the FFS side.
     best_m = None
     steps_march = None
     for _ in range(repeats):
@@ -303,12 +306,11 @@ def bench_sca(lanes, total_packets=1 << 21, repeats=3):
         best_m = dt if best_m is None or dt < best_m else best_m
         steps_march = st["lane_steps"]
     detail = dict(chord_equivalents=round(steps_ffs / steps_march, 2),
-                  lane_steps_ffs=steps_ffs, lane_steps_march=steps_march,
-                  # step-rate parity with the march-only engine: pps ratio
-                  # corrected by the measured per-packet workload ratio
-                  step_parity=round((total_packets / best * steps_ffs)
-                                    / (total_packets / best_m * steps_march),
-                                    3))
+                  lane_steps_ffs=steps_ffs, peel_lane_steps_ffs=peel_ffs,
+                  lane_steps_march=steps_march,
+                  step_parity=round(
+                      ((steps_ffs + peel_ffs) / best)
+                      / (steps_march / best_m), 3))
     return total_packets / best, total_packets / best_m, detail
 
 
@@ -333,30 +335,33 @@ def real_dust_solver(workdir, ne=128):
     return solver, unit
 
 
-def measure_link(mb=24, repeats=2):
-    """Measured host<->device link bandwidth (MB/s up, down), best-of-N.
+def measure_link(piece_bytes=6 << 20, n_pieces=2, repeats=2):
+    """Measured host<->device link bandwidth (MB/s up, down), best-of-N,
+    at a given transfer granularity.
 
-    On this harness the device sits behind a tunnel whose bandwidth swings
-    run to run; measuring it INSIDE the bench run lets the end-to-end A2E
-    number be reported against that run's own serial link ceiling instead
-    of an assumed one."""
+    On this harness the device sits behind a tunnel whose bandwidth is
+    both mood- AND SIZE-dependent (measured in-run: 5.8 MB pieces move at
+    ~8 MB/s while a single 24 MB buffer moves at ~30 MB/s), so the A2E
+    serial ceiling must be probed with the same piece size and count as
+    the solve's actual superbatch traffic -- otherwise the efficiency
+    number compares against a ceiling the link never offers."""
     import jax
     import jax.numpy as jnp
-    x = np.random.default_rng(1).random(mb << 18).astype(np.float32)
+    xs = [np.random.default_rng(i).random(piece_bytes // 4)
+          .astype(np.float32) for i in range(n_pieces)]
     up = down = None
-    xd = None
     for _ in range(repeats):
         t0 = time.time()
-        xd = jax.device_put(x)
-        _ = float(np.asarray(xd[-1]))          # forces transfer completion
+        ds = [jax.device_put(x) for x in xs]
+        _ = [float(np.asarray(d[-1])) for d in ds]   # force completion
         dt = time.time() - t0
         up = dt if up is None else min(up, dt)
         t0 = time.time()
-        _ = np.asarray(xd)
+        _ = [np.asarray(d) for d in ds]
         dt = time.time() - t0
         down = dt if down is None else min(down, dt)
-    nbytes = x.nbytes
-    return nbytes / up / 1e6, nbytes / down / 1e6
+    tot = piece_bytes * n_pieces
+    return tot / up / 1e6, tot / down / 1e6
 
 
 def bench_a2e(workdir, cells=65536, ne=128):
@@ -373,10 +378,14 @@ def bench_a2e(workdir, cells=65536, ne=128):
     # then best-of-3 (same policy as the transport metric)
     emitted = stochastic.solve_emission(solver, absorbed)
     stochastic.solve_emission(solver, absorbed)
-    # link bandwidth bracketing the timed region: the end-to-end solve is
-    # link-bound (absorbed up + emitted down), so the honest denominator
-    # is THIS run's serial link ceiling, not an assumed bandwidth
-    up0, down0 = measure_link()
+    # link bandwidth bracketing the timed region, probed at the solve's
+    # own transfer granularity (superbatch = 2 chunks x 16384 rows): the
+    # end-to-end solve is link-bound (absorbed up + emitted down), so the
+    # honest denominator is THIS run's serial link ceiling for the SAME
+    # piece sizes, not an assumed or large-buffer bandwidth
+    piece = 2 * 16384 * nfreq * 4
+    n_pieces = max(1, cells * nfreq * 4 // piece)
+    up0, down0 = measure_link(piece, n_pieces)
     best = None
     for _ in range(3):
         t0 = time.time()
@@ -384,7 +393,7 @@ def bench_a2e(workdir, cells=65536, ne=128):
         _ = float(jnp.sum(jnp.asarray(emitted)))   # forced readback
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
-    up1, down1 = measure_link()
+    up1, down1 = measure_link(piece, n_pieces)
     assert np.isfinite(emitted).all()
     # energy sanity on the real dust: emitted integrates to the absorbed
     # energy within the solver's discretization (checked loosely here;
@@ -655,11 +664,13 @@ def bench_large(workdir, lanes, repeats=2):
                 s = (10.0 ** rngl.uniform(0, 4, m)).astype(np.float32)
                 (s[:, None] * unit[None, :]).astype(np.float32).tofile(fp)
     epath = os.path.join(ldir, "emitted.large")
-    up0, down0 = measure_link()
+    # the streaming solve transfers in the same 2x16384-row superbatches
+    piece = 2 * 16384 * nfreq * 4
+    up0, down0 = measure_link(piece, 4)
     t0 = _t.time()
     nrows = stochastic.solve_emission_streaming(solver, apath, epath)
     dt = _t.time() - t0
-    up1, down1 = measure_link()
+    up1, down1 = measure_link(piece, 4)
     assert nrows == rows
     a2e_cps = rows / dt
     up, down = 0.5 * (up0 + up1), 0.5 * (down0 + down1)

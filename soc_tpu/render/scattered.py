@@ -993,9 +993,12 @@ def peel_off_run(grid, physics, events, ecount, odirs, ra, de, centre,
               next=jnp.int32(0))
     state = (jnp.int32(0), c0, out_flat)
     state = lax.while_loop(cond, body, state)
-    _, c, out_flat = state
+    it, c, out_flat = state
     _, out_flat = deposit(c, out_flat)        # final flush
-    return out_flat
+    # `it` counts loop bodies of refill_period lane-marches each -- the
+    # peel-ray half of the lane-step accounting in bench (sca_run carries
+    # the transport half in its pool dict)
+    return out_flat, it
 
 
 def empty_events(capacity):
@@ -1033,7 +1036,7 @@ def _sca_channel_fused(grid, physics, source_params, total, seed, odirs,
             grid, physics, source_params, total, carry, events,
             jnp.int32(0), seed, source_kind=source_kind, nlanes=nlanes,
             ffs=ffs, capacity=capacity)
-        out_flat = peel_off_run(
+        out_flat, _ = peel_off_run(
             grid, physics, events, ecount, odirs, ra, de, centre,
             map_dx, npix, out_flat, obs_pos, mode=mode, nlanes=nlanes)
         return it + 1, carry, out_flat
@@ -1132,6 +1135,7 @@ def simulate_scattering(grid, physics, source_params, total_packets,
     total = jnp.int32(total_packets)
     carry = sca_pool_init(grid, nlanes)
     n_events = 0
+    peel_iters = 0
     while True:
         events = empty_events(capacity)
         carry, events, ecount = sca_run(
@@ -1141,17 +1145,20 @@ def simulate_scattering(grid, physics, source_params, total_packets,
         ne = int(ecount)
         n_events += ne
         if ne > 0:
-            out_flat = peel_off_run(
+            out_flat, pit = peel_off_run(
                 grid, physics, events, ecount, odirs, ra, de,
                 jnp.asarray(centre, jnp.float32), map_dx,
                 tuple(npix), out_flat, obs_pos,
                 mode="healpix" if healpix else "ortho", nlanes=nlanes)
+            peel_iters += int(pit)
         if (int(carry["next_id"]) >= total_packets
                 and not bool(jnp.any(carry["b"].ind >= 0))):
             break
     out = np.asarray(out_flat).reshape(out_shape)
     if return_stats:
         iters = int(carry["iters"])
-        return out, dict(sca_iters=iters, lane_steps=iters * 32 * nlanes,
+        return out, dict(sca_iters=iters, peel_iters=peel_iters,
+                         lane_steps=iters * 32 * nlanes,
+                         peel_lane_steps=peel_iters * 32 * nlanes,
                          events=n_events)
     return out

@@ -205,10 +205,10 @@ def test_unified_engine_matches_phase_engine():
         ne_new += int(ec)
         w_new += float(jnp.sum(jnp.where(ev.valid, ev.photons, 0.0)))
         if int(ec):
-            out_new = peel_off_run(grid, physics, ev, ec, odirs, ra2, de2,
-                                   centre, 1.0, npix, out_new,
-                                   jnp.zeros(3, jnp.float32),
-                                   mode="ortho", nlanes=1 << 10)
+            out_new, _ = peel_off_run(grid, physics, ev, ec, odirs, ra2,
+                                      de2, centre, 1.0, npix, out_new,
+                                      jnp.zeros(3, jnp.float32),
+                                      mode="ortho", nlanes=1 << 10)
         if (int(carry["next_id"]) >= n
                 and not bool(jnp.any(carry["b"].ind >= 0))):
             break
