@@ -130,7 +130,7 @@ def bench_speed_of_light(grid, total_packets, repeats=3, nrays=1 << 17):
     return nrays / best
 
 
-def bench_sol_stepping(lanes, iters=100):
+def bench_sol_stepping(lanes, iters=100, grid=None, medium=None):
     """Speed-of-light STEPPING fraction: the REAL transport loop's lane-step
     rate vs the march+gather+deposit floor (the memory ops every Monte-Carlo
     step must perform) on the identical loop shape.  The production loop is
@@ -138,11 +138,14 @@ def bench_sol_stepping(lanes, iters=100):
     unlimited packet budget does exactly iters*refill_period*lanes
     lane-steps (march/service split, refill, esc flush and all); the floor
     is ablate_step's 'bound' variant (traversal + density gather + deposit,
-    free path never ends)."""
+    free path never ends).  Pass (grid, medium) to measure the fraction on
+    a different model (the reference-scale section re-runs it at 16.8M
+    cells, where the gather floor itself is lower)."""
     import time as _t
     sys.path.insert(0, os.path.join(REPO, "scripts"))
     import ablate_step as ab
-    grid, medium = ab.load_workload()
+    if grid is None:
+        grid, medium = ab.load_workload()
     import jax.numpy as jnp
     from soc_tpu.transport.propagate import transport_run
     from soc_tpu.transport.sources import stream_hi_base
@@ -622,6 +625,14 @@ def bench_large(workdir, lanes, repeats=2):
         idxn * reps_in / timeit(probe_gather, tbl, idx) / 1e6, 1)
     out["scatter_melem_per_s"] = round(
         idxn * reps_in / timeit(probe_scatter, idx, vals) / 1e6, 1)
+
+    # ---- stepping rate vs the memory-op floor ON this grid: the
+    # speed-of-light claim re-proven where the gather floor is lower
+    step_rate, bound_rate = bench_sol_stepping(lanes, iters=40,
+                                               grid=grid, medium=medium)
+    out["stepping_rate_msteps_per_s"] = round(step_rate / 1e6, 1)
+    out["stepping_bound_msteps_per_s"] = round(bound_rate / 1e6, 1)
+    out["sol_stepping_fraction"] = round(step_rate / bound_rate, 3)
 
     # ---- bg transport under the mmapabs host tally (2 channels: the
     # optically thin 250 um and the thick 0.15 um end of the real dust)
