@@ -352,19 +352,21 @@ def measure_link(piece_bytes=6 << 20, n_pieces=2, repeats=2):
     import jax.numpy as jnp
     xs = [np.random.default_rng(i).random(piece_bytes // 4)
           .astype(np.float32) for i in range(n_pieces)]
-    up = down = None
+    ups, downs = [], []
     for _ in range(repeats):
         t0 = time.time()
         ds = [jax.device_put(x) for x in xs]
         _ = [float(np.asarray(d[-1])) for d in ds]   # force completion
-        dt = time.time() - t0
-        up = dt if up is None else min(up, dt)
+        ups.append(time.time() - t0)
         t0 = time.time()
         _ = [np.asarray(d) for d in ds]
-        dt = time.time() - t0
-        down = dt if down is None else min(down, dt)
+        downs.append(time.time() - t0)
     tot = piece_bytes * n_pieces
-    return tot / up / 1e6, tot / down / 1e6
+    # mean, not best-of: the solve makes MANY transfers over a drifting
+    # link, so the mean is the estimator of what the link actually gave
+    # the run (best-of overstates the ceiling and understates efficiency)
+    return (tot / (sum(ups) / len(ups)) / 1e6,
+            tot / (sum(downs) / len(downs)) / 1e6)
 
 
 def bench_a2e(workdir, cells=65536, ne=128):
