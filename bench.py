@@ -166,24 +166,28 @@ def bench_sol_stepping(lanes, iters=100, grid=None, medium=None):
             refill_period=refill, esc_bins=nfreq)
         return tabs
 
-    run_real().block_until_ready()
+    # forced readback of a DEVICE-REDUCED scalar (4 bytes): pulling the
+    # full [CELLS] tabs would dominate the timing at 16.8M cells over the
+    # ~10-40 MB/s tunnel link (67 MB ~ 5 s) and measure the link, not the
+    # loop; jnp.sum then np.asarray still forces real completion
+    _ = float(np.asarray(jnp.sum(run_real())))
     best = None
     for _ in range(3):
         t0 = _t.time()
-        _ = float(np.asarray(run_real()).sum())  # forced readback
+        _ = float(np.asarray(jnp.sum(run_real())))
         dt = _t.time() - t0
         best = dt if best is None else min(best, dt)
     real_rate = iters * refill * lanes / best
 
     tabs, _ = ab.ablate_run(grid, physics, jnp.float32(1.0), 7,
                             variant="bound", nlanes=lanes, iters=iters)
-    tabs.block_until_ready()
+    _ = float(np.asarray(jnp.sum(tabs)))
     bbest = None
     for _ in range(3):
         t0 = _t.time()
         tabs, _ = ab.ablate_run(grid, physics, jnp.float32(1.0), 7,
                                 variant="bound", nlanes=lanes, iters=iters)
-        _ = float(np.asarray(tabs).sum())        # forced readback
+        _ = float(np.asarray(jnp.sum(tabs)))     # 4-byte forced readback
         dt = _t.time() - t0
         bbest = dt if bbest is None else min(bbest, dt)
     bound_rate = iters * ab.REFILL * lanes / bbest
@@ -629,12 +633,22 @@ def bench_large(workdir, lanes, repeats=2):
         idxn * reps_in / timeit(probe_scatter, idx, vals) / 1e6, 1)
 
     # ---- stepping rate vs the memory-op floor ON this grid: the
-    # speed-of-light claim re-proven where the gather floor is lower
-    step_rate, bound_rate = bench_sol_stepping(lanes, iters=40,
+    # speed-of-light claim re-proven where the gather floor is lower.
+    # Denominator note: at this table size the in-loop 'bound' ablation
+    # (all lanes marching forever = fully random access) measures SLOWER
+    # than the real loop -- the real loop's surface refills give its
+    # gathers locality the random march lacks (measured 35 vs 15
+    # Msteps/s) -- so the fraction is reported against the probed
+    # single-memory-op random floor min(gather, scatter): a step must do
+    # at least one such op, making this the conservative (perfect-
+    # overlap) denominator. Both raw numbers are published.
+    step_rate, bound_rate = bench_sol_stepping(lanes, iters=150,
                                                grid=grid, medium=medium)
     out["stepping_rate_msteps_per_s"] = round(step_rate / 1e6, 1)
-    out["stepping_bound_msteps_per_s"] = round(bound_rate / 1e6, 1)
-    out["sol_stepping_fraction"] = round(step_rate / bound_rate, 3)
+    out["stepping_inloop_bound_msteps_per_s"] = round(bound_rate / 1e6, 1)
+    floor = min(out["gather_melem_per_s"], out["scatter_melem_per_s"])
+    out["sol_stepping_fraction_vs_random_floor"] = round(
+        step_rate / 1e6 / floor, 3)
 
     # ---- bg transport under the mmapabs host tally (2 channels: the
     # optically thin 250 um and the thick 0.15 um end of the real dust)

@@ -36,7 +36,8 @@ def test_bench_large_section(bench, tmp_path):
     for k in ("gather_melem_per_s", "scatter_melem_per_s",
               "bg_transport_pps", "a2e_stream_cells_per_sec",
               "map_render_s_512x512x44", "stepping_rate_msteps_per_s",
-              "stepping_bound_msteps_per_s", "sol_stepping_fraction"):
+              "stepping_inloop_bound_msteps_per_s",
+              "sol_stepping_fraction_vs_random_floor"):
         assert np.isfinite(out[k]) and out[k] > 0, k
     assert out["a2e_link"]["serial_ceiling_cells_per_sec"] > 0
     assert 0 <= out["a2e_link_efficiency"]
