@@ -733,6 +733,128 @@ def bench_large(workdir, lanes, repeats=2):
     return out
 
 
+def bench_xl(workdir, lanes):
+    """The reference's documented MAXIMUM scale: a 480-million-cell model.
+
+    The reference's memory-budget comment is written for exactly this
+    size -- "4 x CELLS floats ~ 7.2 GB @ 480e6 cells"
+    (/root/reference/ASOC.py:39-42) with CELLS capped at 2^31-1 int32
+    (:143-147).  This section builds a 783^3 = 480,048,687-cell uniform
+    grid (one float32 plane = 1.92 GB; the [CELLS, NFREQ] tally would be
+    84 GB, which is why mmapabs / frequency sharding exist -- that path
+    is proven at 16.8M cells above, here the integrated tally is used)
+    and measures single-channel bg transport, the random-access floor at
+    the 480M-entry table, and a 512x512 single-channel map render.
+    Capability proof + throughput at the int32 design ceiling.
+    """
+    import time as _t
+    import jax
+    import jax.numpy as jnp
+    from soc_tpu.grid import Grid
+    from soc_tpu.io.dust import read_simple_dust, read_scattering_function
+    from soc_tpu.render.mapping import observer_basis, render_ortho
+    from soc_tpu.transport.propagate import transport_run
+    from soc_tpu.transport.sources import stream_hi_base
+
+    n = int(os.environ.get("SOC_BENCH_XL_N", 783))
+    pkts = int(os.environ.get("SOC_BENCH_XL_PKTS", 1 << 19))
+    cells = n ** 3
+    rng = np.random.default_rng(21)
+    dens_np = rng.random(cells, dtype=np.float32) + np.float32(0.5)
+    dens_np *= np.float32(1000.0 * 64.0 / n)   # hold total optical depth
+    t0 = _t.time()
+    dens = jax.device_put(dens_np)
+    _ = float(np.asarray(dens[-1]))
+    upload_s = _t.time() - t0
+    del dens_np
+    # levels == 1: the parent array is never read by any traversal branch
+    # (they all early-out on grid.levels), so a 1-element placeholder
+    # avoids a second 1.92 GB plane on device and on the link
+    grid = Grid(dens=dens, lcells=jnp.asarray([cells], jnp.int32),
+                off=jnp.asarray([0], jnp.int32),
+                par=jnp.zeros(1, jnp.int32),
+                nx=n, ny=n, nz=n, levels=1, cells=cells)
+    out = dict(cells=cells, upload_s=round(upload_s, 1))
+
+    optics = [read_simple_dust(os.path.join(workdir, "tmp.dust"), 0.01)]
+    freq = optics[0].freq
+    nfreq = len(freq)
+    dsc, csc = read_scattering_function(os.path.join(workdir, "tmp.dsc"),
+                                        nfreq, 2500)
+    chan = 30                                    # 2.15 um: tau ~ 1, albedo .6
+    physics = dict(kabs=jnp.float32(optics[0].abs_gl[chan]),
+                   ksca=jnp.float32(optics[0].sca_gl[chan]),
+                   csc=jnp.asarray(np.asarray(csc, np.float32)[chan]),
+                   tw=jnp.float32(1.0))
+
+    # gather/scatter floor at the 480M-entry table (same probe as 16.8M)
+    idxn = 1 << 17
+    reps_in = 16
+    idx = jnp.asarray(rng.integers(0, cells, idxn,
+                                   dtype=np.int64).astype(np.int32))
+
+    @jax.jit
+    def probe_gather(tbl, idx):
+        acc = jnp.zeros(idxn, jnp.float32)
+        for _ in range(reps_in):
+            acc = acc + tbl[idx]
+            idx = (idx + 1) % cells
+        return acc
+
+    pg = probe_gather(grid.dens, idx)
+    _ = np.asarray(pg.ravel()[:1])
+    best = None
+    for _ in range(3):
+        t0 = _t.time()
+        pg = probe_gather(grid.dens, idx)
+        _ = np.asarray(pg.ravel()[:1])
+        best = min(best or 9e9, _t.time() - t0)
+    out["gather_melem_per_s"] = round(idxn * reps_in / best / 1e6, 1)
+
+    # chunked executions: a single multi-minute device execution at this
+    # size gets killed by the worker watchdog (observed: one 2^20-packet
+    # call crashed the TPU worker; 2^17-packet chunks at ~15 s each run
+    # clean -- the same reason driver.simulate_background chunks at 4M)
+    chunk = min(pkts, 1 << 17)
+    xl_lanes = min(lanes, 1 << 14)
+    tabs = jnp.zeros(cells, jnp.float32)
+    intf = jnp.zeros((1, 1), jnp.float32)
+    t0 = _t.time()
+    s = 0.0
+    for k0 in range(0, pkts, chunk):
+        params = dict(photons=jnp.float32(1.0), ifreq=jnp.int32(0),
+                      per_freq=jnp.int32(chunk), k0=jnp.uint32(k0),
+                      hi_base=jnp.uint32(stream_hi_base("bg")))
+        tabs, intf, esc, inj = transport_run(
+            grid, physics, params, jnp.int32(chunk), tabs, intf,
+            jnp.uint32(31), source_kind="bg", nlanes=xl_lanes, esc_bins=1)
+        s = float(np.asarray(jnp.sum(tabs)))     # 4-byte forced readback
+    dt = _t.time() - t0
+    out["bg_transport_pps"] = round(pkts / dt, 1)
+    out["bg_transport_s"] = round(dt, 1)
+    sane = np.isfinite(s) and s > 0
+
+    # 256^2 keeps the single render execution well under the watchdog
+    # (the 783-cell-deep LOS costs ~3x the 256^3 render per pixel)
+    emit = jnp.ones((cells, 1), jnp.float32)
+    ext = jnp.asarray([float(optics[0].abs_gl[chan]
+                             + optics[0].sca_gl[chan])], jnp.float32)
+    odir, ra, de = observer_basis(0.3, 0.4)
+    centre = (n / 2.0, n / 2.0, n / 2.0)
+    args = (grid, emit, ext, jnp.asarray(odir), jnp.asarray(ra),
+            jnp.asarray(de), jnp.asarray(centre, jnp.float32),
+            n / 256.0, (256, 256))
+    phot, tau, colden = render_ortho(*args)
+    _ = float(np.asarray(jnp.sum(phot)))
+    t0 = _t.time()
+    phot, tau, colden = render_ortho(*args)
+    sm = float(np.asarray(jnp.sum(phot)))
+    out["map_render_s_256x256x1"] = round(_t.time() - t0, 2)
+    sane = sane and np.isfinite(sm) and sm > 0
+    out["sane"] = bool(sane)
+    return out
+
+
 def warm_device_link():
     """Pay the one-time tunnel costs OUTSIDE every timed region.
 
@@ -796,6 +918,15 @@ def main():
     large = None
     if os.environ.get("SOC_BENCH_LARGE", "1") != "0":
         large = bench_large(workdir, lanes)
+    # 480M-cell capability section: the reference's documented maximum;
+    # never allowed to kill the bench (reported as an error string if the
+    # environment can't take it)
+    xl = None
+    if os.environ.get("SOC_BENCH_XL", "1") != "0":
+        try:
+            xl = bench_xl(workdir, lanes)
+        except Exception as e:          # noqa: BLE001 -- report, don't die
+            xl = dict(error="%s: %s" % (type(e).__name__, e), sane=False)
 
     result = {
         "metric": "bg_transport_packets_per_sec",
@@ -838,9 +969,11 @@ def main():
             "pipeline_e2e_s": round(e2e, 2),
             "pipeline_e2e_all": e2e_all,
             "large_model": large,
+            "xl_model": xl,
             "sane": tr["sane"] and bool(
                 np.isfinite(res.temperature).all())
-            and (large is None or large["sane"]),
+            and (large is None or large["sane"])
+            and (xl is None or xl["sane"]),
         },
     }
     print(json.dumps(result))

@@ -21,9 +21,23 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def bench(monkeypatch):
     monkeypatch.setenv("SOC_BENCH_LARGE_N", "16")
     monkeypatch.setenv("SOC_BENCH_LARGE_ROWS", str(1 << 12))
+    monkeypatch.setenv("SOC_BENCH_XL_N", "32")
+    monkeypatch.setenv("SOC_BENCH_XL_PKTS", str(1 << 13))
     sys.path.insert(0, REPO)
     import bench as b
     return b
+
+
+def test_bench_xl_section(bench, tmp_path):
+    workdir = str(tmp_path / "bw")
+    bench.prepare_workdir(workdir)
+    out = bench.bench_xl(workdir, 1 << 10)
+    assert out["cells"] == 32 ** 3
+    for k in ("gather_melem_per_s", "bg_transport_pps",
+              "map_render_s_256x256x1"):
+        assert np.isfinite(out[k]) and out[k] > 0, k
+    assert out["sane"] is True
+    json.dumps(out)
 
 
 def test_bench_large_section(bench, tmp_path):
