@@ -714,6 +714,36 @@ def bench_large(workdir, lanes, repeats=2):
     out["a2e_link_efficiency"] = round(a2e_cps / ceiling, 3)
     os.unlink(epath)
 
+    # ---- ini-driven driver.run end to end at 16.8M cells: the FULL
+    # orchestration (phase 1 under the mmapabs memmap tally, T solve,
+    # one emission iteration, maps), not just phase calls -- `simum`
+    # restricts phase 1 to a FIR band exactly as a user would for a
+    # band-limited run (the T field is then band-limited too; this is a
+    # scale/orchestration proof, the physics-complete runs live above)
+    if os.environ.get("SOC_BENCH_LARGE_E2E", "1") != "0":
+        with open(os.path.join(ldir, "large_e2e.ini"), "w") as fp:
+            fp.write("gridlength 0.01\ncloud large.cloud\ndensity 1.0\n"
+                     "seed 1.0\noptical tmp.dust\ndsc tmp.dsc 2500\n"
+                     "bgpackets 1\ncellpackets 65536\n"
+                     "background bg_intensity.bin\n"
+                     "mapping 128 128 2.0\ndirections 0 0\n"
+                     "iterations 1\nprefix large\nsimum 150 400\n"
+                     "mmapabs\ntemperature large.T\n")
+        os.chdir(ldir)
+        try:
+            t0 = _t.time()
+            res = driver.run("large_e2e.ini", lanes=lanes)
+            out["driver_e2e_s"] = round(_t.time() - t0, 1)
+            tarr = np.asarray(res.temperature)
+            sane = sane and bool(np.isfinite(tarr).all())
+            out["driver_e2e_t_range"] = [round(float(tarr.min()), 2),
+                                         round(float(tarr.max()), 2)]
+        except Exception as e:          # noqa: BLE001 -- report, don't die
+            out["driver_e2e_error"] = "%s: %s" % (type(e).__name__, e)
+            sane = False
+        finally:
+            os.chdir(orig)
+
     # ---- 512x512x44 map render against the 16.8M-cell grid
     emit = jnp.ones((cells, nfreq), jnp.float32)
     ext = medium.abs_gl + medium.sca_gl
