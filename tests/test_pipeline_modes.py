@@ -94,6 +94,57 @@ def test_nnmake_then_nnsolve(model_dir):
     assert np.abs(emitted_nn[:, other]).max() == 0.0
 
 
+def test_nnsolve_reads_reference_torch_checkpoint(model_dir):
+    """End-to-end `nnsolve` with a REFERENCE-trained surrogate: a torch
+    state-dict checkpoint named <prefix>_<dust>.nn plus the A_/E_<dust>
+    .norm companions (the exact on-disk artifacts of ASOC_aux_NN.NN_fit,
+    ASOC_aux_NN.py:110-113,159) drive the ini pipeline, and the emitted
+    columns match the torch forward pass on the pipeline's own absorbed
+    field -- proving the wiring (file naming, norm lookup, channel
+    selection), not just the unit-level import."""
+    torch = pytest.importorskip("torch")
+    tnn = torch.nn
+    torch.manual_seed(3)
+    net = tnn.Sequential(tnn.Linear(4, 13), tnn.LeakyReLU(),
+                         tnn.Linear(13, 17), tnn.LeakyReLU(),
+                         tnn.Linear(17, 13), tnn.LeakyReLU(),
+                         tnn.Linear(13, 3))
+    state = {("layers." + k): v for k, v in net.state_dict().items()}
+    torch.save(state, model_dir / "surro_tmp.nn")
+    rng = np.random.default_rng(11)
+    ma = rng.uniform(0.5, 2.0, 4).astype(np.float32)
+    me = rng.uniform(0.5, 2.0, 3).astype(np.float32)
+    ma.tofile(model_dir / "A_tmp.norm")
+    me.tofile(model_dir / "E_tmp.norm")
+
+    nn_um = (0.55, 2.2, 25.0, 250.0)
+    em_um = (100.0, 250.0, 500.0)
+    ini = write_ini(model_dir,
+                    "nnsolve  surro\n"
+                    "nnabs  %s\nnnemit  %s\n"
+                    % (" ".join(map(str, nn_um)),
+                       " ".join(map(str, em_um))))
+    _, emitted_nn, _ = run_pipeline(ini, lanes=1 << 10)
+
+    from soc_tpu.constants import um2f
+    from soc_tpu.io.dust import read_simple_dust
+    freq = read_simple_dust(str(model_dir / "tmp.dust"), 0.01).freq
+    iabs = [int(np.argmin(np.abs(freq - um2f(u)))) for u in nn_um]
+    iemit = [int(np.argmin(np.abs(freq - um2f(u)))) for u in em_um]
+    raw = np.fromfile(model_dir / "absorbed.data", np.float32)
+    cells, nf = raw[:2].view(np.int32)
+    absorbed = raw[2:].reshape(cells, nf)
+
+    x = np.clip(absorbed[:, iabs], 1.0e-29, 1.0e32) / ma[None, :]
+    with torch.no_grad():
+        want = net(torch.tensor(x)).numpy() * me[None, :]
+    np.testing.assert_allclose(emitted_nn[:, iemit], want,
+                               rtol=2e-5, atol=1e-5)
+    other = np.ones(nf, bool)
+    other[iemit] = False
+    assert np.abs(emitted_nn[:, other]).max() == 0.0
+
+
 def test_gset_dust_pipeline_with_nenumber(tmp_path):
     """Full ASOC_driver-style run with a STOCHASTIC (gset) dust: the RT
     stage swaps in an auto-generated <name>_simple.dust
