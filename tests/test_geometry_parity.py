@@ -555,6 +555,84 @@ def test_polmap_los_parity():
     assert want["rT"].max() > 0.05       # the field is genuinely tangled
 
 
+def test_polmap_healpix_los_parity():
+    """render_pol_healpix (internal observer, per-pixel tangent bases) vs
+    a float64 oracle marching from INTOBS along each RING pixel's LOS.
+    The pixelization angles come from the same healpix module on both
+    sides -- the oracle pins the march, the per-pixel basis algebra and
+    the attenuated Stokes accumulation, which are the float32-sensitive
+    parts."""
+    from soc_tpu.render.healpix import pix2ang_ring
+    from soc_tpu.render.polarization import render_pol_healpix
+
+    grid = make_two_level_grid(seed=9)
+    n = grid.nx
+    rng = np.random.default_rng(12)
+    nf = 2
+    emit = (0.5 + rng.random((grid.cells, nf))).astype(np.float32)
+    ext = np.asarray([0.1, 1.2], np.float32)
+    bf = (rng.standard_normal((grid.cells, 3))
+          + np.asarray([1.0, 0.6, 0.3])).astype(np.float32)
+    p0 = 0.15
+    nside = 2
+    intobs = (3.3, 4.2, 3.7)
+
+    s_i, s_q, s_u, colden = render_pol_healpix(
+        grid, jnp.asarray(emit), jnp.asarray(ext), jnp.asarray(bf),
+        jnp.float32(p0), jnp.asarray(intobs, jnp.float32), nside)
+    s_i, s_q, s_u = np.asarray(s_i), np.asarray(s_q), np.asarray(s_u)
+
+    npix = 12 * nside * nside
+    theta, phi = (np.asarray(a, np.float64)
+                  for a in pix2ang_ring(nside, jnp.arange(npix)))
+    o = OctOracle(grid)
+    dens = np.asarray(grid.dens, np.float64)
+    want_i = np.zeros((nf, npix))
+    want_q = np.zeros((nf, npix))
+    want_u = np.zeros((nf, npix))
+    for p in range(npix):
+        sd = np.asarray([-np.sin(theta[p]) * np.cos(phi[p]),
+                         -np.sin(theta[p]) * np.sin(phi[p]),
+                         np.cos(theta[p])])
+        sd = np.where(np.abs(sd) < 1e-5, 1e-5, sd)
+        ra = np.asarray([np.sin(phi[p]), -np.cos(phi[p]), 0.0])
+        de = np.asarray([np.cos(theta[p]) * np.cos(phi[p]),
+                         np.cos(theta[p]) * np.sin(phi[p]),
+                         np.sin(theta[p])])
+        odir = -sd
+        pos = np.asarray(intobs, np.float64) + 2.0e-5
+        pos, level, ind = o.index_global(pos)
+        tau = np.zeros(nf)
+        guard = 0
+        while ind >= 0 and guard < 4000:
+            guard += 1
+            gidx = o.off[level] + ind
+            ds, pos, level, ind = o.step(pos, level, ind, sd)
+            b = bf[gidx].astype(np.float64)
+            bnorm = np.linalg.norm(b)
+            bn = b / max(bnorm, 1e-30)
+            psi = 0.5 * np.pi + np.arctan2(np.dot(bn, -ra),
+                                           np.dot(bn, de))
+            cc = 0.99999 - 0.99998 * np.dot(bn, odir) ** 2
+            dtau = ds * dens[gidx] * ext
+            attw = np.where(dtau < 1e-3, 1.0 - 0.5 * dtau,
+                            (1.0 - np.exp(-dtau))
+                            / np.maximum(dtau, 1e-300))
+            sz = np.exp(-tau) * attw * ds * dens[gidx] * emit[gidx]
+            want_i[:, p] += sz * (1.0 - p0 * (cc - 2.0 / 3.0))
+            want_q[:, p] += p0 * np.cos(2.0 * psi) * cc * sz
+            want_u[:, p] += p0 * np.sin(2.0 * psi) * cc * sz
+            tau += dtau
+
+    m = np.abs(want_i).max()
+    for got, want, key in ((s_i, want_i, "I"), (s_q, want_q, "Q"),
+                           (s_u, want_u, "U")):
+        rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-3 * m)
+        assert np.quantile(rel, 0.99) < 5e-4, (key, np.quantile(rel, 0.99))
+        assert rel.max() < 5e-3, (key, rel.max())
+    assert np.abs(want_q).max() > 0 and np.abs(want_u).max() > 0
+
+
 def test_large_root_grid_no_stuck_lanes():
     """No DIMLIM cliff: the reference needs double-precision positions
     above NX > DIMLIM (kernel_ASOC_aux.c:27-46) because at |coordinate|
