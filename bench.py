@@ -734,6 +734,8 @@ def bench_large(workdir, lanes, repeats=2):
             t0 = _t.time()
             res = driver.run("large_e2e.ini", lanes=lanes)
             out["driver_e2e_s"] = round(_t.time() - t0, 1)
+            out["driver_e2e_phases"] = {
+                k: round(float(v), 1) for k, v in res.timings.items()}
             tarr = np.asarray(res.temperature)
             sane = sane and bool(np.isfinite(tarr).all())
             out["driver_e2e_t_range"] = [round(float(tarr.min()), 2),
