@@ -1149,9 +1149,13 @@ def _scale_absorbed_inplace(grid, tally, gl_cm, nnn_limit=0.0,
     lev = np.asarray(equilibrium.cell_levels(grid))
     dens = np.asarray(grid.dens)
     coeff = (8.0 ** lev) * (FACTOR / gl_cm)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        scale = (coeff / np.maximum(dens, 1e-35)).astype(np.float32)
     bad = dens <= max(0.0, nnn_limit)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        scale = coeff / np.maximum(dens, 1e-35)
+    # link/parent rows are overwritten with -1e20 below; zeroing their
+    # scale first keeps the float32 cast finite (no transient inf)
+    scale[bad] = 0.0
+    scale = scale.astype(np.float32)
     for i0 in range(0, tally.shape[0], block):
         i1 = min(i0 + block, tally.shape[0])
         tally[i0:i1] *= scale[i0:i1, None]
