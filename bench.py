@@ -411,10 +411,15 @@ def bench_a2e(workdir, cells=65536, ne=128):
     up, down = 0.5 * (up0 + up1), 0.5 * (down0 + down1)
     payload = cells * nfreq * 4          # bytes each way (float32)
     ceiling = cells / (payload / (up * 1e6) + payload / (down * 1e6))
+    # the dispatch overlaps readbacks with uploads on a drain thread and
+    # the tunnel is full-duplex, so the achievable bound is set by the
+    # SLOWER direction alone, not the directions' sum
+    duplex = cells / (payload / (min(up, down) * 1e6))
     link = dict(up_mbps=round(up, 1), down_mbps=round(down, 1),
                 up_both=[round(up0, 1), round(up1, 1)],
                 down_both=[round(down0, 1), round(down1, 1)],
-                serial_ceiling_cells_per_sec=round(ceiling, 1))
+                serial_ceiling_cells_per_sec=round(ceiling, 1),
+                duplex_ceiling_cells_per_sec=round(duplex, 1))
 
     # device-resident rate: input/output stay on device, so the (dev-tunnel)
     # host-link bandwidth -- not a property of the TPU -- is excluded; this
@@ -703,6 +708,7 @@ def bench_large(workdir, lanes, repeats=2):
     up, down = 0.5 * (up0 + up1), 0.5 * (down0 + down1)
     payload = rows * nfreq * 4
     ceiling = rows / (payload / (up * 1e6) + payload / (down * 1e6))
+    duplex = rows / (payload / (min(up, down) * 1e6))
     with open(epath, "rb") as fp:
         np.fromfile(fp, np.int32, 2)
         head = np.fromfile(fp, np.float32, 1 << 20)
@@ -710,8 +716,11 @@ def bench_large(workdir, lanes, repeats=2):
     out["a2e_stream_cells_per_sec"] = round(a2e_cps, 1)
     out["a2e_stream_rows"] = rows
     out["a2e_link"] = dict(up_mbps=round(up, 1), down_mbps=round(down, 1),
-                           serial_ceiling_cells_per_sec=round(ceiling, 1))
-    out["a2e_link_efficiency"] = round(a2e_cps / ceiling, 3)
+                           serial_ceiling_cells_per_sec=round(ceiling, 1),
+                           duplex_ceiling_cells_per_sec=round(duplex, 1))
+    # efficiency vs the duplex ceiling: the streaming dispatch overlaps
+    # readbacks with uploads, so the slower direction is the honest bound
+    out["a2e_link_efficiency"] = round(a2e_cps / duplex, 3)
     os.unlink(epath)
 
     # ---- ini-driven driver.run end to end at 16.8M cells: the FULL
@@ -983,8 +992,11 @@ def main():
             # (here a dev-tunnel link, 10-45 MB/s), device-resident is the
             # rate an in-pipeline solve with device-resident tallies sees.
             # a2e_link attributes the end-to-end number to THIS run's
-            # measured link bandwidth: efficiency = achieved / the serial
-            # up+down ceiling for the 2x cells*nfreq*4-byte payload.
+            # measured link bandwidth: efficiency = achieved / the
+            # full-duplex ceiling (slower direction) for the
+            # cells*nfreq*4-byte payload each way -- the dispatch overlaps
+            # readbacks with uploads, so the serial up+down ceiling is
+            # beatable and reported alongside for reference.
             "a2e_cells_per_sec": round(a2e_cps, 1),
             "a2e_device_cells_per_sec": (round(a2e_dev_cps, 1)
                                          if a2e_dev_cps else None),
@@ -995,7 +1007,7 @@ def main():
                 if a2e_dev_cps else None),
             "a2e_link": a2e_link,
             "a2e_link_efficiency": round(
-                a2e_cps / a2e_link["serial_ceiling_cells_per_sec"], 3),
+                a2e_cps / a2e_link["duplex_ceiling_cells_per_sec"], 3),
             "scaling": scaling,     # null on a single-chip harness
             "map_render_s_512x512x44": round(map_s, 3),
             "pipeline_e2e_s": round(e2e, 2),

@@ -298,15 +298,26 @@ def solve_emission(solver, absorbed, nstoch=999, batch=16384, clip_last=True,
             from .pallas_a2e import solve_all_chunks_sharded
         super_chunks = 2
         step = super_chunks * n_dev * batch
+        # the tunnel is full-duplex (measured: concurrent up+down completes
+        # in max(up, down), not up+down), so readbacks run on a dedicated
+        # drain thread -- downloads of finished superbatches overlap the
+        # main thread's uploads and dispatches, and the end-to-end rate is
+        # bounded by the slower link direction instead of their sum.  One
+        # worker keeps downloads ordered; result slices are disjoint, so
+        # the stores race with nothing.
+        import concurrent.futures as _futures
+        pool = _futures.ThreadPoolExecutor(max_workers=1)
         pending = []
+
+        def _store(i0, i1, tot, ptot):
+            emitted[i0:i1] += np.asarray(tot).reshape(-1, nfreq)[: i1 - i0]
+            if pemitted is not None:
+                pemitted[i0:i1] += (np.asarray(ptot)
+                                    .reshape(-1, nfreq)[: i1 - i0])
 
         def drain(k):
             while len(pending) > k:
-                i0, i1, tot, ptot = pending.pop(0)
-                emitted[i0:i1] += np.asarray(tot).reshape(-1, nfreq)[: i1 - i0]
-                if pemitted is not None:
-                    pemitted[i0:i1] += (np.asarray(ptot)
-                                        .reshape(-1, nfreq)[: i1 - i0])
+                pending.pop(0).result()
 
         for s0 in range(0, cells, step):
             s1 = min(s0 + step, cells)
@@ -335,9 +346,10 @@ def solve_emission(solver, absorbed, nstoch=999, batch=16384, clip_last=True,
                 tot, ptot = solve_all_chunks(
                     w_stack, td_stack, ea_stack, jnp.asarray(blk),
                     al, solver.ne)
-            pending.append((s0, s1, tot, ptot))
+            pending.append(pool.submit(_store, s0, s1, tot, ptot))
             drain(4)
         drain(0)
+        pool.shutdown(wait=True)
     for isize in range(solver.nsize):
         if isize < nstoch:
             if use_fused:

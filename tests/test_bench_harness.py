@@ -54,6 +54,10 @@ def test_bench_large_section(bench, tmp_path):
               "sol_stepping_fraction_vs_random_floor"):
         assert np.isfinite(out[k]) and out[k] > 0, k
     assert out["a2e_link"]["serial_ceiling_cells_per_sec"] > 0
+    # the duplex ceiling (slower direction alone) always admits at least
+    # the serial up+down rate
+    assert (out["a2e_link"]["duplex_ceiling_cells_per_sec"]
+            >= out["a2e_link"]["serial_ceiling_cells_per_sec"])
     assert 0 <= out["a2e_link_efficiency"]
     assert out["sane"] is True
     json.dumps(out)                       # JSON-serializable as reported
