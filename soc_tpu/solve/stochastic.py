@@ -377,7 +377,7 @@ def solve_emission(solver, absorbed, nstoch=999, batch=16384, clip_last=True,
 
 
 def solve_emission_streaming(solver, absorbed_path, emitted_path,
-                             nstoch=999, batch=1 << 16, aalg=None,
+                             nstoch=999, batch=None, aalg=None,
                              pemitted_path=None, ifreq=None):
     """Out-of-core A2E solve: stream absorbed.data through the device in
     prefetched chunks and write emitted.data in the background.
@@ -394,6 +394,13 @@ def solve_emission_streaming(solver, absorbed_path, emitted_path,
     """
     from ..native import StreamReader, StreamWriter
     ncols = solver.nfreq if ifreq is None else 1
+    if batch is None:
+        # each solve_emission call flushes its superbatch pipeline at the
+        # end (drain(0)), so the flush bubble is amortized by making each
+        # stream chunk many superbatches long: target ~64 MB of rows per
+        # prefetch buffer, in whole 16384-row solve chunks, >= 64k rows
+        batch = max(1 << 16,
+                    (64 << 20) // (solver.nfreq * 4) // 16384 * 16384)
 
     def sel(emit):
         return emit if ifreq is None else \
