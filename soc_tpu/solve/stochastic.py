@@ -255,9 +255,14 @@ def solve_emission(solver, absorbed, nstoch=999, batch=16384, clip_last=True,
     # matrix stays VMEM-resident, the NE substitution steps run
     # dispatch-free, and all stochastic sizes are scanned on-device per
     # cell chunk -- each chunk crosses the host link exactly once
-    use_fused = (jax.default_backend() == "tpu" and solver.ne % 128 == 0
-                 and batch % 128 == 0
-                 and os.environ.get("SOC_TPU_A2E") != "xla")
+    a2e_env = os.environ.get("SOC_TPU_A2E")
+    # SOC_TPU_A2E: "xla" forces the exact XLA path; "fused" forces the
+    # superbatched Pallas dispatch even off-TPU (interpret-mode kernel) so
+    # the pipeline bookkeeping is testable on the CPU mesh
+    use_fused = ((jax.default_backend() == "tpu" or a2e_env == "fused")
+                 and solver.ne % 128 == 0 and batch % 128 == 0
+                 and a2e_env != "xla")
+    interp = jax.default_backend() != "tpu"
     if use_fused and not (fused_weights_nonneg(solver, nstoch)
                           and absorbed.min() >= 0.0):
         # the pre-folded fused kernel cannot apply the per-entry
@@ -341,11 +346,11 @@ def solve_emission(solver, absorbed, nstoch=999, batch=16384, clip_last=True,
             if n_dev > 1:
                 tot, ptot = solve_all_chunks_sharded(
                     w_stack, td_stack, ea_stack, jnp.asarray(blk),
-                    al, solver.ne)
+                    al, solver.ne, interpret=interp)
             else:
                 tot, ptot = solve_all_chunks(
                     w_stack, td_stack, ea_stack, jnp.asarray(blk),
-                    al, solver.ne)
+                    al, solver.ne, interpret=interp)
             pending.append(pool.submit(_store, s0, s1, tot, ptot))
             drain(4)
         drain(0)

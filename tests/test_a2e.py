@@ -371,3 +371,27 @@ def test_cli_reference_arg_list(tmp_path):
         out3 = np.fromfile(tmp_path / "emit3.bin", np.float32,
                            offset=8).reshape(cells, 8)
         np.testing.assert_allclose(out3, ref, rtol=1e-6)
+
+
+def test_fused_dispatch_pipeline_on_cpu(monkeypatch):
+    """The superbatched dispatch loop with the drain thread (normally
+    TPU-only) must match the exact XLA path. SOC_TPU_A2E=fused forces it
+    onto the CPU mesh with the Pallas kernel in interpret mode, covering
+    the pipeline bookkeeping itself: superbatch slicing, tail padding,
+    the ordered drain-thread stores, and the polarized accumulator."""
+    solver = random_solver(ne=128, nfreq=6, nsize=2, seed=3)
+    # precondition for the pre-folded kernel == clamped-XLA equivalence
+    assert stochastic.fused_weights_nonneg(solver)
+    rng = np.random.default_rng(9)
+    cells = 700          # not a multiple of the 2x128-row superbatch
+    absorbed = rng.random((cells, 6)).astype(np.float32)
+    aalg = np.full(cells, 2e-7, np.float32)
+    ref, pref = stochastic.solve_emission(solver, absorbed, batch=128,
+                                          aalg=aalg)
+    monkeypatch.setenv("SOC_TPU_A2E", "fused")
+    monkeypatch.setenv("SOC_TPU_A2E_SHARD", "0")
+    out, pout = stochastic.solve_emission(solver, absorbed, batch=128,
+                                          aalg=aalg)
+    scale = float(np.abs(ref).max())
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-6 * scale)
+    np.testing.assert_allclose(pout, pref, rtol=1e-4, atol=1e-6 * scale)
