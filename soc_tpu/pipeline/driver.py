@@ -1949,21 +1949,42 @@ def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
             centre = (0.5 * grid.nx, 0.5 * grid.ny, 0.5 * grid.nz)
         kk = render_mapping.map_scale_kk(cfg.gl)
         freq_s = np.asarray(freq)[fsel]
-        map_emitted = np.asarray(emitted, np.float64)
-        if cfg.roi_map and cfg.roi is not None and cfg.fast_map < 999:
-            # ROI_MAP (`roimap`): the Mapping/HealpixMapping kernels add
-            # emission only from cells whose root ancestor lies in the
-            # ROI box; extinction still comes from everything on the LOS
-            # (kernel_ASOC_map.c:515-961 InRoi gate -- emission masking
-            # is exactly that, since tau uses dens not emit). The hier
-            # kernels have no ROI gate in the reference, hence the
-            # fast_map<999 condition.
-            from ..transport.roi import roi_cell_mask
-            map_emitted = map_emitted.copy()
-            map_emitted[~roi_cell_mask(grid, cfg.roi)] = 0.0
-        emit_map = jnp.asarray(
-            (map_emitted[:, fsel]
-             * (kk * freq_s)[None, :]).astype(np.float32))
+        roi_gate = (cfg.roi_map and cfg.roi is not None
+                    and cfg.fast_map < 999)
+        # ROI_MAP (`roimap`): the Mapping/HealpixMapping kernels add
+        # emission only from cells whose root ancestor lies in the
+        # ROI box; extinction still comes from everything on the LOS
+        # (kernel_ASOC_map.c:515-961 InRoi gate -- emission masking
+        # is exactly that, since tau uses dens not emit). The hier
+        # kernels have no ROI gate in the reference, hence the
+        # fast_map<999 condition.
+        if isinstance(emitted, jax.Array) and len(emitted.devices()) == 1:
+            # device-resident emission field: select + scale per channel
+            # ON DEVICE. The old host detour (float64 cast, host product,
+            # float32 re-upload) moved 2 x CELLS x NFREQ floats over the
+            # host link -- ~6 GB and most of the maps-phase wall time at
+            # 16.8M cells
+            scale = jnp.asarray((kk * freq_s).astype(np.float32))
+            if bool(fsel.all()):
+                emit_map = emitted.astype(jnp.float32) * scale[None, :]
+            else:
+                sel_idx = jnp.asarray(np.nonzero(fsel)[0], jnp.int32)
+                emit_map = (jnp.take(emitted, sel_idx, axis=1)
+                            .astype(jnp.float32) * scale[None, :])
+            if roi_gate:
+                from ..transport.roi import roi_cell_mask
+                emit_map = emit_map * jnp.asarray(
+                    roi_cell_mask(grid, cfg.roi)
+                    .astype(np.float32))[:, None]
+        else:
+            map_emitted = np.asarray(emitted, np.float64)
+            if roi_gate:
+                from ..transport.roi import roi_cell_mask
+                map_emitted = map_emitted.copy()
+                map_emitted[~roi_cell_mask(grid, cfg.roi)] = 0.0
+            emit_map = jnp.asarray(
+                (map_emitted[:, fsel]
+                 * (kk * freq_s)[None, :]).astype(np.float32))
         if ext_cells is not None:
             ext_gl = jnp.asarray(ext_cells[:, fsel])
         else:
