@@ -1698,6 +1698,7 @@ def _run_inner(cfg, lanes, write_files, t_start):
     elif host_tally is not None:
         intf = host_tally          # outputs below read host NumPy
     timings["solve"] = time.time() - t0
+    t0 = time.time()
 
     # ---- intensity output for DustEM coupling (SAVE_INTENSITY modes,
     # ASOC.py:1496-1505, 2733-2760): I[cell,f] =
@@ -1758,8 +1759,13 @@ def _run_inner(cfg, lanes, write_files, t_start):
     ext_cells = None
     if abu is not None:
         ext_cells = (abu @ (abs_d + sca_d)).astype(np.float32)
-    _render_phase(cfg, grid, medium, res, freq, res.emitted, write_files,
-                  timings, ext_cells=ext_cells, pmesh=pmesh)
+    timings["outputs"] = time.time() - t0
+    # render from the DEVICE-resident emission field when phase 2 left
+    # one (res.emitted is its host copy; re-uploading that would move
+    # CELLS x NFREQ floats back over the host link for nothing)
+    _render_phase(cfg, grid, medium, res, freq,
+                  emitted if emitted is not None else res.emitted,
+                  write_files, timings, ext_cells=ext_cells, pmesh=pmesh)
     timings["total"] = time.time() - t_start
     return res
 
@@ -2060,7 +2066,11 @@ def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
                 and cfg.maxlos >= 1e9 and _jax.process_count() == 1
                 and cfg.npix[1] % pmesh.n_dp == 0
                 and int(np.sum(fsel)) % pmesh.n_freq == 0)
+            # sub-phase attribution: prep = emit_map assembly etc.,
+            # render = the per-direction render + map downloads
+            timings["maps_prep"] = time.time() - t0
             for idir in range(len(cfg.obs_theta)):
+                t_dir = time.time()
                 odir, ra, de = render_mapping.observer_basis(
                     cfg.obs_theta[idir], cfg.obs_phi[idir])
                 if shard_maps:
@@ -2079,6 +2089,8 @@ def _render_phase(cfg, grid, medium, res, freq, emitted, write_files,
                         maxlos=cfg.maxlos,
                         map_interp=int(cfg.map_interpolation))
                 phot_np, tau_np = np.asarray(phot), np.asarray(tau)
+                timings["maps_render"] = (timings.get("maps_render", 0.0)
+                                          + time.time() - t_dir)
                 res.maps[idir] = (phot_np if map_of_sel is None
                                   else phot_np[map_of_sel])
                 res.tau_maps[idir] = tau_np
